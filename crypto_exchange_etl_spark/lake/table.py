@@ -1,0 +1,439 @@
+"""LakeTable — snapshot-versioned, bucket-partitioned parquet lake table.
+
+An Iceberg-shaped table format implemented on parquet + JSON manifests
+(no Iceberg runtime jar is available offline — SURVEY.md §7.0 fallback).
+It reproduces exactly the properties the engine relies on:
+
+- **Atomic commits**: a commit = write data files + one ledger file, then
+  atomically ``rename`` the next ``metadata/v{N}.json`` into place. Readers
+  resolve the highest committed version; a crash mid-commit leaves only
+  orphan data files (cleaned by ``expire_snapshots``), never a torn table.
+  Reference analogue: BigQuery WRITE_TRUNCATE partition decorators as
+  atomic partition replace (/root/reference/fintick/bqloader/base.py:79-112).
+- **Idempotent re-apply**: each manifest records the set of applied batch
+  ids; re-running a micro-batch after a crash is a structural no-op.
+  Reference analogue: the Firestore ``ok``-flag guard
+  (/root/reference/fintick/controllers/base.py:80-86).
+- **Key-partitioned MERGE upsert**: rows live in ``n_buckets`` hash buckets
+  of the merge key; a MERGE rewrites only the buckets its batch touches
+  (manifest-driven file pruning — Iceberg partition pruning analogue).
+- **Snapshot isolation + time travel**: every version is fully described by
+  its manifest; ``read(version=...)`` reads history.
+- **Per-partition lineage ledger committed atomically with data**: the
+  ledger parquet for a batch is referenced by the same manifest rename that
+  commits the data — exactly-once for both or neither (hard-part #2,
+  SURVEY.md §7.3). Reference analogue: Firestore doc written after load
+  (/root/reference/fintick/controllers/base.py:258-267) — NOT atomic there;
+  atomic here.
+
+Single-writer discipline (one streaming query owns the table) is assumed,
+as with the reference's per-(symbol, partition) cloud functions.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..model import LEDGER_SCHEMA, PAGES_INTERNAL_FIELDS
+from ..operators.compaction import lww_compact
+from .schema_evolution import conform, resolve_schema
+
+_INTERNAL_COLS = [f.name for f in PAGES_INTERNAL_FIELDS]  # lsn, is_deleted
+
+
+def _fmt_version(v: int) -> str:
+    return f"v{v:08d}.json"
+
+
+class LakeTable:
+    """A bucket-partitioned upsert table with Iceberg-style snapshots."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, "metadata")
+        self.data_dir = os.path.join(self.path, "data")
+        self.ledger_dir = os.path.join(self.path, "ledger")
+
+    # ------------------------------------------------------------------ DDL
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key: str = "url",
+        n_buckets: int = 16,
+        if_not_exists: bool = False,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        if os.path.exists(t.meta_dir) and os.listdir(t.meta_dir):
+            if if_not_exists:
+                return t
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.ledger_dir, exist_ok=True)
+        manifest = {
+            "version": 0,
+            "snapshot_id": str(uuid.uuid4()),
+            "parent_version": None,
+            "key": key,
+            "n_buckets": n_buckets,
+            "schema": json.loads(schema.json()),
+            "files": [],
+            "ledger_files": [],
+            "applied_batches": [],
+            "watermarks": {},
+            "summary": {"operation": "create", "total_rows": 0},
+            "committed_at_unix": time.time(),
+        }
+        t._write_manifest(manifest)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if t.current_version() is None:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return t
+
+    # ----------------------------------------------------------- manifests
+
+    def current_version(self) -> int | None:
+        if not os.path.isdir(self.meta_dir):
+            return None
+        versions = [
+            int(f[1:-5]) for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def manifest(self, version: int | None = None) -> dict[str, Any]:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no lake table at {self.path}")
+        with open(os.path.join(self.meta_dir, _fmt_version(v))) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, manifest: dict[str, Any]) -> None:
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4()}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = os.path.join(self.meta_dir, _fmt_version(manifest["version"]))
+        os.rename(tmp, final)  # atomic commit point
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest()["schema"])
+
+    @property
+    def key(self) -> str:
+        return self.manifest()["key"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest()["n_buckets"]
+
+    def applied_batches(self) -> set:
+        return set(self.manifest()["applied_batches"])
+
+    def watermarks(self) -> dict[str, int]:
+        return dict(self.manifest()["watermarks"])
+
+    # --------------------------------------------------------------- reads
+
+    def _physical_schema(self, manifest: dict[str, Any]) -> T.StructType:
+        base = T.StructType.fromJson(manifest["schema"])
+        names = {f.name for f in base.fields}
+        extra = [f for f in PAGES_INTERNAL_FIELDS if f.name not in names]
+        return T.StructType(list(base.fields) + extra)
+
+    def read_physical(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Read physical rows (incl. tombstones + lineage cols), pruning
+        data files to the requested buckets via the manifest — the
+        Iceberg-style partition pruning this format exists to provide."""
+        m = self.manifest(version)
+        files = m["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        schema = self._physical_schema(m)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        # explicit schema => old files read with added-cols-as-null and
+        # widened numeric types (schema evolution without history rewrite)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Logical read: tombstones filtered, internal columns hidden."""
+        m = self.manifest(version)
+        df = self.read_physical(version=version)
+        public = [f.name for f in T.StructType.fromJson(m["schema"]).fields
+                  if f.name not in _INTERNAL_COLS]
+        return df.where(~F.col("is_deleted")).select(*public)
+
+    def ledger(self) -> DataFrame:
+        files = self.manifest()["ledger_files"]
+        if not files:
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        return self.spark.read.schema(LEDGER_SCHEMA).parquet(
+            *[os.path.join(self.path, p) for p in files]
+        )
+
+    def bucket_expr(self, col: str | None = None) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(col or self.key)), F.lit(self.n_buckets)).cast("int")
+
+    # --------------------------------------------------------------- MERGE
+
+    def merge_apply(self, changes: DataFrame, batch_id: int) -> dict[str, Any]:
+        """Apply one micro-batch of change events as a key-partitioned MERGE.
+
+        Logical plan (all Catalyst built-ins):
+          1. skip if ``batch_id`` already applied (exactly-once guard);
+          2. LWW-compact the batch per key — two-phase ``max_by`` groupBy
+             (map-side partial agg ⇒ hot keys reduced before shuffle);
+          3. resolve additive schema evolution vs the table schema;
+          4. prune to affected buckets (manifest file skipping);
+          5. union current bucket rows + batch winners, LWW again ⇒ merged
+             state. Deletes become tombstones, so replay order and batch
+             boundaries cannot change the final state (MERGE idempotence);
+          6. rewrite only affected buckets + ledger rows, commit atomically.
+        """
+        m = self.manifest()
+        if batch_id in set(m["applied_batches"]):
+            return {"skipped": True, "batch_id": batch_id}
+
+        key = m["key"]
+        n_buckets = m["n_buckets"]
+
+        # -- 2. batch-local LWW compaction
+        n_events = changes.count()
+        winners = lww_compact(changes, key=key).cache()
+
+        # -- 3. schema evolution: batch payload columns vs table schema
+        table_schema = T.StructType.fromJson(m["schema"])
+        envelope_cols = {"lsn", "partition", "op"}
+        payload = T.StructType(
+            [f for f in winners.schema.fields if f.name not in envelope_cols - {"lsn"}]
+        )
+        # lsn is both envelope and lineage; exclude op/partition only
+        payload = T.StructType([f for f in payload.fields if f.name not in ("op", "partition")])
+        res = resolve_schema(table_schema, payload)
+        new_schema = res.schema
+
+        # -- physical form of the batch winners
+        phys_schema = T.StructType(
+            [f for f in new_schema.fields if f.name not in _INTERNAL_COLS]
+        )
+        incoming = winners.withColumn("is_deleted", F.col("op") == F.lit("D"))
+        incoming = conform(
+            incoming,
+            T.StructType(
+                list(phys_schema.fields)
+                + [T.StructField("lsn", T.LongType(), False),
+                   T.StructField("is_deleted", T.BooleanType(), False)]
+            ),
+        )
+
+        # -- 4. affected buckets (small collect: ≤ n_buckets ints)
+        affected = [
+            r[0]
+            for r in incoming.select(self._bucket(key, n_buckets).alias("b")).distinct().collect()
+        ]
+        current = self.read_physical(buckets=affected)
+        current = conform(current, incoming.schema)
+
+        # -- 5. merge = LWW over (current ∪ incoming)
+        merged = lww_compact(current.unionByName(incoming), key=key)
+
+        # -- metrics: matched (update/delete-hit) vs not-matched (insert)
+        cur_keys = current.where(~F.col("is_deleted")).select(key)
+        stats = (
+            winners.join(cur_keys.withColumn("_m", F.lit(1)), on=key, how="left")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when((F.col("op") != "D") & F.col("_m").isNull(), 1).otherwise(0)).alias("ins"),
+                F.sum(F.when((F.col("op") != "D") & F.col("_m").isNotNull(), 1).otherwise(0)).alias("upd"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dele"),
+            )
+            .collect()[0]
+        )
+
+        # per-binlog-partition ledger rows (high-watermarks)
+        part_rows = (
+            changes.groupBy("partition")
+            .agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n_events"))
+            .collect()
+        )
+
+        # -- 6. write new files for affected buckets
+        snap = str(uuid.uuid4())[:8]
+        rel_out = f"data/snap-{snap}"
+        out_dir = os.path.join(self.path, rel_out)
+        (
+            merged.withColumn("bucket", self._bucket(key, n_buckets))
+            .repartition(max(1, len(affected)), F.col("bucket"))
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_files = self._scan_files(rel_out)
+
+        # ledger parquet for this batch (same commit scope)
+        rel_ledger = f"ledger/batch-{batch_id}-{snap}.parquet"
+        wm = dict(m["watermarks"])
+        ledger_rows = []
+        now = time.time()
+        for r in part_rows:
+            p = int(r["partition"])
+            wm[str(p)] = max(int(r["max_lsn"]), wm.get(str(p), -1))
+            ledger_rows.append(
+                {
+                    "partition": p,
+                    "batch_id": int(batch_id),
+                    "max_lsn": int(r["max_lsn"]),
+                    "n_events": int(r["n_events"]),
+                    "n_insert": int(stats["ins"] or 0),
+                    "n_update": int(stats["upd"] or 0),
+                    "n_delete": int(stats["dele"] or 0),
+                    "n_dedup": int(n_events - stats["n"]),
+                    "ok": True,
+                    "committed_at": _dt.datetime.fromtimestamp(now, tz=_dt.timezone.utc),
+                }
+            )
+        ldf = self.spark.createDataFrame(ledger_rows, LEDGER_SCHEMA)
+        ldf.coalesce(1).write.mode("overwrite").parquet(os.path.join(self.path, rel_ledger))
+
+        winners.unpersist()
+
+        keep = [f for f in m["files"] if f["bucket"] not in set(affected)]
+        new_manifest = {
+            "version": m["version"] + 1,
+            "snapshot_id": str(uuid.uuid4()),
+            "parent_version": m["version"],
+            "key": key,
+            "n_buckets": n_buckets,
+            "schema": json.loads(new_schema.json()),
+            "files": keep + new_files,
+            "ledger_files": m["ledger_files"] + [rel_ledger],
+            "applied_batches": m["applied_batches"] + [batch_id],
+            "watermarks": wm,
+            "summary": {
+                "operation": "merge",
+                "batch_id": batch_id,
+                "n_events": n_events,
+                "n_insert": int(stats["ins"] or 0),
+                "n_update": int(stats["upd"] or 0),
+                "n_delete": int(stats["dele"] or 0),
+                "n_dedup": int(n_events - stats["n"]),
+                "schema_changes": [c.__dict__ for c in res.changes],
+            },
+            "committed_at_unix": now,
+        }
+        self._write_manifest(new_manifest)
+        return new_manifest["summary"]
+
+    def _bucket(self, key: str, n_buckets: int) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+    def _scan_files(self, rel_dir: str) -> list[dict[str, Any]]:
+        out = []
+        base = os.path.join(self.path, rel_dir)
+        for root, _dirs, files in os.walk(base):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                bucket = None
+                for part in rel.split(os.sep):
+                    if part.startswith("bucket="):
+                        bucket = int(part.split("=", 1)[1])
+                if bucket is None:
+                    raise ValueError(f"file outside bucket partition: {rel}")
+                out.append({"path": rel, "bucket": bucket, "bytes": os.path.getsize(full)})
+        return out
+
+    # -------------------------------------------------------- maintenance
+
+    def compact_files(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, Any]:
+        """Rewrite each bucket's files into ~target-size files (Iceberg
+        ``rewrite_data_files`` analogue — the north_rule's file-size
+        compaction knob). Drops fully-superseded tombstones is NOT done
+        here (tombstones are load-bearing for LWW replay); only bin-packs.
+        """
+        m = self.manifest()
+        df = self.read_physical()
+        total_bytes = sum(f["bytes"] for f in m["files"]) or 1
+        n_files = max(1, round(total_bytes / target_file_bytes))
+        snap = str(uuid.uuid4())[:8]
+        rel_out = f"data/compact-{snap}"
+        (
+            df.withColumn("bucket", self._bucket(m["key"], m["n_buckets"]))
+            .repartition(max(n_files, m["n_buckets"]), F.col("bucket"))
+            .sortWithinPartitions(m["key"])
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, rel_out))
+        )
+        new_files = self._scan_files(rel_out)
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            files=new_files,
+            summary={"operation": "compact", "files_before": len(m["files"]),
+                     "files_after": len(new_files)},
+            committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm["summary"]
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Delete manifests older than the last ``keep_last`` and any data
+        files no longer referenced (Iceberg ``expire_snapshots`` analogue —
+        the reference's hourly-partition TTL,
+        /root/reference/fintick/bqloader/bqloader.py:9-13)."""
+        cur = self.current_version()
+        if cur is None:
+            return 0
+        keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        referenced: set[str] = set()
+        for v in keep_versions:
+            mv = self.manifest(v)
+            referenced |= {f["path"] for f in mv["files"]}
+            referenced |= set(mv["ledger_files"])
+        removed = 0
+        # drop old manifests
+        for f in list(os.listdir(self.meta_dir)):
+            if f.startswith("v") and f.endswith(".json") and int(f[1:-5]) not in keep_versions:
+                os.remove(os.path.join(self.meta_dir, f))
+        # drop unreferenced data files
+        for sub in ("data", "ledger"):
+            base = os.path.join(self.path, sub)
+            for root, _d, files in os.walk(base, topdown=False):
+                for fn in files:
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, self.path)
+                    if fn.endswith(".parquet") and rel not in referenced:
+                        os.remove(full)
+                        removed += 1
+                if not os.listdir(root) and root != base:
+                    shutil.rmtree(root, ignore_errors=True)
+        return removed

@@ -1,0 +1,116 @@
+"""The CDC ingest pipeline: binlog tail → extract → LWW → MERGE → ledger.
+
+One Structured Streaming job replaces the reference's entire orchestration
+stack (Cloud Scheduler → Pub/Sub → chained cloud functions,
+/root/reference/fintick/main.py:22-85): stage chaining happens inside
+``foreachBatch``, resume comes from the checkpoint (not Firestore pagination
+ids), and exactly-once comes from checkpointed batch ids + the LakeTable's
+idempotent manifest commit + LWW tombstone merge (re-applying any batch is
+a no-op by construction).
+
+Backfill vs tail is the same job in different trigger modes
+(``availableNow`` vs continuous micro-batch) — mirroring the reference's
+single code path for historical and incremental ingest
+(/root/reference/fintick/utils.py:162-217).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.extract import with_extracted_text
+from ..lake.table import LakeTable
+from ..model import PAGES_PHYSICAL_SCHEMA
+from ..sources.binlog import read_binlog, read_binlog_stream
+from pyspark.sql import types as T
+
+#: public pages schema (what queries see)
+_PAGES_TABLE_SCHEMA = T.StructType(
+    [f for f in PAGES_PHYSICAL_SCHEMA.fields if f.name not in ("lsn", "is_deleted")]
+)
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        n_buckets: int = 16,
+        key: str = "url",
+    ):
+        self.spark = spark
+        self.table_path = table_path
+        self.n_buckets = n_buckets
+        self.key = key
+
+    def ensure_table(self) -> LakeTable:
+        return LakeTable.create(
+            self.spark,
+            self.table_path,
+            _PAGES_TABLE_SCHEMA,
+            key=self.key,
+            n_buckets=self.n_buckets,
+            if_not_exists=True,
+        )
+
+    @property
+    def table(self) -> LakeTable:
+        return LakeTable.load(self.spark, self.table_path)
+
+    # ------------------------------------------------------------ batches
+
+    def apply_batch(self, changes: DataFrame, batch_id: int) -> dict:
+        """The foreachBatch body. Extraction (vectorized pandas UDF) runs
+        batch-side so the lake always stores derived ``text``; the merge
+        does LWW + schema evolution + bucket-pruned rewrite + ledger in one
+        atomic commit."""
+        table = self.ensure_table()
+        enriched = with_extracted_text(changes)
+        return table.merge_apply(enriched, batch_id=batch_id)
+
+    # ---------------------------------------------------------- streaming
+
+    def run_stream(
+        self,
+        binlog_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        available_now: bool = True,
+        timeout_secs: float | None = None,
+    ):
+        """Tail the binlog directory with checkpointed exactly-once apply.
+
+        Kill-and-resume: Structured Streaming replays the last uncommitted
+        micro-batch with the SAME batch_id after restart; ``merge_apply``
+        skips already-applied ids and LWW-merge makes even a forced
+        re-apply produce the identical table state.
+        """
+        self.ensure_table()
+        stream = read_binlog_stream(self.spark, binlog_dir, max_files_per_trigger)
+
+        def _sink(df: DataFrame, batch_id: int) -> None:
+            self.apply_batch(df, batch_id)
+
+        writer = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(f"cdc_apply_{os.path.basename(self.table_path)}")
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+        else:
+            q = writer.trigger(processingTime="1 second").start()
+        if timeout_secs is not None:
+            q.awaitTermination(timeout_secs)
+        else:
+            q.awaitTermination()
+        return q
+
+    # ------------------------------------------------------------- replay
+
+    def replay_all(self, binlog_dir: str, batch_id: int = 0) -> dict:
+        """Full-replay in a single batch (the oracle path for equivalence
+        tests: stream-applied state must equal single-shot replay state)."""
+        return self.apply_batch(read_binlog(self.spark, binlog_dir), batch_id=batch_id)

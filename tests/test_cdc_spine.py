@@ -1,0 +1,272 @@
+"""End-to-end tests for the CDC spine: generator → extract → LWW → MERGE.
+
+Test strategy adopted from the reference (SURVEY.md §5): deterministic
+seeded generators + count/value assertions on kernels + the split-vs-whole
+equivalence property (/root/reference/test/test_renko_aggregator.py:26-54),
+generalized here to batch-boundary independence of the merged table state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_exchange_etl_spark.functions.extract import (
+    extract_text_bytes,
+    with_extracted_text,
+)
+from crypto_exchange_etl_spark.lake.table import LakeTable
+from crypto_exchange_etl_spark.model import CHANGES_SCHEMA, PAGES_SCHEMA
+from crypto_exchange_etl_spark.operators.compaction import (
+    lww_compact,
+    lww_compact_window,
+)
+from crypto_exchange_etl_spark.sources.binlog import (
+    generate_changes,
+    read_binlog,
+    write_binlog_segments,
+)
+from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline
+
+UTC = dt.timezone.utc
+
+
+def _state(table: LakeTable):
+    """Canonical comparable table state: sorted tuples of public+lineage."""
+    rows = (
+        table.read_physical()
+        .where(~F.col("is_deleted"))
+        .select("url", "warc_ts", "text", "lang", "lsn")
+        .collect()
+    )
+    return sorted((r.url, r.warc_ts, r.text, r.lang, r.lsn) for r in rows)
+
+
+# ---------------------------------------------------------------- generator
+
+
+def test_generator_deterministic(spark):
+    a = generate_changes(spark, 2000, n_urls=100, seed=7).collect()
+    b = generate_changes(spark, 2000, n_urls=100, seed=7, parallelism=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    lsns = {r.lsn for r in a}
+    assert lsns == set(range(2000))
+
+
+def test_generator_skew_and_ops(spark):
+    df = generate_changes(spark, 5000, n_urls=500, seed=42)
+    by_url = df.groupBy("url").count()
+    top = by_url.orderBy(F.desc("count")).first()
+    assert top["count"] > 50  # Zipf head is hot
+    ops = {r.op for r in df.select("op").distinct().collect()}
+    assert ops == {"I", "U", "D"}
+    # deletes carry null payload
+    assert df.where((F.col("op") == "D") & F.col("html").isNotNull()).count() == 0
+
+
+# --------------------------------------------------------------- extraction
+
+
+def test_extract_byte_identity(spark):
+    df = generate_changes(spark, 500, n_urls=50, seed=1).where(F.col("html").isNotNull())
+    got = with_extracted_text(df).select("html", "text").collect()
+    assert len(got) > 0
+    for r in got:
+        assert r.text == extract_text_bytes(bytes(r.html))
+
+
+def test_extract_handles_script_style_and_nulls(spark):
+    html = b"<html><script>var x=1;</script><style>p{}</style><p>Hello  <b>world</b></p></html>"
+    assert extract_text_bytes(html) == "Hello world"
+    df = spark.createDataFrame([(html,), (None,)], "html binary")
+    out = {r.text for r in with_extracted_text(df).collect()}
+    assert out == {"Hello world", None}
+
+
+# ---------------------------------------------------------------------- LWW
+
+
+def test_lww_compact_agg_equals_window(spark):
+    df = generate_changes(spark, 3000, n_urls=100, seed=3)
+    a = lww_compact(df).collect()
+    b = lww_compact_window(df).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == df.select("url").distinct().count()
+
+
+def test_lww_tiebreak_on_lsn(spark):
+    ts = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        (1, 0, "U", "u", ts, b"a", "en"),
+        (5, 0, "U", "u", ts, b"b", "en"),  # same warc_ts, higher lsn wins
+        (3, 0, "U", "u", ts - dt.timedelta(hours=1), b"c", "en"),  # older ts loses
+    ]
+    df = spark.createDataFrame(rows, CHANGES_SCHEMA)
+    w = lww_compact(df).collect()
+    assert len(w) == 1 and w[0].lsn == 5 and bytes(w[0].html) == b"b"
+
+
+# -------------------------------------------------------------------- MERGE
+
+
+def test_merge_insert_update_delete_matrix(spark, tmpdir_path):
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=4)
+    ts = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def ch(lsn, op, url, hours=0, html=b"<p>x</p>"):
+        return (
+            lsn, 0, op, url, ts + dt.timedelta(hours=hours),
+            None if op == "D" else html, None if op == "D" else "en",
+        )
+
+    b0 = spark.createDataFrame(
+        [ch(1, "I", "a"), ch(2, "I", "b"), ch(3, "I", "c")], CHANGES_SCHEMA
+    )
+    s0 = pipe.apply_batch(b0, batch_id=0)
+    assert s0["n_insert"] == 3 and s0["n_update"] == 0
+
+    b1 = spark.createDataFrame(
+        [ch(4, "U", "a", hours=1, html=b"<p>a2</p>"), ch(5, "D", "b", hours=1),
+         ch(6, "I", "d", hours=1)],
+        CHANGES_SCHEMA,
+    )
+    s1 = pipe.apply_batch(b1, batch_id=1)
+    assert s1["n_insert"] == 1 and s1["n_update"] == 1 and s1["n_delete"] == 1
+
+    live = {r.url: r.text for r in pipe.table.read().collect()}
+    assert set(live) == {"a", "c", "d"}
+    assert live["a"] == "a2"
+
+
+def test_merge_late_update_after_delete_is_ignored(spark, tmpdir_path):
+    """Tombstones give replay-order-independent LWW: an older update
+    arriving after a newer delete must NOT resurrect the row."""
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=2)
+    ts = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    d = spark.createDataFrame(
+        [(10, 0, "D", "u", ts + dt.timedelta(hours=2), None, None)], CHANGES_SCHEMA
+    )
+    pipe.apply_batch(d, batch_id=0)
+    late = spark.createDataFrame(
+        [(5, 0, "U", "u", ts, b"<p>old</p>", "en")], CHANGES_SCHEMA
+    )
+    pipe.apply_batch(late, batch_id=1)
+    assert pipe.table.read().count() == 0
+
+
+def test_merge_idempotent_reapply(spark, tmpdir_path):
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=2000, n_segments=2, n_urls=200)
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=4)
+    pipe.replay_all(binlog, batch_id=0)
+    st = _state(pipe.table)
+    assert pipe.replay_all(binlog, batch_id=0) == {"skipped": True, "batch_id": 0}
+    # even a FORCED re-apply under a new batch id is a state no-op (LWW)
+    pipe.replay_all(binlog, batch_id=99)
+    assert _state(pipe.table) == st
+
+
+def test_split_vs_whole_equivalence(spark, tmpdir_path):
+    """f(all) ≡ f(batch_0) ∘ … ∘ f(batch_n) — the reference's cache test
+    (/root/reference/test/test_renko_aggregator.py:26-54) generalized to
+    merge state."""
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=4000, n_segments=4, n_urls=300)
+    whole = CdcPipeline(spark, os.path.join(tmpdir_path, "whole"), n_buckets=4)
+    whole.replay_all(binlog, batch_id=0)
+
+    split = CdcPipeline(spark, os.path.join(tmpdir_path, "split"), n_buckets=4)
+    for i in range(4):
+        seg = spark.read.parquet(os.path.join(binlog, f"seg={i:05d}"))
+        split.apply_batch(seg, batch_id=i)
+
+    assert _state(whole.table) == _state(split.table)
+
+
+def test_bucket_pruned_rewrite(spark, tmpdir_path):
+    """A batch touching one key must rewrite only that key's bucket."""
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=8)
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=2000, n_segments=1, n_urls=200)
+    pipe.replay_all(binlog, batch_id=0)
+    files_before = {f["path"]: f for f in pipe.table.manifest()["files"]}
+
+    ts = dt.datetime(2025, 1, 1, tzinfo=UTC)
+    one = spark.createDataFrame(
+        [(10**9, 0, "U", "https://site-0.example.com/page/0", ts, b"<p>hot</p>", "en")],
+        CHANGES_SCHEMA,
+    )
+    pipe.apply_batch(one, batch_id=1)
+    m = pipe.table.manifest()
+    touched = {
+        f["bucket"] for f in m["files"] if f["path"] not in files_before
+    }
+    assert len(touched) == 1  # only the one affected bucket rewritten
+
+
+# ------------------------------------------------------------------- ledger
+
+
+def test_ledger_watermarks_and_metrics(spark, tmpdir_path):
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=3000, n_segments=3, n_urls=300,
+                          n_partitions=4)
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=4)
+    for i in range(3):
+        seg = spark.read.parquet(os.path.join(binlog, f"seg={i:05d}"))
+        pipe.apply_batch(seg, batch_id=i)
+
+    led = pipe.table.ledger()
+    assert led.count() == 3 * 4  # 3 batches × 4 binlog partitions
+    # manifest watermark == max lsn seen per partition
+    wm = pipe.table.watermarks()
+    src = read_binlog(spark, binlog).groupBy("partition").agg(F.max("lsn").alias("m"))
+    for r in src.collect():
+        assert wm[str(r["partition"])] == r["m"]
+    # ledger high-watermark per partition matches too
+    agg = led.groupBy("partition").agg(F.max("max_lsn").alias("m")).collect()
+    for r in agg:
+        assert wm[str(r["partition"])] == r["m"]
+
+
+# -------------------------------------------------------------- maintenance
+
+
+def test_compact_and_expire(spark, tmpdir_path):
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=3000, n_segments=3, n_urls=300)
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=4)
+    for i in range(3):
+        seg = spark.read.parquet(os.path.join(binlog, f"seg={i:05d}"))
+        pipe.apply_batch(seg, batch_id=i)
+    t = pipe.table
+    st = _state(t)
+    before = len(t.manifest()["files"])
+    t.compact_files(target_file_bytes=64 * 1024 * 1024)
+    assert _state(t) == st  # compaction preserves state
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert _state(t) == st  # expiry never touches the live snapshot
+    assert len(t.manifest()["files"]) <= before + 4
+
+
+def test_time_travel(spark, tmpdir_path):
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=2)
+    ts = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    pipe.apply_batch(
+        spark.createDataFrame([(1, 0, "I", "a", ts, b"<p>1</p>", "en")], CHANGES_SCHEMA),
+        batch_id=0,
+    )
+    v1 = pipe.table.current_version()
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [(2, 0, "U", "a", ts + dt.timedelta(hours=1), b"<p>2</p>", "en")],
+            CHANGES_SCHEMA,
+        ),
+        batch_id=1,
+    )
+    assert pipe.table.read(version=v1).collect()[0].text == "1"
+    assert pipe.table.read().collect()[0].text == "2"
