@@ -24,9 +24,9 @@ class SchemaEvolutionError(ValueError):
 
 #: allowed widenings: source type -> set of wider types
 _WIDEN: dict[str, set[str]] = {
-    "byte": {"short", "int", "long"},
-    "short": {"int", "long"},
-    "int": {"long"},
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
     "float": {"double"},
     "date": {"timestamp"},
 }
