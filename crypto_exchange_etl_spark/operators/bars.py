@@ -1,0 +1,349 @@
+"""Data-driven bars: threshold ("volume clock") and renko — operators A4/A5.
+
+These are the reference's only genuinely sequential kernels
+(/root/reference/fintick/aggregators/thresh/lib.py:72-93 and
+/root/reference/fintick/aggregators/renko/lib.py:57-87 — single-threaded
+``iterrows`` folds). Semantics preserved, algorithms re-designed:
+
+- **Threshold bars**: accumulate ``thresh_attr`` (volume/notional/ticks) in
+  event order; cut a bar whenever the running sum reaches ``thresh_value``;
+  the accumulator resets to 0 at the cut (remainder NOT carried — reference
+  behavior); the tail after the last cut carries forward as a partial bar.
+  Instead of a per-row loop, cuts are found with repeated
+  ``np.searchsorted`` on the prefix-sum array: O(#bars · log n).
+- **Renko bars**: brick levels quantized by ``level = trunc(price/box)·box``;
+  a bar is cut when price reaches ``level ± box``; on an inexact down-cross
+  the level rounds back up one box (reference's remainder rule,
+  renko/lib.py:48-52); the cut row's bar is labeled with the NEW level; the
+  first ever trade only seeds the level and is discarded. Inherently a
+  state loop → tight numpy loop over primitive arrays (no pandas per-row).
+- **Partial-bar carry** (reference ``nextDay`` cache + ``merge_cache``,
+  /root/reference/fintick/aggregators/lib.py:84-113): a carried partial bar
+  merges into the next emitted bar — open from the partial, high/low
+  extremes, additive sums, topN re-merged — giving the split-vs-whole
+  equivalence property the reference tests
+  (/root/reference/test/test_renko_aggregator.py:26-54).
+
+Spark integration: ``applyInPandas`` per symbol (each symbol's stream is an
+independent total order — same parallelism model as the reference's
+one-function-per-symbol fan-out). Numeric narrowing: kernels compute in
+float64 (the reference itself float-casts for nlargest/idxmin,
+/root/reference/fintick/aggregators/lib.py:59); documented engine-wide in
+SURVEY.md §1.3.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+ORDER = ["timestamp", "nanoseconds", "index"]
+
+_TOPN_FIELDS = ["timestamp", "nanoseconds", "price", "volume", "notional", "tickRule"]
+
+_BAR_COMMON = [
+    T.StructField("timestamp", T.TimestampType(), True),
+    T.StructField("nanoseconds", T.LongType(), True),
+    T.StructField("volume", T.DoubleType(), True),
+    T.StructField("buyVolume", T.DoubleType(), True),
+    T.StructField("notional", T.DoubleType(), True),
+    T.StructField("buyNotional", T.DoubleType(), True),
+    T.StructField("ticks", T.LongType(), True),
+    T.StructField("buyTicks", T.LongType(), True),
+]
+
+TOPN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("timestamp", T.TimestampType(), True),
+            T.StructField("nanoseconds", T.LongType(), True),
+            T.StructField("price", T.DoubleType(), True),
+            T.StructField("volume", T.DoubleType(), True),
+            T.StructField("notional", T.DoubleType(), True),
+            T.StructField("tickRule", T.IntegerType(), True),
+        ]
+    )
+)
+
+THRESH_BAR_SCHEMA = T.StructType(
+    [T.StructField("symbol", T.StringType(), True)]
+    + [
+        T.StructField("open", T.DoubleType(), True),
+        T.StructField("high", T.DoubleType(), True),
+        T.StructField("low", T.DoubleType(), True),
+        T.StructField("close", T.DoubleType(), True),
+    ]
+    + _BAR_COMMON
+    + [T.StructField("topN", TOPN_TYPE, True)]
+)
+
+RENKO_BAR_SCHEMA = T.StructType(
+    [T.StructField("symbol", T.StringType(), True)]
+    + [
+        T.StructField("level", T.DoubleType(), True),
+        T.StructField("price", T.DoubleType(), True),
+    ]
+    + _BAR_COMMON
+    + [T.StructField("topN", TOPN_TYPE, True)]
+)
+
+
+# ---------------------------------------------------------------- utilities
+
+
+def _prep(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values([c for c in ORDER if c in pdf.columns]).reset_index(drop=True)
+    for c in ("price", "volume", "notional"):
+        pdf[c] = pdf[c].astype("float64")
+    if "ticks" not in pdf.columns:
+        pdf["ticks"] = 1
+    pdf["ticks"] = pdf["ticks"].astype("int64")
+    return pdf
+
+
+def _top_n_records(chunk: pd.DataFrame, top_n: int) -> list[dict[str, Any]]:
+    if not top_n:
+        return []
+    sel = chunk.nlargest(top_n, "notional")
+    sel = sel.sort_values(["timestamp", "nanoseconds"])
+    recs = sel[_TOPN_FIELDS].to_dict("records")
+    for r in recs:
+        r["tickRule"] = int(r["tickRule"])
+    return recs
+
+
+def _merge_topn(prev: list, cur: list, top_n: int) -> list:
+    merged = list(prev) + list(cur)
+    if not merged:
+        return merged
+    merged.sort(key=lambda r: r["notional"], reverse=True)
+    merged = merged[:top_n]
+    merged.sort(key=lambda r: (r["timestamp"], r["nanoseconds"]))
+    return merged
+
+
+def _agg_chunk(chunk: pd.DataFrame, top_n: int) -> dict[str, Any]:
+    buy = chunk["tickRule"].to_numpy() == 1
+    vol = chunk["volume"].to_numpy()
+    noti = chunk["notional"].to_numpy()
+    ticks = chunk["ticks"].to_numpy()
+    price = chunk["price"].to_numpy()
+    last = chunk.iloc[-1]
+    return {
+        "timestamp": last["timestamp"],
+        "nanoseconds": int(last["nanoseconds"]),
+        "open": float(price[0]),
+        "high": float(price.max()),
+        "low": float(price.min()),
+        "close": float(price[-1]),
+        "volume": float(vol.sum()),
+        "buyVolume": float(vol[buy].sum()),
+        "notional": float(noti.sum()),
+        "buyNotional": float(noti[buy].sum()),
+        "ticks": int(ticks.sum()),
+        "buyTicks": int(ticks[buy].sum()),
+        "topN": _top_n_records(chunk, top_n),
+    }
+
+
+def _merge_sums(partial: dict[str, Any], bar: dict[str, Any], top_n: int) -> dict[str, Any]:
+    """Additive fields + topN merge (reference ``merge_cache``,
+    /root/reference/fintick/aggregators/lib.py:93-113)."""
+    out = dict(bar)
+    for k in ("volume", "buyVolume", "notional", "buyNotional", "ticks", "buyTicks"):
+        out[k] = partial[k] + bar[k]
+    out["topN"] = _merge_topn(partial.get("topN", []), bar.get("topN", []), top_n)
+    return out
+
+
+def _merge_partial(partial: dict[str, Any], bar: dict[str, Any], top_n: int) -> dict[str, Any]:
+    """Fold a carried partial bar into the next emitted bar (A6 semantics:
+    open from the partial, high/low extremes, additive sums, topN merge —
+    reference ``merge_thresh_cache`` + ``merge_cache``)."""
+    out = _merge_sums(partial, bar, top_n)
+    out["open"] = partial["open"]
+    out["high"] = max(partial["high"], bar["high"])
+    out["low"] = min(partial["low"], bar["low"])
+    return out
+
+
+# ------------------------------------------------------------ threshold bars
+
+
+def thresh_bars_pandas(
+    pdf: pd.DataFrame,
+    thresh_attr: str,
+    thresh_value: float,
+    top_n: int = 0,
+    cache: dict[str, Any] | None = None,
+) -> tuple[list[dict[str, Any]], dict[str, Any]]:
+    """Pure-pandas threshold-bar kernel with carry cache.
+
+    cache = {"cum": float, "partial": bar-dict | None}. Returns
+    (bars, cache'). Split-vs-whole equivalent: running the kernel over a
+    prefix then the suffix with the carried cache yields the same bars as
+    one pass.
+    """
+    cache = dict(cache or {})
+    cum0 = float(cache.get("cum", 0.0))
+    partial = cache.get("partial")
+
+    pdf = _prep(pdf)
+    attr = pdf[thresh_attr].astype("float64").to_numpy()
+    prefix = np.cumsum(attr) + cum0
+
+    # find cut indices: each cut is the first row where the running sum
+    # since the previous cut reaches thresh_value (accumulator resets to 0)
+    cuts: list[int] = []
+    base = 0.0  # prefix value consumed by previous cuts
+    i = 0
+    n = len(prefix)
+    while i < n:
+        j = int(np.searchsorted(prefix, base + thresh_value, side="left"))
+        if j >= n:
+            break
+        cuts.append(j)
+        base = prefix[j]
+        i = j + 1
+
+    bars: list[dict[str, Any]] = []
+    start = 0
+    for j in cuts:
+        bar = _agg_chunk(pdf.iloc[start : j + 1], top_n)
+        if partial is not None:
+            bar = _merge_partial(partial, bar, top_n)
+            partial = None
+        bars.append(bar)
+        start = j + 1
+
+    if start < n:
+        tail = _agg_chunk(pdf.iloc[start:], top_n)
+        partial = _merge_partial(partial, tail, top_n) if partial is not None else tail
+        cache["cum"] = float(prefix[-1] - base)
+    else:
+        cache["cum"] = 0.0
+    cache["partial"] = partial
+    return bars, cache
+
+
+# ----------------------------------------------------------------- renko
+
+
+def renko_level(price: float, box_size: float) -> float:
+    """Level quantization: truncate toward zero to a box multiple
+    (reference ``get_level``, renko/lib.py:6-7)."""
+    return int(price / box_size) * box_size
+
+
+def renko_bars_pandas(
+    pdf: pd.DataFrame,
+    box_size: float,
+    top_n: int = 0,
+    cache: dict[str, Any] | None = None,
+) -> tuple[list[dict[str, Any]], dict[str, Any]]:
+    """Pure-pandas renko kernel with carry cache.
+
+    cache = {"level": float, "direction": int | None, "partial": bar | None}.
+    If no cache, the first trade seeds the level and is discarded.
+    """
+    cache = dict(cache or {})
+    pdf = _prep(pdf)
+    if "level" not in cache:
+        if len(pdf) == 0:
+            return [], cache
+        cache["level"] = renko_level(float(pdf["price"].iloc[0]), box_size)
+        cache["direction"] = None
+        pdf = pdf.iloc[1:].reset_index(drop=True)
+
+    level = float(cache["level"])
+    partial = cache.get("partial")
+    prices = pdf["price"].to_numpy()
+
+    bars: list[dict[str, Any]] = []
+    cut_rows: list[tuple[int, float]] = []  # (row index of cut, new level)
+    start = 0
+    n = len(prices)
+    # state loop over a primitive array — data-dependent, cannot vectorize
+    for i in range(n):
+        p = prices[i]
+        high, low = level + box_size, level - box_size
+        if p >= high or p < low:
+            new_level = renko_level(p, box_size)
+            change = new_level - level
+            if p < low and (p % box_size) != 0:
+                # inexact down-cross: only fully-crossed boxes count
+                change += box_size
+                new_level += box_size
+            if change != 0:
+                cut_rows.append((i, new_level))
+                level = new_level
+                cache["direction"] = 1 if change > 0 else -1
+
+    def _renko_bar(chunk: pd.DataFrame, lvl: float) -> dict[str, Any]:
+        bar = _agg_chunk(chunk, top_n)
+        bar["level"] = float(lvl)
+        bar["price"] = bar.pop("close")
+        for k in ("open", "high", "low"):
+            bar.pop(k)
+        return bar
+
+    for i, new_level in cut_rows:
+        bar = _renko_bar(pdf.iloc[start : i + 1], new_level)
+        if partial is not None:
+            bar = _merge_sums(partial, bar, top_n)
+            partial = None
+        bars.append(bar)
+        start = i + 1
+
+    if start < n:
+        tail = _renko_bar(pdf.iloc[start:], level)
+        if partial is not None:
+            tail = _merge_sums(partial, tail, top_n)
+        partial = tail
+    cache["level"] = float(level)
+    cache["partial"] = partial
+    return bars, cache
+
+
+# ------------------------------------------------------- Spark wrappers
+
+
+def _bars_df(bars: list[dict[str, Any]], symbol, fields: list[str]) -> pd.DataFrame:
+    rows = []
+    for b in bars:
+        r = {k: b.get(k) for k in fields}
+        r["symbol"] = symbol
+        rows.append(r)
+    return pd.DataFrame(rows, columns=["symbol"] + fields)
+
+
+def thresh_bars(
+    df: DataFrame, thresh_attr: str, thresh_value: float, top_n: int = 0
+) -> DataFrame:
+    """Distributed threshold bars: one sequential kernel per symbol via
+    ``applyInPandas`` (Arrow-batched; the only Python in the plan)."""
+    fields = [f.name for f in THRESH_BAR_SCHEMA.fields if f.name != "symbol"]
+
+    def fn(key, pdf):
+        bars, _cache = thresh_bars_pandas(pdf, thresh_attr, thresh_value, top_n=top_n)
+        return _bars_df(bars, key[0] if key else None, fields)
+
+    if "symbol" not in df.columns:
+        df = df.withColumn("symbol", df["timestamp"].cast("string").substr(0, 0))
+    return df.groupBy("symbol").applyInPandas(fn, THRESH_BAR_SCHEMA)
+
+
+def renko_bars(df: DataFrame, box_size: float, top_n: int = 0) -> DataFrame:
+    fields = [f.name for f in RENKO_BAR_SCHEMA.fields if f.name != "symbol"]
+
+    def fn(key, pdf):
+        bars, _cache = renko_bars_pandas(pdf, box_size, top_n=top_n)
+        return _bars_df(bars, key[0] if key else None, fields)
+
+    if "symbol" not in df.columns:
+        df = df.withColumn("symbol", df["timestamp"].cast("string").substr(0, 0))
+    return df.groupBy("symbol").applyInPandas(fn, RENKO_BAR_SCHEMA)
