@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Delegates to :mod:`crypto_exchange_etl_spark.queries` — the engine's
+query registry where every implemented operator from SURVEY.md §2 (plus
+the training-data extension operators) is exposed as a
+``(spark_impl, duckdb_oracle_sql)`` pair engineered for bit-deterministic
+cross-engine comparison.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from crypto_exchange_etl_spark.queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full CDC engine replay — change envelope → vectorized
+    extraction → LWW MERGE into the bucketed snapshot lake table →
+    logical read (see queries.q_cdc_replay_engine)."""
+    return QUERIES["cdc_replay_engine"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL oracle per query. ``thresh_bars`` /
+    ``renko_bars`` are intentionally absent: inherently-sequential
+    stateful kernels (SURVEY.md §2.4 A4/A5) whose semantics are pinned by
+    split-vs-whole equivalence tests instead (tests/test_aggregations.py).
     """
-    return {}
+    return dict(ORACLES)

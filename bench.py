@@ -1,0 +1,117 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline metric: sustained CDC apply throughput (change-events/sec) for a
+full binlog replay through the engine (generate → extract → LWW → bucketed
+MERGE → ledger), measured as `cdc_replay_events_per_sec`. Alongside it,
+wall-seconds for the headline analytic queries from the registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] cores + shuffle partitions (default 32)
+  SPARK_GRAFT_CDC_EVENTS  synthetic binlog size for the CDC replay bench
+                          (default 2_000_000)
+
+Scaling-efficiency evidence (north_rule's two-cluster-size criterion) is
+produced by scripts/scaling_bench.py, which runs THIS file's CDC section
+at two parallelism levels in separate processes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crypto_exchange_etl_spark.queries import QUERIES  # noqa: E402
+from crypto_exchange_etl_spark.session import get_spark  # noqa: E402
+from crypto_exchange_etl_spark.sources.binlog import write_binlog_segments  # noqa: E402
+from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline  # noqa: E402
+
+#: Queries timed at SF_DIR (a representative slice of the registry:
+#: CDC spine, heavy aggregation, window, join, text, similarity).
+BENCH_QUERIES = [
+    "lww_compact",
+    "run_compaction",
+    "candles_hourly",
+    "pricing_summary",
+    "running_total",
+    "enrich_join",
+    "text_quality",
+    "minhash_lsh",
+    "simhash",
+    "cosine_topk",
+]
+
+
+def bench_cdc_replay(spark, n_events: int, n_cpus: int) -> dict:
+    """Generate a synthetic binlog and replay it through the full engine."""
+    tmp = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        binlog = os.path.join(tmp, "binlog")
+        write_binlog_segments(
+            spark,
+            binlog,
+            n_events=n_events,
+            n_segments=4,
+            n_urls=max(1000, n_events // 20),
+            seed=42,
+        )
+        pipe = CdcPipeline(spark, os.path.join(tmp, "pages"), n_buckets=n_cpus)
+        t0 = time.time()
+        pipe.replay_all(binlog)
+        dt = time.time() - t0
+        rows = pipe.table.read().count()
+        return {
+            "cdc_events": n_events,
+            "cdc_replay_sec": round(dt, 3),
+            "cdc_replay_events_per_sec": round(n_events / dt, 1),
+            "cdc_live_rows": rows,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "2000000"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark(app_name="bench", cores=n_cpus, shuffle_partitions=n_cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        total += dt
+
+    cdc = bench_cdc_replay(spark, n_events, n_cpus)
+    queries["cdc_replay"] = cdc["cdc_replay_sec"]
+
+    out = {
+        "metric": "cdc_apply_throughput_and_query_secs",
+        "value": cdc["cdc_replay_events_per_sec"],
+        "unit": "events/sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": n_cpus,
+        **cdc,
+        "total_query_sec": round(total, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -200,19 +200,27 @@ class LakeTable:
 
     # --------------------------------------------------------------- MERGE
 
-    def merge_apply(self, changes: DataFrame, batch_id: int) -> dict[str, Any]:
+    def merge_apply(
+        self, changes: DataFrame, batch_id: int, enrich=None
+    ) -> dict[str, Any]:
         """Apply one micro-batch of change events as a key-partitioned MERGE.
 
         Logical plan (all Catalyst built-ins):
           1. skip if ``batch_id`` already applied (exactly-once guard);
           2. LWW-compact the batch per key — two-phase ``max_by`` groupBy
              (map-side partial agg ⇒ hot keys reduced before shuffle);
+             then apply ``enrich`` (e.g. the vectorized extraction UDF) to
+             the *winners only* — superseded events never pay the UDF;
           3. resolve additive schema evolution vs the table schema;
           4. prune to affected buckets (manifest file skipping);
           5. union current bucket rows + batch winners, LWW again ⇒ merged
              state. Deletes become tombstones, so replay order and batch
              boundaries cannot change the final state (MERGE idempotence);
           6. rewrite only affected buckets + ledger rows, commit atomically.
+
+        ``enrich`` must be a pure per-row transform (a projection adding
+        derived columns) — purity is what makes post-compaction placement
+        equivalent to pre-compaction and the output replay-stable.
         """
         m = self.manifest()
         if batch_id in set(m["applied_batches"]):
@@ -221,9 +229,20 @@ class LakeTable:
         key = m["key"]
         n_buckets = m["n_buckets"]
 
-        # -- 2. batch-local LWW compaction
-        n_events = changes.count()
-        winners = lww_compact(changes, key=key).cache()
+        # -- per-binlog-partition high-watermarks + batch size in ONE pass
+        # over the raw envelope (column-pruned scan, no UDF)
+        part_rows = (
+            changes.groupBy("partition")
+            .agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n_events"))
+            .collect()
+        )
+        n_events = sum(int(r["n_events"]) for r in part_rows)
+
+        # -- 2. batch-local LWW compaction, then enrich winners only
+        winners = lww_compact(changes, key=key)
+        if enrich is not None:
+            winners = enrich(winners)
+        winners = winners.cache()
 
         # -- 3. schema evolution: batch payload columns vs table schema
         table_schema = T.StructType.fromJson(m["schema"])
@@ -272,13 +291,6 @@ class LakeTable:
                 F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dele"),
             )
             .collect()[0]
-        )
-
-        # per-binlog-partition ledger rows (high-watermarks)
-        part_rows = (
-            changes.groupBy("partition")
-            .agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n_events"))
-            .collect()
         )
 
         # -- 6. write new files for affected buckets

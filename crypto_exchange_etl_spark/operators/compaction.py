@@ -37,22 +37,26 @@ from pyspark.sql import functions as F
 ORDER_COLS = ("warc_ts", "lsn")
 
 
-def lww_compact(df: DataFrame, key: str = "url") -> DataFrame:
-    """Keep, per key, the single event with max (warc_ts, lsn).
+def lww_compact(
+    df: DataFrame, key: str = "url", order_cols: tuple[str, ...] = ORDER_COLS
+) -> DataFrame:
+    """Keep, per key, the single event with max ``order_cols`` tuple.
 
     Output columns = input columns (order preserved).
     """
     cols = df.columns
     payload = F.struct(*[F.col(c) for c in cols])
-    rank = F.struct(*[F.col(c) for c in ORDER_COLS])
+    rank = F.struct(*[F.col(c) for c in order_cols])
     winner = df.groupBy(key).agg(F.max_by(payload, rank).alias("_w"))
     return winner.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
 
 
-def lww_compact_window(df: DataFrame, key: str = "url") -> DataFrame:
+def lww_compact_window(
+    df: DataFrame, key: str = "url", order_cols: tuple[str, ...] = ORDER_COLS
+) -> DataFrame:
     """Window-function variant (kept for tests/plan comparison)."""
     w = Window.partitionBy(key).orderBy(
-        *[F.col(c).desc() for c in ORDER_COLS]
+        *[F.col(c).desc() for c in order_cols]
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -1,0 +1,287 @@
+"""Deduplication operators for web-scale corpora.
+
+Four tiers, cheapest to richest, all Catalyst built-ins (no Python UDFs):
+
+1. **Exact** — hash-groupBy on content digest. One shuffle on the digest;
+   map-side partial agg collapses per-split duplicates before the
+   exchange, so shuffle volume is O(distinct digests per split).
+2. **MinHash + LSH banding** — k seeded portable hashes over word
+   shingles → signature; signatures split into b bands of r rows; docs
+   sharing any band hash are candidate pairs. The pair join is on the
+   *band hash*, so cost is O(Σ bucket²) not O(n²) — the 100 TB scale
+   path. Probability a pair with Jaccard s collides: 1-(1-s^r)^b.
+3. **SimHash** — per-token hash bit-votes folded into a compact signature;
+   near-dups differ in few bits (Hamming). Computed entirely with array
+   ops + integer bit arithmetic, one narrow pass.
+4. **n-gram Jaccard verify** — the exact similarity used to confirm LSH
+   candidates: |A∩B| / |A∪B| over distinct shingles via an explode +
+   self-join restricted to candidate pairs.
+
+Reference analogue: the reference's only dedup is uid set-membership
+(/root/reference/fintick/controllers/base.py:88-99, P7 in SURVEY.md §2.2)
+— identity is exchange-assigned. Content-derived identity (digests,
+signatures) is the generalization a web-pages corpus needs.
+
+Embedding-cosine near-dup lives in ``operators/similarity.py`` (same
+candidate-pair machinery over hyperplane-LSH buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..functions.text import word_shingles
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct content: digest, canonical (min) id, dup count.
+
+    `groupBy(md5)` → partial agg map-side; at 100 TB the shuffle carries
+    one row per distinct digest per input split.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (the min-id one) per distinct text."""
+    keep = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(F.min_by(keep, F.col(id_col)).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in df.columns])
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """id + ``mh_0..mh_{k-1}`` columns: min over shingles of the i-th
+    seeded portable hash.
+
+    Physical shape: explode shingles → k flat seeded hashes (whole-stage
+    codegen'd md5s — Spark's higher-order array lambdas are interpreted
+    per row, so k nested ``transform``s would be ~10× slower) → one
+    ``groupBy(id).agg(min...)`` with map-side partial aggregation. At
+    100 TB the shuffle carries k longs per (doc × input-split), not the
+    shingle sets."""
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("_sh")
+    )
+    aggs = [
+        F.min(portable_hash64(F.col("_sh"), i)).alias(f"mh_{i}") for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 LSH band.
+
+    Band hash = portable hash of the ``|``-joined band rows. The self-join
+    key is (band_index, band_hash) so each band is an independent bucket
+    space; AQE skew-split handles pathological buckets (boilerplate pages).
+    """
+    r = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            portable_hash64(
+                F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, "b.band", "b.bh")
+    a = exploded.alias("a")
+    bb = exploded.alias("b")
+    return (
+        a.join(
+            bb,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """``bits``-wide SimHash over *distinct* word tokens.
+
+    For each bit position i: vote = Σ over tokens of (hash>>i & 1 ? +1 : -1);
+    signature bit i is set iff vote > 0 (⇔ 2·ones > n).
+
+    Physical shape: explode distinct tokens → one codegen'd hash per row →
+    ``groupBy(id)`` with ``bits`` conditional-sum aggregates (all map-side
+    partially aggregated). Flat-column arithmetic, no interpreted array
+    lambdas in the hot path.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, 1))).alias("_tk"),
+    ).withColumn("_h", portable_hash64(F.col("_tk"), 99))
+    ones = [
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_o{i}")
+        for i in range(bits)
+    ]
+    g = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *ones)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            (F.col(f"_o{i}") * 2) > F.col("_n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id", bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within Hamming ≤ ``max_hamming`` of each other's simhash.
+
+    Pigeonhole bucketing, not a cross join: split the signature into
+    ``max_hamming + 1`` bit-chunks — two signatures within d differing
+    bits must agree *exactly* on ≥1 of d+1 chunks. Join on
+    (chunk_index, chunk_value) buckets, dedup candidate pairs, then
+    verify true Hamming distance with ``bit_count``. Cost is
+    O(Σ bucket²) per chunk space — the same scale shape as MinHash LSH.
+    """
+    n_chunks = max_hamming + 1
+    width = -(-bits // n_chunks)  # ceil
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    ex = sig.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
+        id_col, "simhash", "c.ci", "c.cv"
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.ci") == F.col("b.ci"),
+                F.col("a.cv") == F.col("b.cv"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Exact n-gram Jaccard (verification / small-scale direct use)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for id_a < id_b.
+
+    With ``candidates`` (from :func:`lsh_candidate_pairs`) the join is
+    semi-restricted to the candidate set — the scale path. Without it,
+    pairs form via the shared-shingle join (still never a cross join:
+    only docs sharing ≥1 shingle pair up).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            F.broadcast(candidates.select("id_a", "id_b")), ["id_a", "id_b"], "left_semi"
+        )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — the correctness baseline. Queries are
+  broadcast (small side) against the corpus; per-pair cosine is computed
+  with ``zip_with`` + ``aggregate`` array expressions, top-k by
+  ``row_number`` per query. Cost O(|Q|·|corpus|·dim) but embarrassingly
+  parallel and shuffle-light (only the top-k window shuffles, on qid).
+- **Hyperplane LSH (SRP)** — the scale path: sign-bits of dot products
+  against fixed random hyperplanes → bucket id; ANN search only compares
+  within matching buckets (same candidate-pair shape as MinHash LSH).
+
+Determinism note (this is why the arithmetic looks pedantic): the DuckDB
+oracle must reproduce every value bit-for-bit. Float dot products are
+order- and SIMD-sensitive, so all inner products run in **exact int64
+arithmetic over 10⁶-quantized components** (see ``Q_SCALE``), and only
+the final ``dot/sqrt(na·nb)`` returns to double (IEEE sqrt/div on
+identical inputs is identical everywhere). The hyperplanes are
+small-integer literals, so their dot products are exact too.
+
+At 100 TB the same trick holds (integer ops are Tungsten codegen'd); a
+production variant could relax to floats once a tolerance-based checker
+replaces hash equality.
+
+Reference analogue: none (SURVEY.md §2 marks similarity search as a
+training-data-pipeline extension, not a reference op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Quantization scale: floats are mapped to exact integers via
+#: floor(x·10⁶) before any product/sum. All inner-product arithmetic is
+#: then int64 — exact, associative, overflow-safe (|x|<6 ⇒ |dot| ≤
+#: 64·(6e6)² ≈ 2.3e15 < 2⁵³, so even the final int→double conversion is
+#: exact in both engines). This sidesteps both float reassociation AND
+#: the engines' differing decimal-precision promotion rules.
+Q_SCALE = 1_000_000.0
+
+
+def _q6(x: Column) -> Column:
+    return F.floor(x.cast("double") * F.lit(Q_SCALE)).cast("long")
+
+
+def _dot_dec(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: _q6(x) * _q6(y))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, p: acc + p)
+
+
+def _norm2_dec(a: Column) -> Column:
+    return _dot_dec(a, a)
+
+
+def cosine(a: Column, b: Column, scale: int | None = None) -> Column:
+    """dot/√(na²·nb²) as double — deterministic cross-engine.
+
+    The dot products are exact quantized integers; the final
+    cast/sqrt/divide are IEEE-deterministic on identical inputs, so NO
+    rounding is needed for cross-engine equality (``scale`` kept for
+    callers that want tidy output)."""
+    d = _dot_dec(a, b).cast("double")
+    n = F.sqrt(_norm2_dec(a).cast("double") * _norm2_dec(b).cast("double"))
+    sim = d / n
+    return F.round(sim, scale) if scale is not None else sim
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k corpus neighbours per query vector (excluding self).
+
+    Output: qid, rank (1-based), nid, sim. Queries are broadcast — the
+    corpus is never shuffled; only (|Q|·k)-sized results move.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("_cv"))
+    sims = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("_qv"), F.col("_cv")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH (signed random projections)
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[int]]:
+    """Deterministic pseudo-random ±1 hyperplanes as literal ints.
+
+    A tiny LCG keyed by (seed, plane, coord) — no RNG library, so the
+    identical literals can be inlined into the DuckDB oracle SQL.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            x = (1103515245 * (seed * 1_000_003 + p * 10_007 + i) + 12345) % (2**31)
+            row.append(1 if (x >> 16) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(
+    vec_col: Column | str, planes: list[list[int]]
+) -> Column:
+    """Bucket id = Σ_p 2^p · [dot(v, plane_p) > 0] (exact integer dots)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        prods = F.zip_with(
+            v,
+            F.array(*[F.lit(x) for x in plane]),
+            lambda x, y: _q6(x) * y.cast("long"),
+        )
+        d = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, pr: acc + pr)
+        bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def ann_lsh_buckets(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) assignment for SRP-LSH ANN search."""
+    return corpus.select(
+        F.col(id_col), srp_bucket(vec_col, hyperplanes(dim, n_planes)).alias("bucket")
+    )
+
+
+def ann_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine only within the query's SRP bucket.
+
+    With n_planes=4 → 16 buckets, each query compares against ~1/16 of
+    the corpus; recall is traded via n_planes (multi-probe would union
+    adjacent buckets). Same output shape as :func:`cosine_topk`.
+    """
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("_cv"),
+        srp_bucket(vec_col, planes).alias("_cb"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        srp_bucket(vec_col, planes).alias("_qb"),
+    )
+    sims = (
+        c.join(F.broadcast(q), (F.col("_cb") == F.col("_qb")) & (F.col("qid") != F.col("nid")))
+        .select("qid", "nid", cosine(F.col("_qv"), F.col("_cv")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "sim")
+    )
+
+
+def knn_label_vote(
+    topk: DataFrame, labels: DataFrame, id_col: str = "vec_id", label_col: str = "label"
+) -> DataFrame:
+    """Classify each query by majority label of its neighbours (ties →
+    smaller label). Input: output of :func:`cosine_topk` + (id, label)."""
+    lab = labels.select(F.col(id_col).alias("nid"), F.col(label_col).alias("nlabel"))
+    votes = (
+        topk.join(F.broadcast(lab), "nid")
+        .groupBy("qid", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    return votes.groupBy("qid").agg(
+        F.max_by(
+            F.col("nlabel"), F.struct(F.col("n_votes"), -F.col("nlabel"))
+        ).alias("pred_label")
+    )

@@ -1,0 +1,995 @@
+"""Query registry: every operator exposed as (Spark impl, DuckDB oracle).
+
+This is the engine's public correctness surface. Each entry is one
+operator (or operator composition) from SURVEY.md §2 or the training-data
+extension set, implemented Spark-first, with an ANSI-SQL oracle that
+DuckDB runs on the identical parquet tables. The driver compares
+row-counts, schemas, and order-insensitive value hashes — so every
+expression here is engineered to be **bit-deterministic across engines**:
+
+- sums/products run in exact DecimalType (order-independent), cast to
+  double only at the end;
+- hash-based operators use the portable md5-prefix hash
+  (functions/hashing.py) that both engines compute identically;
+- floating-point is only ever produced by identical IEEE op sequences on
+  identical inputs (division, sqrt of exact values);
+- ties in any top-k / argmax are broken by explicit unique keys.
+
+The ``events`` table stands in for the CDC binlog (event_id = lsn,
+user_id = key, ts = event time) and — via the deterministic tick mapping
+below — for the reference's trade stream (SURVEY.md §1.4 mapping).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import portable_hash64, portable_hash64_sql
+from .functions.multimodal import decoded_meta, with_media_from_text
+from .functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_RE,
+    doc_fingerprint,
+    lang_id,
+    n_tokens,
+    quality_metrics,
+    quality_score,
+    regex_token_count,
+)
+from .operators.bars import renko_bars, thresh_bars
+from .operators.candles import aggregate_candles
+from .operators.compaction import lww_compact
+from .operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.run_compaction import compact_runs
+from .operators.similarity import ann_lsh_buckets, cosine_topk, hyperplanes, knn_label_vote
+from .operators.topn import topn_in_group  # noqa: F401  (nested variant covered in tests)
+from .streaming.pipeline import CdcPipeline
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+DEC6 = "decimal(38,6)"
+
+#: events → ticks deterministic mapping (SURVEY.md §1.4): symbol=event_type,
+#: lsn=event_id=index, price=value, synthetic volume/notional, tickRule by
+#: event-id parity. `trunc="hour"` coarsens timestamps so consecutive-run
+#: compaction has real runs to collapse.
+def _ticks(spark: SparkSession, sf_dir: str, trunc: str | None = None) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    ts = F.date_trunc(trunc, F.col("ts")) if trunc else F.col("ts")
+    return e.select(
+        F.col("event_type").alias("symbol"),
+        ts.alias("timestamp"),
+        F.lit(0).cast("long").alias("nanoseconds"),
+        F.col("value").cast(DEC6).alias("price"),
+        (F.col("event_id") % 100 + 1).cast(DEC6).alias("volume"),
+        (F.col("event_id") % 7 + 1).cast(DEC6).alias("notional"),
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(-1).cast("int").alias("tickRule"),
+        F.col("event_id").alias("index"),
+    )
+
+
+def _ticks_sql(trunc: str | None = None) -> str:
+    ts = f"date_trunc('{trunc}', ts)" if trunc else "ts"
+    return f"""
+  select event_type as symbol, {ts} as timestamp, cast(0 as bigint) as nanoseconds,
+         cast(value as decimal(38,6)) as price,
+         cast(event_id % 100 + 1 as decimal(38,6)) as volume,
+         cast(event_id % 7 + 1 as decimal(38,6)) as notional,
+         cast(case when event_id % 2 = 0 then 1 else -1 end as int) as "tickRule",
+         event_id as idx
+  from events"""
+
+
+#: SQL fragment: whitespace tokens of `text`, mirroring functions.text.tokens
+TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _shingles_sql(k: int = 3) -> str:
+    """Mirror of functions.text.word_shingles over `toks`."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' ')))"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Mirror of operators.similarity._dot_dec (exact int64 dot over
+    10⁶-quantized components)."""
+    return (
+        f"cast(list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> cast(floor(cast(x[1] as double) * 1000000.0) as bigint) * "
+        f"cast(floor(cast(x[2] as double) * 1000000.0) as bigint)), 'sum') as bigint)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC / reference-parity queries over `events`
+# ---------------------------------------------------------------------------
+
+
+def q_lww_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/P7: last-writer-wins key compaction (two-phase max_by groupBy)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("event_id").alias("lsn"), "event_type", "value"
+    )
+    w = lww_compact(e, key="user_id", order_cols=("ts", "lsn"))
+    return w.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+SQL_LWW = """
+with w as (
+  select user_id, ts, event_id as lsn, event_type, value,
+         row_number() over (partition by user_id order by ts desc, event_id desc) as rn
+  from events)
+select user_id, ts as last_ts, lsn as last_lsn, event_type as last_event_type,
+       value as last_value
+from w where rn = 1
+"""
+
+
+def q_validity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: uid-dedup + time-range validity gate (ref controllers/base.py:88-99)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.dropDuplicates(["event_id"])
+        .where(
+            F.col("ts").between(
+                F.lit("2024-01-10 00:00:00").cast("timestamp"),
+                F.lit("2024-01-20 00:00:00").cast("timestamp"),
+            )
+        )
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
+SQL_VALIDITY = """
+select event_id, user_id, ts, event_type, value from events
+where ts between timestamp '2024-01-10 00:00:00' and timestamp '2024-01-20 00:00:00'
+"""
+
+
+def q_run_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: consecutive-run compaction (sessionize-by-change) on hour-coarse ticks."""
+    c = compact_runs(_ticks(spark, sf_dir, trunc="hour"))
+    return c.select(
+        "symbol",
+        "timestamp",
+        "nanoseconds",
+        F.col("price").cast("double").alias("price"),
+        (F.col("volume").cast("double") / F.col("notional").cast("double")).alias("vwap"),
+        F.col("volume").cast("double").alias("volume"),
+        F.col("notional").cast("double").alias("notional"),
+        "ticks",
+        "tickRule",
+        "index",
+    )
+
+
+SQL_RUN_COMPACTION = f"""
+with t as ({_ticks_sql('hour')}),
+o as (
+  select *,
+    lag(timestamp) over w as pts, lag(nanoseconds) over w as pns,
+    lag("tickRule") over w as ptr
+  from t
+  window w as (partition by symbol order by timestamp, nanoseconds, idx)),
+b as (
+  select *, case when pts is null or pts <> timestamp or pns <> nanoseconds
+                  or ptr <> "tickRule" then 1 else 0 end as bnd
+  from o),
+r as (
+  select *, sum(bnd) over (partition by symbol order by timestamp, nanoseconds, idx
+                           rows unbounded preceding) as run
+  from b),
+g as (
+  select symbol, run, min(timestamp) as timestamp, min(nanoseconds) as nanoseconds,
+         first(price order by timestamp desc, nanoseconds desc, idx desc) as price,
+         sum(volume) as volume, sum(notional) as notional,
+         cast(count(*) as bigint) as ticks,
+         first("tickRule") as "tickRule", min(idx) as "index"
+  from r group by symbol, run)
+select symbol, timestamp, nanoseconds, cast(price as double) as price,
+       cast(volume as double) / cast(notional as double) as vwap,
+       cast(volume as double) as volume, cast(notional as double) as notional,
+       ticks, "tickRule", "index"
+from g
+"""
+
+
+_CANDLE_DOUBLES = [
+    "open", "high", "low", "close", "volume", "buyVolume", "notional", "buyNotional"
+]
+
+
+def q_candles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A3: tumbling 1-hour OHLCV candles with cross-bucket open carry."""
+    c = aggregate_candles(_ticks(spark, sf_dir), timeframe="1 hour", carry_open=True)
+    return c.select(
+        "symbol",
+        "timestamp",
+        *[F.col(x).cast("double").alias(x) for x in _CANDLE_DOUBLES],
+        "ticks",
+        "buyTicks",
+    )
+
+
+SQL_CANDLES = f"""
+with t as ({_ticks_sql(None)}),
+agg as (
+  select symbol, date_trunc('hour', timestamp) as bucket,
+    first(price order by timestamp, nanoseconds, idx) as open0,
+    max(price) as high0, min(price) as low0,
+    first(price order by timestamp desc, nanoseconds desc, idx desc) as close,
+    sum(volume) as volume,
+    sum(case when "tickRule" = 1 then volume else cast(0 as decimal(38,6)) end) as "buyVolume",
+    sum(notional) as notional,
+    sum(case when "tickRule" = 1 then notional else cast(0 as decimal(38,6)) end) as "buyNotional",
+    cast(count(*) as bigint) as ticks,
+    cast(sum(case when "tickRule" = 1 then 1 else 0 end) as bigint) as "buyTicks"
+  from t group by symbol, date_trunc('hour', timestamp)),
+c as (
+  select *, coalesce(lag(close) over (partition by symbol order by bucket), open0) as open1
+  from agg)
+select symbol, bucket as timestamp,
+  cast(open1 as double) as open,
+  cast(greatest(high0, open1) as double) as high,
+  cast(least(low0, open1) as double) as low,
+  cast(close as double) as close,
+  cast(volume as double) as volume, cast("buyVolume" as double) as "buyVolume",
+  cast(notional as double) as notional, cast("buyNotional" as double) as "buyNotional",
+  ticks, "buyTicks"
+from c
+"""
+
+
+def q_daily_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: hourly→daily consolidation — daily candles rebuilt FROM hourly
+    candles; the oracle aggregates ticks directly to daily, so this also
+    proves re-aggregation equivalence (partial+final, A6)."""
+    h = aggregate_candles(_ticks(spark, sf_dir), timeframe="1 hour", carry_open=False)
+    d = (
+        h.groupBy("symbol", F.to_date("timestamp").alias("day"))
+        .agg(
+            F.min_by("open", "timestamp").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "timestamp").alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("buyVolume").alias("buyVolume"),
+            F.sum("notional").alias("notional"),
+            F.sum("buyNotional").alias("buyNotional"),
+            F.sum("ticks").cast("long").alias("ticks"),
+            F.sum("buyTicks").cast("long").alias("buyTicks"),
+        )
+    )
+    return d.select(
+        "symbol", "day",
+        *[F.col(x).cast("double").alias(x) for x in _CANDLE_DOUBLES],
+        "ticks", "buyTicks",
+    )
+
+
+SQL_DAILY = f"""
+with t as ({_ticks_sql(None)})
+select symbol, cast(timestamp as date) as day,
+  cast(first(price order by timestamp, nanoseconds, idx) as double) as open,
+  cast(max(price) as double) as high, cast(min(price) as double) as low,
+  cast(first(price order by timestamp desc, nanoseconds desc, idx desc) as double) as close,
+  cast(sum(volume) as double) as volume,
+  cast(sum(case when "tickRule" = 1 then volume else cast(0 as decimal(38,6)) end) as double) as "buyVolume",
+  cast(sum(notional) as double) as notional,
+  cast(sum(case when "tickRule" = 1 then notional else cast(0 as decimal(38,6)) end) as double) as "buyNotional",
+  cast(count(*) as bigint) as ticks,
+  cast(sum(case when "tickRule" = 1 then 1 else 0 end) as bigint) as "buyTicks"
+from t group by symbol, cast(timestamp as date)
+"""
+
+
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: top-3 rows per group by measure, deterministic tie-break."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", "ts", "value")
+    )
+
+
+SQL_TOPN = """
+with r as (
+  select event_type, event_id, ts, value,
+         row_number() over (partition by event_type order by value desc, event_id) as rank
+  from events)
+select event_type, rank, event_id, ts, value from r where rank <= 3
+"""
+
+
+def q_ledger_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/S6: per-partition (day) lineage metrics — counts + watermarks."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_lsn"),
+            F.max("event_id").alias("max_lsn"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_LEDGER = """
+select cast(ts as date) as day, cast(count(*) as bigint) as n_events,
+       min(event_id) as min_lsn, max(event_id) as max_lsn,
+       cast(sum(cast(value as decimal(38,6))) as double) as sum_value,
+       cast(count(distinct user_id) as bigint) as n_users
+from events group by cast(ts as date)
+"""
+
+
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: per-key sequence monotonicity check (lag + violation counts)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.withColumn("prev_lsn", F.lag("event_id").over(w))
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("prev_lsn").isNotNull() & (F.col("event_id") < F.col("prev_lsn")), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_out_of_order"),
+        F.max(F.col("event_id") - F.coalesce(F.col("prev_lsn"), F.col("event_id")))
+        .alias("max_gap"),
+    )
+
+
+SQL_GAPS = """
+with o as (
+  select user_id, event_id,
+         lag(event_id) over (partition by user_id order by ts, event_id) as prev_lsn
+  from events)
+select user_id, cast(count(*) as bigint) as n_events,
+       cast(sum(case when prev_lsn is not null and event_id < prev_lsn then 1 else 0 end) as bigint) as n_out_of_order,
+       max(event_id - coalesce(prev_lsn, event_id)) as max_gap
+from o group by user_id
+"""
+
+
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: argmin/argmax rows per group via min_by/max_by."""
+    e = _t(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return e.groupBy("event_type").agg(
+        F.min_by("value", key).alias("first_val"),
+        F.max_by("value", key).alias("last_val"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
+
+
+SQL_MINMAX = """
+select event_type,
+       first(value order by ts, event_id) as first_val,
+       first(value order by ts desc, event_id desc) as last_val,
+       min(value) as min_val, max(value) as max_val
+from events group by event_type
+"""
+
+
+_OP_EXPR = (
+    "case when event_type = 'signup' then 'I' "
+    "when event_type = 'error' then 'D' else 'U' end"
+)
+
+
+def _changes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CDC change-event envelope (CHANGES_SCHEMA shape)."""
+    e = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    return e.select(
+        F.col("event_id").alias("lsn"),
+        (F.col("user_id") % 8).cast("int").alias("partition"),
+        op.alias("op"),
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").cast("timestamp").alias("warc_ts"),  # parquet ntz → ltz
+        F.when(
+            op != "D",
+            F.encode(F.concat(F.lit("<p>"), F.col("props"), F.lit("</p>")), "utf-8"),
+        ).alias("html"),
+        F.col("event_type").alias("lang"),
+    )
+
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_star core semantics, pure-relational form: LWW winner per key,
+    delete-wins tombstone filter."""
+    ch = _changes_from_events(spark, sf_dir).select("lsn", "op", "url", "warc_ts", "lang")
+    w = lww_compact(ch, key="url", order_cols=("warc_ts", "lsn"))
+    return w.where(F.col("op") != "D").select(
+        "url",
+        F.col("warc_ts").alias("final_ts"),
+        F.col("lsn").alias("final_lsn"),
+        F.col("op").alias("final_op"),
+        F.col("lang").alias("final_lang"),
+    )
+
+
+SQL_CDC_FINAL = f"""
+with ch as (
+  select event_id as lsn, {_OP_EXPR} as op,
+         concat('user:', cast(user_id as varchar)) as url,
+         ts as warc_ts, event_type as lang
+  from events),
+w as (
+  select *, row_number() over (partition by url order by warc_ts desc, lsn desc) as rn
+  from ch)
+select url, warc_ts as final_ts, lsn as final_lsn, op as final_op, lang as final_lang
+from w where rn = 1 and op <> 'D'
+"""
+
+
+def q_cdc_replay_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: the full engine — change envelope → vectorized pandas-UDF
+    extraction → LWW MERGE into the bucketed snapshot lake table → logical
+    read — must equal a 10-line SQL oracle. Exercises sources, extraction,
+    compaction, schema conform, bucket-pruned rewrite, manifest commit."""
+    tmp = os.path.join(tempfile.gettempdir(), f"cdc_q_{uuid.uuid4().hex[:8]}")
+    pipe = CdcPipeline(spark, tmp, n_buckets=8)
+    pipe.apply_batch(_changes_from_events(spark, sf_dir), batch_id=0)
+    return pipe.table.read().select("url", "warc_ts", "text", "lang")
+
+
+SQL_CDC_REPLAY = f"""
+with ch as (
+  select event_id as lsn, {_OP_EXPR} as op,
+         concat('user:', cast(user_id as varchar)) as url,
+         ts as warc_ts, props, event_type as lang
+  from events),
+w as (
+  select *, row_number() over (partition by url order by warc_ts desc, lsn desc) as rn
+  from ch)
+select url, warc_ts,
+       trim(regexp_replace(regexp_replace(concat('<p>', props, '</p>'),
+            '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) as text,
+       lang
+from w where rn = 1 and op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational operator queries (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6-style conditional/compound aggregation (TPC-H Q1 shape), exact
+    decimal arithmetic sized to stay inside Spark's 38-digit cap."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(9,6)")
+    tax1 = (F.lit(1.0) + F.col("l_tax")).cast("decimal(9,6)")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * disc1).cast("double").alias("sum_disc_price"),
+        F.sum(price * (disc1 * tax1)).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g
+
+
+#: DuckDB's direct decimal→double cast divides the raw unscaled int by
+#: 10^scale, which mis-rounds once the unscaled value exceeds 2^53; the
+#: varchar round-trip is correctly rounded (as Spark's BigDecimal path is).
+SQL_PRICING = """
+select l_returnflag, l_linestatus,
+  cast(cast(sum(cast(l_quantity as decimal(18,6))) as varchar) as double) as sum_qty,
+  cast(cast(sum(cast(l_extendedprice as decimal(18,6))) as varchar) as double) as sum_base_price,
+  cast(cast(sum(cast(l_extendedprice as decimal(18,6)) * cast(1.0 - l_discount as decimal(9,6))) as varchar) as double) as sum_disc_price,
+  cast(cast(sum(cast(l_extendedprice as decimal(18,6)) * (cast(1.0 - l_discount as decimal(9,6)) * cast(1.0 + l_tax as decimal(9,6)))) as varchar) as double) as sum_charge,
+  cast(cast(sum(cast(l_quantity as decimal(18,6))) as varchar) as double) / count(*) as avg_qty,
+  cast(cast(sum(cast(l_extendedprice as decimal(18,6))) as varchar) as double) / count(*) as avg_price,
+  cast(count(*) as bigint) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast dimension-enrichment join chain + rollup."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+SQL_ENRICH = """
+select r_name, n_name, cast(count(*) as bigint) as n_customers,
+       cast(sum(cast(c_acctbal as decimal(18,6))) as double) as total_acctbal
+from customer
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name, n_name
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: gap detection (ledger-vs-expected pattern, J1)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI = """
+select c_custkey, c_name from customer
+where not exists (select 1 from orders where o_custkey = c_custkey)
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: replay-validation membership pattern."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+SQL_SEMI = """
+select p_brand, cast(count(*) as bigint) as n_parts from part
+where exists (select 1 from lineitem where l_partkey = p_partkey)
+group by p_brand
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: ordered running aggregate per key (exact decimal running sum)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+SQL_RUNNING = """
+select o_orderkey, o_custkey, o_orderdate,
+       cast(sum(cast(o_totalprice as decimal(18,6)))
+            over (partition by o_custkey order by o_orderdate, o_orderkey
+                  rows unbounded preceding) as double) as running_spend
+from orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis queries over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    m = d.select("doc_id", *quality_metrics("text"))
+    return m.withColumn(
+        "quality",
+        quality_score(F.col("n_tokens"), F.col("stopword_ratio"), F.col("punct_ratio")),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+SQL_TEXT_QUALITY = f"""
+with t as (select doc_id, text, {TOKS_SQL} as toks from documents),
+m as (
+  select doc_id,
+    cast(len(toks) as bigint) as n_tokens,
+    cast(list_aggregate(list_transform(toks, tk -> cast(length(tk) as bigint)), 'sum') as bigint) as sum_len,
+    cast(len(list_filter(toks, tk -> tk in ({_SW}))) as bigint) as n_stop,
+    cast(length(text) as bigint) as n_char,
+    cast(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) as bigint) as n_alnum_sp,
+    cast(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) as bigint) as n_upper
+  from t),
+q as (
+  select doc_id, n_tokens,
+    sum_len / n_tokens as mean_token_len,
+    n_stop / n_tokens as stopword_ratio,
+    (n_char - n_alnum_sp) / n_char as punct_ratio,
+    n_upper / n_char as upper_ratio
+  from m)
+select *, (case when n_tokens >= 20 then cast(1.0 as double)
+                else n_tokens / cast(20.0 as double) end) * 0.4
+          + least(stopword_ratio * 4, cast(1.0 as double)) * 0.4
+          + greatest(cast(1.0 as double) - punct_ratio * 4, cast(0.0 as double)) * 0.2
+       as quality
+from q
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
+
+
+def _lang_sql() -> str:
+    langs = list(LANG_MARKERS)
+    hits = {
+        lang: f"len(list_filter(toks, tk -> tk in ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    expr = f"'{langs[-1]}'"
+    for i in range(len(langs) - 2, -1, -1):
+        lang = langs[i]
+        conds = " and ".join(f"h_{lang} >= h_{o}" for o in langs[i + 1 :])
+        expr = f"case when {conds} then '{lang}' else {expr} end"
+    hit_cols = ", ".join(f"{e} as h_{lang}" for lang, e in hits.items())
+    return f"""
+with t as (select doc_id, lang, {TOKS_SQL} as toks from documents),
+h as (select doc_id, lang, {hit_cols} from t)
+select doc_id, lang, {expr} as pred_lang from h
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens("text").cast("long").alias("n_ws_tokens"),
+        regex_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+select doc_id, cast(len({TOKS_SQL}) as bigint) as n_ws_tokens,
+       cast(len(regexp_extract_all(text, '{TOKEN_RE}', 0)) as bigint) as n_bpe_tokens
+from documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fingerprint ≡ 1-permutation MinHash (seed 0) — reuse the explode-
+    # based signature path (codegen'd hashes) rather than the per-row
+    # array-lambda Column builder.
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(d, k=1, shingle_k=3)
+    return sig.select("doc_id", F.col("mh_0").alias("fingerprint"))
+
+
+SQL_FINGERPRINT = f"""
+with t as (select doc_id, {TOKS_SQL} as toks from documents),
+s as (select doc_id, {_shingles_sql(3)} as grams from t)
+select doc_id,
+       list_min(list_transform(grams, g -> {portable_hash64_sql('g', 0)})) as fingerprint
+from s
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+select md5(text) as digest, min(doc_id) as canonical_id,
+       cast(count(*) as bigint) as n_copies
+from documents group by md5(text)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar doc pairs by exact 3-gram Jaccard."""
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), shingle_k=3)
+    return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20)
+
+
+SQL_JACCARD = f"""
+with t as (select doc_id, {TOKS_SQL} as toks from documents),
+s as (select doc_id, {_shingles_sql(3)} as grams from t),
+e as (select doc_id, unnest(grams) as sh from s),
+sz as (select doc_id, cast(count(*) as bigint) as n from e group by doc_id),
+i as (
+  select a.doc_id as id_a, b.doc_id as id_b, cast(count(*) as bigint) as n_inter
+  from e a join e b on a.sh = b.sh and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id)
+select id_a, id_b, n_inter / (sa.n + sb.n - n_inter) as jaccard
+from i join sz sa on sa.doc_id = id_a join sz sb on sb.doc_id = id_b
+order by jaccard desc, id_a, id_b limit 20
+"""
+
+
+MINHASH_K = 8
+MINHASH_BANDS = 4
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH banding (b=4, r=2) candidate pairs."""
+    sig = minhash_signature(
+        _t(spark, sf_dir, "documents"), k=MINHASH_K, shingle_k=3
+    )
+    return lsh_candidate_pairs(sig, k=MINHASH_K, bands=MINHASH_BANDS)
+
+
+def _minhash_sql() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(grams, g -> {portable_hash64_sql('g', i)})) as mh_{i}"
+        for i in range(MINHASH_K)
+    )
+    r = MINHASH_K // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        cat = " || '|' || ".join(
+            f"cast(mh_{b * r + j} as varchar)" for j in range(r)
+        )
+        band_selects.append(
+            f"select doc_id, {b} as band, {portable_hash64_sql(f'({cat})')} as bh from sig"
+        )
+    bands = " union all ".join(band_selects)
+    return f"""
+with t as (select doc_id, {TOKS_SQL} as toks from documents),
+s as (select doc_id, {_shingles_sql(3)} as grams from t),
+sig as (select doc_id, {mh} from s),
+bands as ({bands})
+select distinct a.doc_id as id_a, b.doc_id as id_b
+from bands a join bands b on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
+"""
+
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+def _simhash_sql() -> str:
+    terms = " + ".join(
+        f"(case when 2 * len(list_filter(hs, v -> (v >> {i}) & 1 = 1)) > n "
+        f"then cast({1 << i} as bigint) else cast(0 as bigint) end)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+with t as (select doc_id, list_distinct({TOKS_SQL}) as toks from documents),
+h as (select doc_id, list_transform(toks, tk -> {portable_hash64_sql('tk', 99)}) as hs,
+             len(toks) as n
+      from t)
+select doc_id, cast({terms} as bigint) as simhash from h
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+TOPK = 5
+N_QUERIES = 20  # vec_id < 20 are the query set
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, emb.where(F.col("vec_id") < N_QUERIES), k=TOPK
+    )
+
+
+def _cosine_sql(with_knn: bool = False) -> str:
+    dot = _dot_sql("qe", "ce")
+    qn = _dot_sql("qe", "qe")
+    cn = _dot_sql("ce", "ce")
+    base = f"""
+with q as (select vec_id as qid, embedding as qe from embeddings where vec_id < {N_QUERIES}),
+c as (select vec_id as nid, embedding as ce from embeddings),
+p as (
+  select qid, nid,
+         cast({dot} as double) as dot,
+         cast({qn} as double) as qn2, cast({cn} as double) as cn2
+  from c join q on qid <> nid),
+s as (select qid, nid, dot / sqrt(qn2 * cn2) as sim from p),
+r as (select qid, nid, sim,
+             cast(row_number() over (partition by qid order by sim desc, nid) as int) as rank
+      from s)"""
+    if not with_knn:
+        return base + f"\nselect qid, rank, nid, sim from r where rank <= {TOPK}\n"
+    return base + f""",
+v as (select qid, label as nlabel, cast(count(*) as bigint) as nv
+      from r join embeddings on vec_id = nid where rank <= {TOPK}
+      group by qid, label),
+rk as (select qid, nlabel,
+              row_number() over (partition by qid order by nv desc, nlabel) as rr
+       from v)
+select qid, cast(nlabel as int) as pred_label from rk where rr = 1
+"""
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = cosine_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), k=TOPK)
+    return knn_label_vote(topk, emb).select(
+        "qid", F.col("pred_label").cast("int").alias("pred_label")
+    )
+
+
+ANN_PLANES = 8
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_buckets(emb, dim=EMB_DIM, n_planes=ANN_PLANES)
+
+
+def _ann_sql() -> str:
+    planes = hyperplanes(EMB_DIM, ANN_PLANES)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        dot = _dot_sql("embedding", lit)
+        terms.append(
+            f"(case when {dot} > 0 then cast({1 << p} as bigint) else cast(0 as bigint) end)"
+        )
+    total = " + ".join(terms)
+    return f"select vec_id, cast({total} as bigint) as bucket from embeddings\n"
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing over `documents` (binary column + mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_media_from_text(_t(spark, sf_dir, "documents"))
+    return decoded_meta(d, binary_col="media", id_cols=("doc_id",))
+
+
+SQL_MULTIMODAL = """
+select doc_id,
+       cast(octet_length(encode(text)) as bigint) as n_bytes,
+       md5(text) as digest,
+       cast(cast(concat('0x', substr(md5(text), 1, 4)) as integer) % 4096 as integer) as width,
+       cast(cast(concat('0x', substr(md5(text), 5, 4)) as integer) % 4096 as integer) as height
+from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequential bar kernels (applyInPandas; rows-only driver check — the
+# split-vs-whole cache-equivalence proofs live in tests/test_aggregations.py)
+# ---------------------------------------------------------------------------
+
+
+def q_thresh_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return thresh_bars(_ticks(spark, sf_dir), "volume", 5000.0, top_n=2)
+
+
+def q_renko_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return renko_bars(_ticks(spark, sf_dir), box_size=25.0, top_n=2)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lww_compact": q_lww_compact,
+    "validity_gate": q_validity_gate,
+    "run_compaction": q_run_compaction,
+    "candles_hourly": q_candles_hourly,
+    "daily_consolidation": q_daily_consolidation,
+    "topn_per_group": q_topn_per_group,
+    "ledger_rollup": q_ledger_rollup,
+    "sequence_gaps": q_sequence_gaps,
+    "minmax_by": q_minmax_by,
+    "cdc_final_state": q_cdc_final_state,
+    "cdc_replay_engine": q_cdc_replay_engine,
+    "pricing_summary": q_pricing_summary,
+    "enrich_join": q_enrich_join,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "running_total": q_running_total,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "knn_label_vote": q_knn_label_vote,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "multimodal_meta": q_multimodal_meta,
+    "thresh_bars": q_thresh_bars,
+    "renko_bars": q_renko_bars,
+}
+
+ORACLES: dict[str, str] = {
+    "lww_compact": SQL_LWW,
+    "validity_gate": SQL_VALIDITY,
+    "run_compaction": SQL_RUN_COMPACTION,
+    "candles_hourly": SQL_CANDLES,
+    "daily_consolidation": SQL_DAILY,
+    "topn_per_group": SQL_TOPN,
+    "ledger_rollup": SQL_LEDGER,
+    "sequence_gaps": SQL_GAPS,
+    "minmax_by": SQL_MINMAX,
+    "cdc_final_state": SQL_CDC_FINAL,
+    "cdc_replay_engine": SQL_CDC_REPLAY,
+    "pricing_summary": SQL_PRICING,
+    "enrich_join": SQL_ENRICH,
+    "anti_join": SQL_ANTI,
+    "semi_join": SQL_SEMI,
+    "running_total": SQL_RUNNING,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": _lang_sql(),
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "ngram_jaccard": SQL_JACCARD,
+    "minhash_lsh": _minhash_sql(),
+    "simhash": _simhash_sql(),
+    "cosine_topk": _cosine_sql(),
+    "knn_label_vote": _cosine_sql(with_knn=True),
+    "ann_lsh_buckets": _ann_sql(),
+    "multimodal_meta": SQL_MULTIMODAL,
+    # thresh_bars / renko_bars: stateful sequential kernels — not
+    # SQL-expressible; driver records rows-only checks. Their semantics are
+    # pinned by split-vs-whole equivalence tests (tests/test_aggregations.py).
+}

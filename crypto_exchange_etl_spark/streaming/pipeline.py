@@ -63,12 +63,15 @@ class CdcPipeline:
 
     def apply_batch(self, changes: DataFrame, batch_id: int) -> dict:
         """The foreachBatch body. Extraction (vectorized pandas UDF) runs
-        batch-side so the lake always stores derived ``text``; the merge
-        does LWW + schema evolution + bucket-pruned rewrite + ledger in one
-        atomic commit."""
+        batch-side so the lake always stores derived ``text``; it is
+        applied by the merge to the LWW *winners only* — a superseded
+        update never pays the UDF (pure per-row transform ⇒ identical
+        output either side of compaction). The merge does LWW + schema
+        evolution + bucket-pruned rewrite + ledger in one atomic commit."""
         table = self.ensure_table()
-        enriched = with_extracted_text(changes)
-        return table.merge_apply(enriched, batch_id=batch_id)
+        return table.merge_apply(
+            changes, batch_id=batch_id, enrich=with_extracted_text
+        )
 
     # ---------------------------------------------------------- streaming
 
