@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..model import LEDGER_SCHEMA, PAGES_INTERNAL_FIELDS
-from ..operators.compaction import ORDER_COLS, lww_compact
+from ..operators.compaction import ORDER_COLS, lww_compact, lww_winner_keys
 from .schema_evolution import conform, resolve_schema
 
 _INTERNAL_COLS = [f.name for f in PAGES_INTERNAL_FIELDS]  # lsn, is_deleted
@@ -258,14 +258,12 @@ class LakeTable:
 
         # -- JOB 2 (narrow): batch-local LWW over the KEY COLUMNS ONLY.
         # Page payloads (html/text — the wide bytes) never enter this
-        # shuffle: the winner of each key is decided on (key, warc_ts,
-        # lsn, op) alone, ~40 B/row. With Zipf-skewed update rates this is
-        # 10-100× less shuffle than compacting full rows, and the map-side
-        # partial max_by already collapses hot keys per input split.
+        # shuffle: the winner of each key is decided on a single packed
+        # decimal rank (see lww_winner_keys) — a pure two-phase
+        # HashAggregate, ~24 B/key shuffled, hot keys collapsed map-side.
         # Upsert metrics come from the same narrow world: winners joined
         # against the column-pruned live-key scan of the affected buckets.
-        narrow = changes.select(key, *ORDER_COLS, "op")
-        wk = lww_compact(narrow, key=key).cache()
+        wk = lww_winner_keys(changes, key=key).cache()
         cur_live = (
             self.read_physical(buckets=affected)
             .where(~F.col("is_deleted"))

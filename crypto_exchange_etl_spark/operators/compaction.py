@@ -51,6 +51,61 @@ def lww_compact(
     return winner.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
 
 
+#: Digits reserved for (lsn·10 + op_code) in the packed rank. lsn < 10^18.
+_PACK = 10**19
+
+_OP_CODE = {"I": 1, "U": 2, "D": 3}
+
+
+def lww_winner_keys(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """Narrow LWW: (key, lsn, op, is_deleted) of each key's winner.
+
+    The rank tuple (event-time µs, lsn, op) is packed into ONE
+    ``decimal(38,0)`` — ``µs·10^19 + lsn·10 + op_code`` — because
+    ``max`` over a 128-bit decimal has a fixed-size Tungsten buffer and
+    compiles to a two-phase **HashAggregate**, while ``max_by(...,
+    struct(...))`` falls back to SortAggregate (struct buffers are not
+    hash-aggregable) and sorts every input partition. Packed ordering ≡
+    (ts, lsn) lexicographic ordering since lsn is unique; requires
+    non-negative event times and lsn < 10^18 (10^10-event scale ✓).
+
+    This is the merge path's hot aggregation at scale: a pure hash agg
+    with map-side partial reduction and ~24 B/key of shuffle.
+    """
+    pack_lit = F.lit(str(_PACK)).cast("decimal(20,0)")  # 10^19 > max long
+    micros = F.unix_micros(F.col(ts_col)).cast("decimal(38,0)")
+    op_code = (
+        F.when(F.col(op_col) == "I", 1)
+        .when(F.col(op_col) == "U", 2)
+        .otherwise(3)
+        .cast("decimal(38,0)")
+    )
+    packed = (
+        micros * pack_lit
+        + F.col(lsn_col).cast("decimal(38,0)") * 10
+        + op_code
+    )
+    agg = df.groupBy(key).agg(F.max(packed).alias("_p"))
+    rem = F.pmod(F.col("_p"), pack_lit.cast("decimal(38,0)"))
+    op_num = F.pmod(rem, F.lit(10).cast("decimal(38,0)")).cast("int")
+    lsn = ((rem - op_num) / 10).cast("long")
+    op = (
+        F.when(op_num == 1, "I").when(op_num == 2, "U").otherwise("D")
+    )
+    return agg.select(
+        F.col(key),
+        lsn.alias(lsn_col),
+        op.alias(op_col),
+        (op_num == _OP_CODE["D"]).alias("is_deleted"),
+    )
+
+
 def lww_compact_window(
     df: DataFrame, key: str = "url", order_cols: tuple[str, ...] = ORDER_COLS
 ) -> DataFrame:

@@ -1,0 +1,128 @@
+"""Physical-plan shape assertions — the 100 TB design invariants.
+
+Correctness tests prove WHAT the operators compute; these prove HOW
+Catalyst executes them: broadcast where a broadcast is intended, filter
+pushdown reaching the parquet scan, map-side partial aggregation in the
+LWW compaction, Arrow-vectorized (not row-at-a-time) Python, and the
+merge writing without a second payload shuffle. A regression here is a
+performance bug invisible to result-comparison tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_exchange_etl_spark.functions.extract import with_extracted_text
+from crypto_exchange_etl_spark.operators.compaction import lww_compact
+from crypto_exchange_etl_spark.sources.binlog import generate_changes
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def changes(spark):
+    return generate_changes(spark, n_events=10_000, n_urls=500, seed=1)
+
+
+def test_lww_compact_is_two_phase_aggregate(changes):
+    # generic payload LWW: max_by(struct) → SortAggregate (struct buffers
+    # are not hash-aggregable) but still partial+final around ONE exchange
+    plan = plan_of(lww_compact(changes))
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_lww_winner_keys_is_pure_hash_aggregate(changes):
+    # the merge path's narrow LWW: packed-decimal rank → two-phase
+    # HashAggregate, NO sorts anywhere in the plan
+    from crypto_exchange_etl_spark.operators.compaction import lww_winner_keys
+
+    plan = plan_of(lww_winner_keys(changes))
+    assert plan.count("HashAggregate") >= 2
+    assert "SortAggregate" not in plan
+    assert "Sort " not in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_lww_winner_keys_equals_generic_lww(changes):
+    """The packed-decimal narrow LWW must pick exactly the winners the
+    generic max_by(struct) LWW picks (late events included)."""
+    from crypto_exchange_etl_spark.operators.compaction import lww_winner_keys
+
+    generic = {
+        (r.url, r.lsn, r.op)
+        for r in lww_compact(changes.select("url", "warc_ts", "lsn", "op")).collect()
+    }
+    packed = {(r.url, r.lsn, r.op) for r in lww_winner_keys(changes).collect()}
+    assert packed == generic
+
+
+def test_extraction_is_arrow_vectorized(changes):
+    plan = plan_of(with_extracted_text(lww_compact(changes)))
+    assert "ArrowEvalPython" in plan  # vectorized pandas UDF
+    assert "BatchEvalPython" not in plan  # row-at-a-time python is banned
+
+
+def test_enrich_join_broadcasts_dimensions(spark, sf_dir):
+    from crypto_exchange_etl_spark.queries import q_enrich_join
+
+    plan = plan_of(q_enrich_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).where(
+        F.col("event_id") > 100
+    ).select("event_id", "user_id")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,100)]" in plan
+    # column pruning: html-free narrow read schema
+    assert "ReadSchema" in plan and "event_type" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_winner_fetch_is_broadcast_semi_join(spark, changes, tmpdir_path):
+    from crypto_exchange_etl_spark.lake.table import LakeTable
+    from crypto_exchange_etl_spark.streaming.pipeline import _PAGES_TABLE_SCHEMA
+
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), _PAGES_TABLE_SCHEMA)
+    narrow = changes.select("url", "warc_ts", "lsn")
+    wk = lww_compact(narrow, key="url")
+    fetched = changes.join(F.broadcast(wk.select("lsn")), "lsn", "left_semi")
+    plan = plan_of(fetched)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_merge_write_has_no_extra_payload_shuffle(spark, changes, tmpdir_path):
+    """The merged stream must contain exactly 2 exchanges: the narrow LWW
+    key shuffle is separate; payload rows see ONE bucket exchange (window)
+    and the broadcast fetch (not an exchange)."""
+    from crypto_exchange_etl_spark.lake.table import LakeTable
+    from crypto_exchange_etl_spark.streaming.pipeline import _PAGES_TABLE_SCHEMA
+    from pyspark.sql import Window
+
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t2"), _PAGES_TABLE_SCHEMA)
+    wk = lww_compact(changes.select("url", "warc_ts", "lsn"), key="url")
+    winners = changes.join(F.broadcast(wk.select("lsn")), "lsn", "left_semi")
+    b = F.pmod(F.xxhash64("url"), F.lit(8)).cast("int")
+    wspec = Window.partitionBy("bucket").orderBy(
+        F.col("url"), F.col("warc_ts").desc(), F.col("lsn").desc()
+    )
+    merged = (
+        winners.withColumn("bucket", b)
+        .withColumn("_pk", F.lag("url").over(wspec))
+        .where(F.col("_pk").isNull() | (F.col("_pk") != F.col("url")))
+    )
+    plan = plan_of(merged)
+    # exactly TWO hash-partitioned exchanges touch this plan: the narrow
+    # lsn-set aggregation (24 B/key) and the bucket window. Payload rows
+    # cross only the bucket exchange; the fetch is a broadcast probe.
+    assert plan.count("hashpartitioning(bucket") == 1, plan
+    assert plan.count("hashpartitioning(") <= 2, plan

@@ -1,0 +1,180 @@
+"""Unit tests for the training-data-pipeline operators.
+
+Semantics-level checks on small hand-built inputs (the cross-engine
+value parity is covered separately by tests/test_queries_oracle.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_exchange_etl_spark.functions.hashing import portable_hash64
+from crypto_exchange_etl_spark.functions.multimodal import (
+    decode_image,
+    decoded_meta,
+    fake_decode_meta,
+    with_media_from_text,
+)
+from crypto_exchange_etl_spark.functions.text import lang_id, quality_metrics
+from crypto_exchange_etl_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from crypto_exchange_etl_spark.operators.similarity import (
+    ann_lsh_buckets,
+    ann_topk_bucketed,
+    cosine_topk,
+    knn_label_vote,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 0
+    (2, "the quick brown fox jumps over the lazy cat again and again"),  # near-dup
+    (3, "completely different content about spark query engines at scale"),
+    (4, "der hund und die katze sind gute freunde und das ist schoen"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_portable_hash64_is_md5_prefix(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    got = df.select(portable_hash64("s").alias("h")).collect()[0].h
+    assert got == int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+    seeded = df.select(portable_hash64("s", 7).alias("h")).collect()[0].h
+    assert seeded == int(hashlib.md5(b"7:abc").hexdigest()[:15], 16)
+    assert got != seeded
+
+
+def test_exact_dedup_collapses_identical_text(docs):
+    groups = {r.canonical_id: r.n_copies for r in exact_dedup_groups(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 1 identical, canonical = min id
+    kept = exact_dedup(docs)
+    assert kept.count() == 4
+    assert {r.doc_id for r in kept.collect()} == {0, 2, 3, 4}
+
+
+def test_minhash_lsh_finds_duplicates_not_strangers(docs):
+    sig = minhash_signature(docs, k=8, shingle_k=3)
+    rows = {r.doc_id: [r[f"mh_{i}"] for i in range(8)] for r in sig.collect()}
+    assert rows[0] == rows[1]  # identical docs → identical signatures
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, k=8, bands=4).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_hamming_neighborhood(spark, docs):
+    sig = simhash(docs, bits=16)
+    vals = {r.doc_id: r.simhash for r in sig.collect()}
+    assert vals[0] == vals[1]
+    near = simhash_near_pairs(sig, bits=16, max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in near.collect()}
+    assert got[(0, 1)] == 0
+    # one-token edit stays within a small Hamming ball
+    assert (0, 2) in got and got[(0, 2)] <= 3
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc a: tokens t1..t5 → shingles {123,234,345}; doc b shares {234,345}
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5"), (2, "t2 t3 t4 t5 t6")], "doc_id long, text string"
+    )
+    rows = ngram_jaccard_pairs(df, shingle_k=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.jaccard == pytest.approx(2 / 4)  # |∩|=2, |∪|=4
+
+
+def test_lsh_candidates_restrict_jaccard_join(docs):
+    sig = minhash_signature(docs, k=8, shingle_k=3)
+    cand = lsh_candidate_pairs(sig, k=8, bands=4)
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, candidates=cand)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert got <= {(r.id_a, r.id_b) for r in cand.collect()}
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0], 0),
+    (2, [0.0, 1.0, 0.0], 1),
+    (3, [0.1, 0.9, 0.0], 1),
+    (4, [-1.0, 0.0, 0.0], 2),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_ranks_by_angle(vecs):
+    topk = cosine_topk(vecs, vecs.where(F.col("vec_id") == 0), k=4)
+    ordered = [r.nid for r in topk.orderBy("rank").collect()]
+    # cosines to e_x: v1≈0.994, v3≈0.110, v2=0, v4=-1
+    assert ordered == [1, 3, 2, 4]
+    sims = {r.nid: r.sim for r in topk.collect()}
+    assert sims[1] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-6)
+    assert sims[4] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_ann_bucketed_groups_similar_vectors(vecs):
+    buckets = {r.vec_id: r.bucket for r in ann_lsh_buckets(vecs, dim=3, n_planes=6).collect()}
+    assert buckets[0] == buckets[1]  # near-identical directions share buckets
+    assert buckets[2] == buckets[3]
+    assert buckets[0] != buckets[4]  # antipodal vectors differ
+    approx = ann_topk_bucketed(vecs, vecs.where(F.col("vec_id") == 0), dim=3, k=3, n_planes=2)
+    # bucketed candidates are a subset of the brute-force ranking
+    exact = cosine_topk(vecs, vecs.where(F.col("vec_id") == 0), k=4)
+    assert {r.nid for r in approx.collect()} <= {r.nid for r in exact.collect()}
+
+
+def test_knn_label_vote_majority(vecs):
+    topk = cosine_topk(vecs, vecs.where(F.col("vec_id") <= 1), k=2)
+    pred = {r.qid: r.pred_label for r in knn_label_vote(topk, vecs).collect()}
+    # q0's 2-NN are {1 (label 0), 2 (label 1)} → tie → smaller label wins
+    assert pred[0] == 0
+    assert pred[1] == 0
+
+
+def test_multimodal_meta_matches_hashlib(docs):
+    media = with_media_from_text(docs)
+    meta = {r.doc_id: r for r in decoded_meta(media, id_cols=("doc_id",)).collect()}
+    for doc_id, text in DOCS:
+        raw = text.encode("utf-8")
+        n, digest, w, h = fake_decode_meta(raw)
+        row = meta[doc_id]
+        assert (row.n_bytes, row.digest, row.width, row.height) == (n, digest, w, h)
+        assert digest == hashlib.md5(raw).hexdigest()
+
+
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_lang_id_marker_words(docs):
+    pred = {r.doc_id: r.pred for r in docs.select("doc_id", lang_id("text").alias("pred")).collect()}
+    assert pred[0] == "en"
+    assert pred[4] == "de"
+
+
+def test_quality_metrics_ranges(docs):
+    m = docs.select("doc_id", *quality_metrics("text")).collect()
+    for r in m:
+        assert r.n_tokens > 0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
