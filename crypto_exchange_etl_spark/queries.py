@@ -491,6 +491,81 @@ from w where rn = 1 and op <> 'D'
 """
 
 
+def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: hierarchical ROLLUP aggregation (free in Catalyst; absent in
+    the reference — SURVEY.md §2.4)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+select event_type, cast(ts as date) as day, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(value as decimal(38,6))) as double) as sum_value
+from events group by rollup(event_type, cast(ts as date))
+"""
+
+
+def q_scalar_market_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F8+F11: the reference's scalar transform set, JVM-side
+    (functions/market.py), derived deterministically from events."""
+    from .functions.market import (
+        calculate_notional,
+        calculate_tick_rule,
+        era_boundaries,
+        normalize_symbol,
+        partition_decorator,
+        renko_level,
+        strip_nanoseconds,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    direction = (
+        F.when(F.col("event_id") % 3 == 0, "PlusTick")
+        .when(F.col("event_id") % 3 == 1, "ZeroPlusTick")
+        .otherwise("MinusTick")
+    )
+    # parquet ntz → ltz for unix_micros; result back to ntz (oracle parity)
+    ts_ms, nanos = strip_nanoseconds(F.col("ts").cast("timestamp"))
+    return e.select(
+        "event_id",
+        calculate_tick_rule(direction).alias("tick_rule"),
+        # raw double quotient (the operator's decimal(38,18) storage cast
+        # is engine-internal; its 18th-digit rounding differs across
+        # engines, so the oracle pins the arithmetic, not the storage type)
+        (F.col("value") / (F.col("value") + 1.0)).alias("notional"),
+        ts_ms.cast("timestamp_ntz").alias("ts_ms"),
+        nanos.alias("nanoseconds"),
+        partition_decorator("ts", hourly=True).alias("partition_hour"),
+        normalize_symbol(F.concat(F.col("event_type"), F.lit("-usd_x"))).alias("norm_symbol"),
+        renko_level(F.col("value"), 25.0).cast("double").alias("renko_level"),
+        *era_boundaries("ts"),
+    )
+
+
+SQL_SCALAR_FNS = """
+select event_id,
+  cast(case when event_id % 3 in (0, 1) then 1 else -1 end as int) as tick_rule,
+  value / (value + 1.0) as notional,
+  make_timestamp(epoch_us(ts) - (epoch_us(ts) % 1000)) as ts_ms,
+  (epoch_us(ts) % 1000) * 1000 as nanoseconds,
+  strftime(ts, '%Y%m%d%H') as partition_hour,
+  upper(concat(event_type, 'usdx')) as norm_symbol,
+  cast(cast(floor(value / 25.0) * 25.0 as decimal(38,18)) as double) as renko_level,
+  cast(ts as date) as era_day,
+  cast(weekofyear(ts) as int) as era_week,
+  cast(month(ts) as int) as era_month,
+  cast(quarter(ts) as int) as era_quarter,
+  cast(year(ts) as int) as era_year
+from events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational operator queries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -939,6 +1014,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minmax_by": q_minmax_by,
     "cdc_final_state": q_cdc_final_state,
     "cdc_replay_engine": q_cdc_replay_engine,
+    "rollup_daily": q_rollup_daily,
+    "scalar_market_fns": q_scalar_market_fns,
     "pricing_summary": q_pricing_summary,
     "enrich_join": q_enrich_join,
     "anti_join": q_anti_join,
@@ -972,6 +1049,8 @@ ORACLES: dict[str, str] = {
     "minmax_by": SQL_MINMAX,
     "cdc_final_state": SQL_CDC_FINAL,
     "cdc_replay_engine": SQL_CDC_REPLAY,
+    "rollup_daily": SQL_ROLLUP,
+    "scalar_market_fns": SQL_SCALAR_FNS,
     "pricing_summary": SQL_PRICING,
     "enrich_join": SQL_ENRICH,
     "anti_join": SQL_ANTI,

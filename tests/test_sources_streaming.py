@@ -1,0 +1,147 @@
+"""Tests for the bulk-CSV source (S3) and streaming windowed aggs (§2.8)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from crypto_exchange_etl_spark.model import CHANGES_SCHEMA
+from crypto_exchange_etl_spark.sources.binlog import read_binlog, write_binlog_segments
+from crypto_exchange_etl_spark.sources.csv_dump import dump_to_ticks, read_csv_dump
+from crypto_exchange_etl_spark.streaming.windowed import (
+    run_windowed_metrics_stream,
+    windowed_candles,
+    windowed_page_metrics,
+)
+
+CSV = """uid,timestamp,price,size,side
+t1,2024-01-01 00:00:00.001500,100.5,2.0,buy
+t2,2024-01-01 00:00:00.001500,100.6,1.0,sell
+t3,2024-01-01 00:00:01.000000,100.7,0.5,buy
+"""
+
+
+def test_csv_dump_roundtrip(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "dump.csv.gz")
+    with gzip.open(path, "wt") as fh:
+        fh.write(CSV)
+    raw = read_csv_dump(spark, path)
+    assert raw.count() == 3
+    # column pruning through the source
+    pruned = read_csv_dump(spark, path, columns=["uid", "price"])
+    assert pruned.columns == ["uid", "price"]
+
+    ticks = dump_to_ticks(raw).orderBy("index").collect()
+    assert [t.uid for t in ticks] == ["t1", "t2", "t3"]
+    assert [t.tickRule for t in ticks] == [1, -1, 1]
+    # ms-floor + ns leftover split (1500 µs → 1 ms + 500000 ns)
+    assert ticks[0].nanoseconds == 500_000
+    assert ticks[0].timestamp.microsecond == 1000
+    assert float(ticks[0].volume) == 201.0  # price*size
+
+
+def _batch_metrics(df, window="10 minutes"):
+    return (
+        df.groupBy(F.window("warc_ts", window).alias("w"), F.col("lang"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("lsn").alias("max_lsn"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n_events", "max_lsn")
+    )
+
+
+def test_windowed_stream_equals_batch_when_nothing_late(spark, tmpdir_path):
+    """With late_frac=0, every streamed window that CLOSES (end ≤ final
+    watermark) must equal the batch aggregation of the same input."""
+    binlog = os.path.join(tmpdir_path, "binlog")
+    # one file per segment: the micro-batch boundary then coincides with
+    # the segment boundary, so (late_frac=0 ⇒) nothing is ever behind the
+    # watermark when it arrives
+    write_binlog_segments(
+        spark, binlog, n_events=4000, n_segments=4, files_per_segment=1,
+        n_urls=400, seed=11, late_frac=0.0,
+    )
+    out = os.path.join(tmpdir_path, "metrics")
+    run_windowed_metrics_stream(
+        spark, binlog, out, os.path.join(tmpdir_path, "ck"),
+        window="10 minutes", watermark="5 minutes",
+    )
+    streamed = spark.read.parquet(out)
+    assert streamed.count() > 0
+
+    batch = read_binlog(spark, binlog)
+    max_ts = batch.agg(F.max("warc_ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(minutes=5)
+    expected = (
+        windowed_page_metrics(batch, "10 minutes", "5 minutes")
+        .where(F.col("window_end") <= horizon)
+    )
+    got = {tuple(r) for r in streamed.where(F.col("window_end") <= horizon).collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_windowed_stream_drops_beyond_watermark(spark, tmpdir_path):
+    """A row arriving after the watermark passed its window is dropped —
+    the declarative form of the reference's validity-gate drop."""
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def seg(path, rows):
+        spark.createDataFrame(rows, CHANGES_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    binlog = os.path.join(tmpdir_path, "wm_binlog")
+    on_time = [
+        (i, 0, "I", f"u{i}", base + dt.timedelta(minutes=i), b"<p>x</p>", "en")
+        for i in range(0, 60, 5)  # 10:00 … 10:55
+    ]
+    seg(os.path.join(binlog, "seg=00000"), on_time)
+    # batch 1 advances the watermark to 10:55−30m=10:25 and EVICTS window
+    # [10:00,10:10) from state (dropping late rows is guaranteed only once
+    # the window's state is gone — before that Spark may still merge them)
+    seg(
+        os.path.join(binlog, "seg=00001"),
+        [(99, 0, "I", "adv", base + dt.timedelta(minutes=65), b"<p>a</p>", "en")],
+    )
+    late = [
+        # 10:05 event arriving after [10:00,10:10) was finalized ⇒ DROPPED
+        (100, 0, "I", "late-url", base + dt.timedelta(minutes=5), b"<p>l</p>", "en"),
+        # 11:06 event: open window, kept
+        (101, 0, "I", "new-url", base + dt.timedelta(minutes=66), b"<p>n</p>", "en"),
+    ]
+    seg(os.path.join(binlog, "seg=00002"), late)
+
+    out = os.path.join(tmpdir_path, "wm_out")
+    run_windowed_metrics_stream(
+        spark, binlog, out, os.path.join(tmpdir_path, "wm_ck"),
+        window="10 minutes", watermark="30 minutes",
+    )
+    rows = {
+        (r.window_start, r.n_events, r.max_lsn)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window closed with only its 2 on-time events (lsn 0,5) —
+    # the late lsn=100 event did NOT resurrect it
+    assert (base, 2, 5) in rows
+    assert not any(lsn == 100 for (_, _, lsn) in rows)
+
+
+def test_windowed_candles_matches_batch_operator(spark):
+    from crypto_exchange_etl_spark.operators.candles import aggregate_candles
+    from crypto_exchange_etl_spark.sources.ticks import generate_ticks
+
+    ticks = generate_ticks(spark, 2000, symbols=("A", "B"), seed=3)
+    # batch evaluation of the streaming aggregation expression
+    got = windowed_candles(ticks, timeframe="1 minute").collect()
+    want = {
+        (r.symbol, r.timestamp): r
+        for r in aggregate_candles(ticks, "1 minute", carry_open=False).collect()
+    }
+    assert len(got) == len(want)
+    for r in got:
+        w = want[(r.symbol, r.timestamp)]
+        assert (r.open, r.high, r.low, r.close, r.volume, r.ticks) == (
+            w.open, w.high, w.low, w.close, w.volume, w.ticks
+        )
