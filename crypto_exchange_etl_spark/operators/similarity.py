@@ -187,6 +187,43 @@ def ann_topk_bucketed(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, sim ≥ threshold).
+
+    Scale path: SRP-LSH bucket join restricts candidates to same-bucket
+    pairs (cosine-similar vectors share sign patterns), then exact cosine
+    verifies. Cost O(Σ bucket²), the same shape as MinHash LSH dedup —
+    this is the embedding-space member of the dedup family.
+    """
+    planes = hyperplanes(dim, n_planes)
+    t = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), srp_bucket(vec_col, planes).alias("_b")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a._b") == F.col("b._b"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def knn_label_vote(
     topk: DataFrame, labels: DataFrame, id_col: str = "vec_id", label_col: str = "label"
 ) -> DataFrame:

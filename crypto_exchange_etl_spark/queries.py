@@ -944,11 +944,44 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_PLANES = 8
+NEAR_DUP_T = 0.2  # synthetic embeddings are near-orthogonal; low τ ⇒ non-empty result
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return ann_lsh_buckets(emb, dim=EMB_DIM, n_planes=ANN_PLANES)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, dim=EMB_DIM, threshold=NEAR_DUP_T, n_planes=ANN_PLANES
+    )
+
+
+def _near_dup_sql() -> str:
+    planes = hyperplanes(EMB_DIM, ANN_PLANES)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        terms.append(
+            f"(case when {_dot_sql('embedding', lit)} > 0 "
+            f"then cast({1 << p} as bigint) else cast(0 as bigint) end)"
+        )
+    bucket = " + ".join(terms)
+    dot = _dot_sql("a.v", "b.v")
+    na = _dot_sql("a.v", "a.v")
+    nb = _dot_sql("b.v", "b.v")
+    return f"""
+with t as (select vec_id, embedding as v, ({bucket}) as b from embeddings),
+p as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+         cast({dot} as double) / sqrt(cast({na} as double) * cast({nb} as double)) as sim
+  from t a join t b on a.b = b.b and a.vec_id < b.vec_id)
+select id_a, id_b, sim from p where sim >= {NEAR_DUP_T}
+"""
 
 
 def _ann_sql() -> str:
@@ -1032,6 +1065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "knn_label_vote": q_knn_label_vote,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "embedding_near_dup": q_embedding_near_dup,
     "multimodal_meta": q_multimodal_meta,
     "thresh_bars": q_thresh_bars,
     "renko_bars": q_renko_bars,
@@ -1067,6 +1101,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": _cosine_sql(),
     "knn_label_vote": _cosine_sql(with_knn=True),
     "ann_lsh_buckets": _ann_sql(),
+    "embedding_near_dup": _near_dup_sql(),
     "multimodal_meta": SQL_MULTIMODAL,
     # thresh_bars / renko_bars: stateful sequential kernels — not
     # SQL-expressible; driver records rows-only checks. Their semantics are
