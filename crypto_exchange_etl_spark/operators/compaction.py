@@ -51,6 +51,37 @@ def lww_compact(
     return winner.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
 
 
+def lww_compact_salted(
+    df: DataFrame,
+    key: str = "url",
+    order_cols: tuple[str, ...] = ORDER_COLS,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Explicitly salted two-stage LWW (north_star's hot-domain treatment).
+
+    Stage 1 groups by (key, salt) — a hot key's rows split across
+    ``n_salts`` reducers — stage 2 merges the per-salt winners. Catalyst's
+    map-side partial aggregation already gives this effect implicitly
+    (each input split pre-reduces every key it sees — see
+    :func:`lww_compact`'s docstring), so the explicit salt only wins when
+    a single reducer's FINAL merge of one key's partials is itself the
+    bottleneck (a key hot enough to dominate every input split). Provided
+    as the tunable escape hatch; results are identical to
+    :func:`lww_compact` by construction.
+    """
+    cols = df.columns
+    payload = F.struct(*[F.col(c) for c in cols])
+    rank = F.struct(*[F.col(c) for c in order_cols])
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salts))
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.max_by(payload, rank).alias("_w"), F.max(rank).alias("_r"))
+    )
+    stage2 = stage1.groupBy(key).agg(F.max_by("_w", "_r").alias("_w"))
+    return stage2.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
+
+
 #: Digits reserved for (lsn·10 + op_code) in the packed rank. lsn < 10^18.
 _PACK = 10**19
 

@@ -64,6 +64,14 @@ def test_lww_winner_keys_equals_generic_lww(changes):
     assert packed == generic
 
 
+def test_salted_lww_equals_plain(changes):
+    from crypto_exchange_etl_spark.operators.compaction import lww_compact_salted
+
+    plain = {(r.url, r.lsn) for r in lww_compact(changes).collect()}
+    salted = {(r.url, r.lsn) for r in lww_compact_salted(changes, n_salts=8).collect()}
+    assert salted == plain
+
+
 def test_extraction_is_arrow_vectorized(changes):
     plan = plan_of(with_extracted_text(lww_compact(changes)))
     assert "ArrowEvalPython" in plan  # vectorized pandas UDF
