@@ -55,6 +55,34 @@ def _fmt_version(v: int) -> str:
     return f"v{v:08d}.json"
 
 
+#: Estimated broadcast-hash-relation bytes per int64 key (key + hash-map
+#: slot + object overhead, measured order-of-magnitude on the JVM).
+_BYTES_PER_BROADCAST_KEY = 48
+
+
+def _broadcast_key_budget(spark: SparkSession) -> int:
+    """Max number of int64 keys worth broadcasting, derived from
+    ``spark.sql.autoBroadcastJoinThreshold`` (4× headroom: a packed long
+    relation is far denser than the row-estimate the auto threshold
+    guards). Defaults to ~10 MB ⇒ ~870k keys if the threshold is unset or
+    disabled — well under driver/executor OOM territory."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    low = raw.strip().lower()
+    scale = 1
+    for suffix, s in mult.items():
+        if low.endswith(suffix):
+            low, scale = low[: -len(suffix)], s
+            break
+    try:
+        nbytes = int(low) * scale
+    except ValueError:  # pragma: no cover - malformed conf
+        nbytes = 10 * 1024 * 1024
+    if nbytes <= 0:  # auto-broadcast disabled; keep a sane explicit budget
+        nbytes = 10 * 1024 * 1024
+    return (nbytes * 4) // _BYTES_PER_BROADCAST_KEY
+
+
 class LakeTable:
     """A bucket-partitioned upsert table with Iceberg-style snapshots."""
 
@@ -287,10 +315,13 @@ class LakeTable:
         # payload bytes move at most once (scan → write), never through an
         # exchange. lsn is the envelope's unique event id; duplicate
         # deliveries of the same lsn survive the semi-join but collapse in
-        # the final per-key window. Falls back to a shuffle join if the
-        # winner set is too large to broadcast (huge micro-batch).
+        # the final per-key window. The broadcast is explicit (the hint
+        # bypasses autoBroadcastJoinThreshold), so the cutoff is sized from
+        # the session's broadcast budget — ~48 B per long key in a
+        # LongHashedRelation — instead of a fixed row count; above it the
+        # plan falls back to a shuffle join (huge micro-batch).
         lsn_set = wk.select("lsn")
-        if int(stats["n"]) <= 20_000_000:
+        if int(stats["n"]) <= _broadcast_key_budget(self.spark):
             winners = changes.join(F.broadcast(lsn_set), "lsn", "left_semi")
         else:  # pragma: no cover - cluster-scale escape hatch
             winners = changes.join(lsn_set, "lsn", "left_semi")

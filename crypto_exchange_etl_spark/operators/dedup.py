@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
-from ..functions.text import word_shingles
+from ..functions.text import tokens, word_shingles
 
 # ---------------------------------------------------------------------------
 # 1. Exact dedup
@@ -161,10 +161,15 @@ def simhash(
     ``groupBy(id)`` with ``bits`` conditional-sum aggregates (all map-side
     partially aggregated). Flat-column arithmetic, no interpreted array
     lambdas in the hot path.
+
+    Zero-token documents have no signature and are dropped (explode of an
+    empty token array emits nothing; the oracle mirrors the skip) — unlike
+    ``word_shingles``, raw ``tokens`` emits no synthetic "" element, so
+    whitespace-only text cannot silently hash as one empty token.
     """
     ex = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, 1))).alias("_tk"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("_tk"),
     ).withColumn("_h", portable_hash64(F.col("_tk"), 99))
     ones = [
         F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_o{i}")

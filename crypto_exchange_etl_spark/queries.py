@@ -52,6 +52,7 @@ from .operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_pairs,
 )
 from .operators.run_compaction import compact_runs
 from .operators.similarity import ann_lsh_buckets, cosine_topk, hyperplanes, knn_label_vote
@@ -154,23 +155,37 @@ from w where rn = 1
 
 
 def q_validity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7: uid-dedup + time-range validity gate (ref controllers/base.py:88-99)."""
+    """P7: uid-dedup + time-range validity gate (ref controllers/base.py:88-99).
+
+    Dedup is deterministic — min_by over the full-row sort key, not
+    dropDuplicates (whose survivor is partition-order dependent) — and the
+    oracle mirrors the same survivor rule, so duplicate event_ids in the
+    input cannot diverge the engines.
+    """
     e = _t(spark, sf_dir, "events")
-    return (
-        e.dropDuplicates(["event_id"])
-        .where(
-            F.col("ts").between(
-                F.lit("2024-01-10 00:00:00").cast("timestamp"),
-                F.lit("2024-01-20 00:00:00").cast("timestamp"),
-            )
-        )
-        .select("event_id", "user_id", "ts", "event_type", "value")
+    row = F.struct("user_id", "ts", "event_type", "value")
+    deduped = (
+        e.groupBy("event_id")
+        .agg(F.min_by(row, row).alias("_r"))
+        .select("event_id", "_r.user_id", "_r.ts", "_r.event_type", "_r.value")
     )
+    return deduped.where(
+        F.col("ts").between(
+            F.lit("2024-01-10 00:00:00").cast("timestamp"),
+            F.lit("2024-01-20 00:00:00").cast("timestamp"),
+        )
+    ).select("event_id", "user_id", "ts", "event_type", "value")
 
 
 SQL_VALIDITY = """
-select event_id, user_id, ts, event_type, value from events
-where ts between timestamp '2024-01-10 00:00:00' and timestamp '2024-01-20 00:00:00'
+with d as (
+  select event_id, user_id, ts, event_type, value,
+         row_number() over (partition by event_id
+                            order by user_id, ts, event_type, value) as rn
+  from events)
+select event_id, user_id, ts, event_type, value from d
+where rn = 1
+  and ts between timestamp '2024-01-10 00:00:00' and timestamp '2024-01-20 00:00:00'
 """
 
 
@@ -875,6 +890,37 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via pigeonhole chunk buckets."""
+    sig = simhash(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+    return simhash_near_pairs(
+        sig, bits=SIMHASH_BITS, max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    n_chunks = SIMHASH_MAX_HAMMING + 1
+    width = -(-SIMHASH_BITS // n_chunks)
+    mask = (1 << width) - 1
+    chunk_rows = " union all ".join(
+        f"select doc_id, simhash, {i} as ci, "
+        f"(simhash >> {i * width}) & {mask} as cv from sig"
+        for i in range(n_chunks)
+    )
+    return f"""
+with sig as ({_simhash_sql()}),
+ch as ({chunk_rows})
+select distinct a.doc_id as id_a, b.doc_id as id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+from ch a join ch b
+  on a.ci = b.ci and a.cv = b.cv and a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 def _simhash_sql() -> str:
     terms = " + ".join(
         f"(case when 2 * len(list_filter(hs, v -> (v >> {i}) & 1 = 1)) > n "
@@ -886,7 +932,7 @@ with t as (select doc_id, list_distinct({TOKS_SQL}) as toks from documents),
 h as (select doc_id, list_transform(toks, tk -> {portable_hash64_sql('tk', 99)}) as hs,
              len(toks) as n
       from t)
-select doc_id, cast({terms} as bigint) as simhash from h
+select doc_id, cast({terms} as bigint) as simhash from h where n > 0
 """
 
 
@@ -1024,11 +1070,16 @@ from documents
 
 
 def q_thresh_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return thresh_bars(_ticks(spark, sf_dir), "volume", 5000.0, top_n=2)
+    # topN (array<struct>) is serialized to JSON for the driver-facing
+    # entry: the driver's canonicalizer hashes rows with pandas, which
+    # cannot sort/hash list cells. The nested form is pinned by pytest.
+    df = thresh_bars(_ticks(spark, sf_dir), "volume", 5000.0, top_n=2)
+    return df.withColumn("topN", F.to_json("topN"))
 
 
 def q_renko_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return renko_bars(_ticks(spark, sf_dir), box_size=25.0, top_n=2)
+    df = renko_bars(_ticks(spark, sf_dir), box_size=25.0, top_n=2)
+    return df.withColumn("topN", F.to_json("topN"))
 
 
 # ---------------------------------------------------------------------------
@@ -1062,6 +1113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "cosine_topk": q_cosine_topk,
     "knn_label_vote": q_knn_label_vote,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1098,6 +1150,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": SQL_JACCARD,
     "minhash_lsh": _minhash_sql(),
     "simhash": _simhash_sql(),
+    "simhash_near_pairs": _simhash_pairs_sql(),
     "cosine_topk": _cosine_sql(),
     "knn_label_vote": _cosine_sql(with_knn=True),
     "ann_lsh_buckets": _ann_sql(),
