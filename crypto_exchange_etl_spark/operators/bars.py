@@ -173,26 +173,44 @@ def _merge_partial(partial: dict[str, Any], bar: dict[str, Any], top_n: int) -> 
 
 # ------------------------------------------------------------ threshold bars
 
+#: Era lengths for the threshold-bar accumulator reset
+#: (/root/reference/fintick/aggregators/thresh/constants.py): day, ISO week
+#: (Monday start — the reference resets when the next date is a Monday),
+#: month, quarter, year.
+ERA_LENGTHS = ("D", "W", "M", "Q", "Y")
 
-def thresh_bars_pandas(
+
+def _era_keys(ts: pd.Series, era: str) -> np.ndarray:
+    """Per-row era label; a change of label is an era boundary
+    (/root/reference/fintick/aggregators/thresh/lib.py:39-62 — the
+    reference checks the same calendar rules once per daily batch; row
+    granularity subsumes that since eras are ≥ 1 day)."""
+    t = pd.to_datetime(ts)
+    if era == "D":
+        return t.dt.strftime("%Y-%m-%d").to_numpy()
+    if era == "W":  # Monday-start week
+        monday = t.dt.normalize() - pd.to_timedelta(t.dt.weekday, unit="D")
+        return monday.dt.strftime("%Y-%m-%d").to_numpy()
+    if era == "M":
+        return t.dt.strftime("%Y-%m").to_numpy()
+    if era == "Q":
+        return (t.dt.year.astype(str) + "Q" + t.dt.quarter.astype(str)).to_numpy()
+    if era == "Y":
+        return t.dt.year.astype(str).to_numpy()
+    raise ValueError(f"era must be one of {ERA_LENGTHS}, got {era!r}")
+
+
+def _thresh_pass(
     pdf: pd.DataFrame,
     thresh_attr: str,
     thresh_value: float,
-    top_n: int = 0,
-    cache: dict[str, Any] | None = None,
-) -> tuple[list[dict[str, Any]], dict[str, Any]]:
-    """Pure-pandas threshold-bar kernel with carry cache.
-
-    cache = {"cum": float, "partial": bar-dict | None}. Returns
-    (bars, cache'). Split-vs-whole equivalent: running the kernel over a
-    prefix then the suffix with the carried cache yields the same bars as
-    one pass.
-    """
-    cache = dict(cache or {})
-    cum0 = float(cache.get("cum", 0.0))
-    partial = cache.get("partial")
-
-    pdf = _prep(pdf)
+    top_n: int,
+    cum0: float,
+    partial: dict[str, Any] | None,
+) -> tuple[list[dict[str, Any]], float, dict[str, Any] | None]:
+    """One era-homogeneous pass: returns (bars, cum', partial')."""
+    if len(pdf) == 0:
+        return [], cum0, partial
     attr = pdf[thresh_attr].astype("float64").to_numpy()
     prefix = np.cumsum(attr) + cum0
 
@@ -223,10 +241,58 @@ def thresh_bars_pandas(
     if start < n:
         tail = _agg_chunk(pdf.iloc[start:], top_n)
         partial = _merge_partial(partial, tail, top_n) if partial is not None else tail
-        cache["cum"] = float(prefix[-1] - base)
+        return bars, float(prefix[-1] - base), partial
+    return bars, 0.0, partial
+
+
+def thresh_bars_pandas(
+    pdf: pd.DataFrame,
+    thresh_attr: str,
+    thresh_value: float,
+    top_n: int = 0,
+    cache: dict[str, Any] | None = None,
+    era: str | None = None,
+) -> tuple[list[dict[str, Any]], dict[str, Any]]:
+    """Pure-pandas threshold-bar kernel with carry cache and era reset.
+
+    cache = {"cum": float, "partial": bar-dict | None, "era": str | None}.
+    Returns (bars, cache'). Split-vs-whole equivalent: running the kernel
+    over a prefix then the suffix with the carried cache yields the same
+    bars as one pass — including across era boundaries.
+
+    ``era`` ∈ {D, W, M, Q, Y}: at each era boundary the accumulator zeroes
+    and the carried partial bar is DROPPED (the reference rebuilds the
+    initial cache, losing ``nextDay`` —
+    /root/reference/fintick/aggregators/thresh/base.py:38-48).
+    """
+    cache = dict(cache or {})
+    cum = float(cache.get("cum", 0.0))
+    partial = cache.get("partial")
+    last_era = cache.get("era")
+
+    pdf = _prep(pdf)
+    bars: list[dict[str, Any]] = []
+    if era is None or len(pdf) == 0:
+        bars, cum, partial = _thresh_pass(
+            pdf, thresh_attr, thresh_value, top_n, cum, partial
+        )
     else:
-        cache["cum"] = 0.0
+        keys = _era_keys(pdf["timestamp"], era)
+        # contiguous era segments (input is time-sorted by _prep)
+        bounds = [0] + [i for i in range(1, len(keys)) if keys[i] != keys[i - 1]]
+        for s_idx, start in enumerate(bounds):
+            end = bounds[s_idx + 1] if s_idx + 1 < len(bounds) else len(keys)
+            seg_key = keys[start]
+            if last_era is not None and seg_key != last_era:
+                cum, partial = 0.0, None  # era reset
+            seg_bars, cum, partial = _thresh_pass(
+                pdf.iloc[start:end], thresh_attr, thresh_value, top_n, cum, partial
+            )
+            bars.extend(seg_bars)
+            last_era = seg_key
+    cache["cum"] = cum
     cache["partial"] = partial
+    cache["era"] = last_era
     return bars, cache
 
 
@@ -309,6 +375,51 @@ def renko_bars_pandas(
     return bars, cache
 
 
+# ------------------------------------------------ cache (de)serialization
+# The carry cache crosses process boundaries twice: worker → driver (as a
+# sidecar row of the applyInPandas output) and driver → next micro-batch
+# (via the carry-state manifest). JSON with tagged timestamps keeps it
+# engine-neutral; all other values are native floats/ints already
+# (_agg_chunk converts out of numpy).
+
+
+def cache_to_json(cache: dict[str, Any] | None) -> str:
+    def conv(v):
+        if isinstance(v, pd.Timestamp):
+            return {"__ts__": v.isoformat()}
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [conv(x) for x in v]
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        return v
+
+    import json
+
+    return json.dumps(conv(cache))
+
+
+def cache_from_json(s: str | None) -> dict[str, Any] | None:
+    if not s:
+        return None
+
+    def conv(v):
+        if isinstance(v, dict):
+            if set(v) == {"__ts__"}:
+                return pd.Timestamp(v["__ts__"])
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [conv(x) for x in v]
+        return v
+
+    import json
+
+    return conv(json.loads(s))
+
+
 # ------------------------------------------------------- Spark wrappers
 
 
@@ -322,14 +433,22 @@ def _bars_df(bars: list[dict[str, Any]], symbol, fields: list[str]) -> pd.DataFr
 
 
 def thresh_bars(
-    df: DataFrame, thresh_attr: str, thresh_value: float, top_n: int = 0
+    df: DataFrame,
+    thresh_attr: str,
+    thresh_value: float,
+    top_n: int = 0,
+    era: str | None = None,
 ) -> DataFrame:
     """Distributed threshold bars: one sequential kernel per symbol via
-    ``applyInPandas`` (Arrow-batched; the only Python in the plan)."""
+    ``applyInPandas`` (Arrow-batched; the only Python in the plan).
+    ``era`` resets the accumulator at day/week/month/quarter/year
+    boundaries (reference era_length)."""
     fields = [f.name for f in THRESH_BAR_SCHEMA.fields if f.name != "symbol"]
 
     def fn(key, pdf):
-        bars, _cache = thresh_bars_pandas(pdf, thresh_attr, thresh_value, top_n=top_n)
+        bars, _cache = thresh_bars_pandas(
+            pdf, thresh_attr, thresh_value, top_n=top_n, era=era
+        )
         return _bars_df(bars, key[0] if key else None, fields)
 
     if "symbol" not in df.columns:

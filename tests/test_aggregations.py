@@ -216,6 +216,60 @@ def test_thresh_split_vs_whole(spark):
         assert a == b
 
 
+def test_thresh_era_reset_daily(spark):
+    """Era reset (/root/reference/fintick/aggregators/thresh/base.py:38-48):
+    at a day boundary the accumulator zeroes and the carried partial is
+    dropped; without era the bar spans the boundary."""
+    day = 86400
+    specs = [
+        {"sec": 0, "notional": 4}, {"sec": 10, "notional": 4},
+        {"sec": 20, "notional": 5},                      # day-1 tail
+        {"sec": day + 5, "notional": 4}, {"sec": day + 10, "notional": 4},
+    ]
+    pdf = _tick_pdf(specs)
+    no_era, _ = thresh_bars_pandas(pdf, "notional", 8.0)
+    assert [b["notional"] for b in no_era] == [8, 9]     # 5 carries into day 2
+    bars, cache = thresh_bars_pandas(pdf, "notional", 8.0, era="D")
+    assert [b["notional"] for b in bars] == [8, 8]       # day-1 tail dropped
+    assert cache["partial"] is None and cache["cum"] == 0.0
+    assert cache["era"] == "2024-01-02"
+
+
+def test_thresh_era_weekly_monthly(spark):
+    # T0 = Mon 2024-01-01; sec offsets put rows in ISO weeks 1 and 2
+    week = 7 * 86400
+    specs = [{"sec": 0, "notional": 5}, {"sec": week + 5, "notional": 5},
+             {"sec": week + 10, "notional": 5}]
+    bars_w, _ = thresh_bars_pandas(_tick_pdf(specs), "notional", 8.0, era="W")
+    # week 1: tail 5 dropped at Monday boundary; week 2: 5+5=10 ≥ 8 → one bar
+    assert [b["notional"] for b in bars_w] == [10]
+    # same rows all in January → monthly era never resets: 5+5=10 cut earlier
+    bars_m, _ = thresh_bars_pandas(_tick_pdf(specs), "notional", 8.0, era="M")
+    assert [b["notional"] for b in bars_m] == [10]
+    assert bars_m[0]["ticks"] == 2 and bars_w[0]["ticks"] == 2
+
+
+def test_thresh_era_split_vs_whole(spark):
+    """Cache carry across an era boundary ≡ one pass (reference
+    split-vs-whole property generalized to eras)."""
+    day = 86400
+    specs = [{"sec": i * 9000, "notional": 3, "price": p}
+             for i, p in enumerate((1, 5, 2, 8, 4, 7, 3, 9, 2, 6, 1, 4))]
+    assert specs[-1]["sec"] > day  # spans the midnight boundary
+    pdf = _tick_pdf(specs)
+    whole, wc = thresh_bars_pandas(pdf, "notional", 7.0, top_n=2, era="D")
+    for cut in (3, 9, 10):  # mid-day-1, boundary-adjacent, into day-2
+        head, tail = pdf.iloc[:cut], pdf.iloc[cut:].reset_index(drop=True)
+        b1, cache = thresh_bars_pandas(head, "notional", 7.0, top_n=2, era="D")
+        b2, c2 = thresh_bars_pandas(tail, "notional", 7.0, top_n=2,
+                                    cache=cache, era="D")
+        got = b1 + b2
+        assert len(got) == len(whole)
+        for a, b in zip(got, whole):
+            assert a == b
+        assert c2 == wc
+
+
 def test_thresh_bars_spark_matches_pandas(spark):
     ticks = generate_ticks(spark, 2000, symbols=("BTC", "ETH"), seed=9)
     out = thresh_bars(ticks, "notional", 50.0, top_n=2)

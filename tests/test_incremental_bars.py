@@ -1,0 +1,134 @@
+"""Cross-batch bar-state carry: stream-applied bars ≡ single-shot batch.
+
+Generalizes the reference's split-vs-whole cache property
+(/root/reference/test/test_renko_aggregator.py:26-54) to the distributed
+path: N micro-batches through IncrementalBars (carry state committed
+atomically with each batch's bars) must equal one thresh_bars/renko_bars
+pass over the full input.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_exchange_etl_spark.operators.bars import renko_bars, thresh_bars
+from crypto_exchange_etl_spark.sources.ticks import generate_ticks
+from crypto_exchange_etl_spark.streaming.incremental_bars import IncrementalBars
+
+N = 3000
+SYMBOLS = ("BTC", "ETH")
+CUTS = (0, 1000, 1800, N)  # three uneven micro-batches
+
+
+def _sorted_rows(df):
+    return sorted(
+        (r.asDict(recursive=True) for r in df.collect()),
+        key=lambda r: (r["symbol"], r["timestamp"], r["nanoseconds"]),
+    )
+
+
+def _approx_eq(a, b, rel=1e-9):
+    """Recursive equality with float tolerance: a bar spanning a batch
+    boundary sums as Σpart1 + Σpart2 instead of one ΣΣ — associativity
+    differences of ~1e-15 relative are inherent to the carry design (the
+    reference's additive merge_cache has the same property)."""
+    if isinstance(a, float) and isinstance(b, float):
+        return a == pytest.approx(b, rel=rel)
+    if isinstance(a, dict) and isinstance(b, dict):
+        return set(a) == set(b) and all(_approx_eq(a[k], b[k], rel) for k in a)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_approx_eq(x, y, rel) for x, y in zip(a, b))
+    return a == b
+
+
+def _batches(ticks):
+    # index order == time order in generate_ticks, so index-range batches
+    # are valid stream prefixes
+    return [
+        ticks.where((F.col("index") >= lo) & (F.col("index") < hi))
+        for lo, hi in zip(CUTS, CUTS[1:])
+    ]
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    return generate_ticks(spark, N, symbols=SYMBOLS, seed=13).cache()
+
+
+def test_thresh_incremental_equals_single_shot(spark, tmp_path, ticks):
+    inc = IncrementalBars(
+        spark, str(tmp_path / "tb"), kind="thresh",
+        thresh_attr="notional", thresh_value=60.0, top_n=2, era="D",
+    )
+    for i, b in enumerate(_batches(ticks)):
+        inc.apply_batch(b, batch_id=i)
+    got = _sorted_rows(inc.read())
+    want = _sorted_rows(
+        thresh_bars(ticks, "notional", 60.0, top_n=2, era="D")
+    )
+    assert len(got) == len(want) > 0
+    assert _approx_eq(got, want)
+    # trailing partials live in the carry state, not the emitted bars
+    parts = inc.partials()
+    assert set(parts) == set(SYMBOLS)
+
+
+def test_renko_incremental_equals_single_shot(spark, tmp_path, ticks):
+    inc = IncrementalBars(
+        spark, str(tmp_path / "rb"), kind="renko", box_size=20.0, top_n=2
+    )
+    for i, b in enumerate(_batches(ticks)):
+        inc.apply_batch(b, batch_id=i)
+    got = _sorted_rows(inc.read())
+    want = _sorted_rows(renko_bars(ticks, box_size=20.0, top_n=2))
+    assert len(got) == len(want) > 0
+    assert _approx_eq(got, want)
+
+
+def test_incremental_reapply_is_noop(spark, tmp_path, ticks):
+    inc = IncrementalBars(
+        spark, str(tmp_path / "re"), kind="thresh",
+        thresh_attr="notional", thresh_value=60.0,
+    )
+    batches = _batches(ticks)
+    inc.apply_batch(batches[0], batch_id=0)
+    v1 = inc.current_version()
+    n1 = inc.read().count()
+    out = inc.apply_batch(batches[0], batch_id=0)  # replayed micro-batch
+    assert out["skipped"]
+    assert inc.current_version() == v1 and inc.read().count() == n1
+    # a NEW handle on the same path resumes from the committed state
+    inc2 = IncrementalBars(
+        spark, str(tmp_path / "re"), kind="thresh",
+        thresh_attr="notional", thresh_value=60.0,
+    )
+    inc2.apply_batch(batches[1], batch_id=1)
+    inc2.apply_batch(batches[2], batch_id=2)
+    got = _sorted_rows(inc2.read())
+    want = _sorted_rows(thresh_bars(ticks, "notional", 60.0))
+    assert _approx_eq(got, want)
+
+
+def test_incremental_run_stream(spark, tmp_path, ticks):
+    """Structured Streaming drain (availableNow) over a tick directory ≡
+    single-shot — the checkpointed end-to-end form."""
+    src = str(tmp_path / "src")
+    # one file per micro-batch, named in time order
+    for i, b in enumerate(_batches(ticks)):
+        b.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"part{i}"))
+    schema = ticks.schema
+    inc = IncrementalBars(
+        spark, str(tmp_path / "sb"), kind="thresh",
+        thresh_attr="notional", thresh_value=60.0, top_n=1,
+    )
+    # stream reads subdirs as separate files; order by path name == time order
+    inc.run_stream(
+        src + "/part*", str(tmp_path / "ck"), schema,
+        max_files_per_trigger=1, available_now=True, timeout_secs=240,
+    )
+    got = _sorted_rows(inc.read())
+    want = _sorted_rows(thresh_bars(ticks, "notional", 60.0, top_n=1))
+    assert _approx_eq(got, want)
