@@ -104,7 +104,24 @@ class LakeTable:
         key: str = "url",
         n_buckets: int = 16,
         if_not_exists: bool = False,
+        write_mode: str = "cow",
     ) -> "LakeTable":
+        """``write_mode``:
+
+        - ``"cow"`` (copy-on-write): a MERGE rewrites every touched bucket
+          in full — reads stay a plain pruned scan, but per-batch write
+          cost is O(live rows in touched buckets). Right for large batches
+          over few buckets (backfill replay).
+        - ``"mor"`` (merge-on-read): a MERGE appends only the batch's LWW
+          winners as per-bucket *delta* files — per-batch write cost is
+          O(batch), and reads fold base+delta with the same LWW rule until
+          :meth:`minor_compact` folds deltas back into the base (the
+          Iceberg merge-on-read + minor-compaction shape). Right for
+          frequent micro-batches over a large key space, where CoW's
+          rewrite amplification is the scale-killer.
+        """
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
         t = cls(spark, path)
         if os.path.exists(t.meta_dir) and os.listdir(t.meta_dir):
             if if_not_exists:
@@ -119,6 +136,7 @@ class LakeTable:
             "parent_version": None,
             "key": key,
             "n_buckets": n_buckets,
+            "write_mode": write_mode,
             "schema": json.loads(schema.json()),
             "files": [],
             "ledger_files": [],
@@ -174,6 +192,10 @@ class LakeTable:
     def n_buckets(self) -> int:
         return self.manifest()["n_buckets"]
 
+    @property
+    def write_mode(self) -> str:
+        return self.manifest().get("write_mode", "cow")
+
     def applied_batches(self) -> set:
         return set(self.manifest()["applied_batches"])
 
@@ -189,11 +211,21 @@ class LakeTable:
         return T.StructType(list(base.fields) + extra)
 
     def read_physical(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        fold: bool = True,
     ) -> DataFrame:
         """Read physical rows (incl. tombstones + lineage cols), pruning
         data files to the requested buckets via the manifest — the
-        Iceberg-style partition pruning this format exists to provide."""
+        Iceberg-style partition pruning this format exists to provide.
+
+        In merge-on-read mode, ``fold=True`` (default) applies the LWW
+        rule across base+delta rows so callers see one row per key — the
+        same two-phase ``max_by`` hash aggregate the merge itself uses
+        (map-side partial agg; shuffle = O(distinct keys per split)). A
+        snapshot with no delta files folds for free (no-op branch).
+        ``fold=False`` exposes raw versions (compaction internals)."""
         m = self.manifest(version)
         files = m["files"]
         if buckets is not None:
@@ -205,7 +237,10 @@ class LakeTable:
         paths = [os.path.join(self.path, f["path"]) for f in files]
         # explicit schema => old files read with added-cols-as-null and
         # widened numeric types (schema evolution without history rewrite)
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if fold and any(f.get("delta") for f in files):
+            df = lww_compact(df, key=m["key"], order_cols=ORDER_COLS)
+        return df
 
     def read(self, version: int | None = None) -> DataFrame:
         """Logical read: tombstones filtered, internal columns hidden."""
@@ -347,39 +382,60 @@ class LakeTable:
         incoming = conform(
             winners.withColumn("is_deleted", F.col("op") == F.lit("D")), phys_plus
         )
-        current = conform(self.read_physical(buckets=affected), phys_plus)
-
-        # -- 5+6. single bucket-aligned MERGE shuffle + write. The union of
-        # (current bucket rows ∪ batch winners) is shuffled ONCE, keyed by
-        # bucket; within each bucket partition rows sort by (key, warc_ts
-        # desc, lsn desc) and a lag() run-boundary filter keeps exactly the
-        # first row per key — LWW by sort order. Because the shuffle key IS
-        # the storage bucket, the dynamic-partition write needs no second
-        # repartition: each task writes only its own bucket files.
-        # Parallelism of this stage = n_buckets — size n_buckets to ≥ the
-        # cluster's cores (the table-layout knob the north_rule names).
         phys_cols = [f.name for f in phys_plus.fields]
-        u = current.unionByName(incoming).withColumn(
-            "bucket", self._bucket(key, n_buckets)
-        )
-        wspec = Window.partitionBy("bucket").orderBy(
-            F.col(key).asc(),
-            *[F.col(c).desc() for c in ORDER_COLS],
-        )
-        prev_key = F.lag(F.col(key)).over(wspec)
-        merged = (
-            u.withColumn("_pk", prev_key)
-            .where(F.col("_pk").isNull() | (F.col("_pk") != F.col(key)))
-            .select(*phys_cols, "bucket")
-        )
-
+        mode = m.get("write_mode", "cow")
         snap = str(uuid.uuid4())[:8]
-        rel_out = f"data/snap-{snap}"
+
+        if mode == "mor":
+            # -- 5+6 (merge-on-read): append ONLY the batch winners as
+            # per-bucket delta files — written bytes are O(batch), never
+            # O(live table). No union with current state, no window: the
+            # LWW fold is deferred to read_physical(fold=True) and undone
+            # periodically by minor_compact. dropDuplicates(key) collapses
+            # duplicate deliveries of the winning lsn (byte-identical
+            # envelope rows, so the survivor is value-deterministic).
+            merged = (
+                incoming.dropDuplicates([key])
+                .withColumn("bucket", self._bucket(key, n_buckets))
+                .select(*phys_cols, "bucket")
+            )
+            rel_out = f"data/delta-{snap}"
+            keep = list(m["files"])  # nothing superseded by an append
+        else:
+            current = conform(
+                self.read_physical(buckets=affected, fold=False), phys_plus
+            )
+            # -- 5+6 (copy-on-write): single bucket-aligned MERGE shuffle +
+            # write. The union of (current bucket rows ∪ batch winners) is
+            # shuffled ONCE, keyed by bucket; within each bucket partition
+            # rows sort by (key, warc_ts desc, lsn desc) and a lag()
+            # run-boundary filter keeps exactly the first row per key —
+            # LWW by sort order. Because the shuffle key IS the storage
+            # bucket, the dynamic-partition write needs no second
+            # repartition: each task writes only its own bucket files.
+            # Parallelism of this stage = n_buckets — size n_buckets to ≥
+            # the cluster's cores (the north_rule's table-layout knob).
+            u = current.unionByName(incoming).withColumn(
+                "bucket", self._bucket(key, n_buckets)
+            )
+            wspec = Window.partitionBy("bucket").orderBy(
+                F.col(key).asc(),
+                *[F.col(c).desc() for c in ORDER_COLS],
+            )
+            prev_key = F.lag(F.col(key)).over(wspec)
+            merged = (
+                u.withColumn("_pk", prev_key)
+                .where(F.col("_pk").isNull() | (F.col("_pk") != F.col(key)))
+                .select(*phys_cols, "bucket")
+            )
+            rel_out = f"data/snap-{snap}"
+            keep = [f for f in m["files"] if f["bucket"] not in set(affected)]
+
         out_dir = os.path.join(self.path, rel_out)
         merged.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         _mark("merge_write")
         wk.unpersist()
-        new_files = self._scan_files(rel_out)
+        new_files = self._scan_files(rel_out, delta=(mode == "mor"))
         _mark("scan_files")
 
         # ledger parquet for this batch (same commit scope)
@@ -410,13 +466,13 @@ class LakeTable:
         self._write_ledger_file(ledger_rows, rel_ledger)
         _mark("ledger_write")
 
-        keep = [f for f in m["files"] if f["bucket"] not in set(affected)]
         new_manifest = {
             "version": m["version"] + 1,
             "snapshot_id": str(uuid.uuid4()),
             "parent_version": m["version"],
             "key": key,
             "n_buckets": n_buckets,
+            "write_mode": mode,
             "schema": json.loads(new_schema.json()),
             "files": keep + new_files,
             "ledger_files": m["ledger_files"] + [rel_ledger],
@@ -468,7 +524,7 @@ class LakeTable:
     def _bucket(self, key: str, n_buckets: int) -> F.Column:
         return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
-    def _scan_files(self, rel_dir: str) -> list[dict[str, Any]]:
+    def _scan_files(self, rel_dir: str, delta: bool = False) -> list[dict[str, Any]]:
         out = []
         base = os.path.join(self.path, rel_dir)
         for root, _dirs, files in os.walk(base):
@@ -483,19 +539,123 @@ class LakeTable:
                         bucket = int(part.split("=", 1)[1])
                 if bucket is None:
                     raise ValueError(f"file outside bucket partition: {rel}")
-                out.append({"path": rel, "bucket": bucket, "bytes": os.path.getsize(full)})
+                entry = {"path": rel, "bucket": bucket, "bytes": os.path.getsize(full)}
+                if delta:
+                    entry["delta"] = True
+                out.append(entry)
         return out
 
     # -------------------------------------------------------- maintenance
 
-    def compact_files(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, Any]:
+    def _applied_lsn_watermark(self, m: dict[str, Any]) -> int:
+        """Globally-applied LSN watermark: every event with lsn ≤ this has
+        been applied on its binlog partition (min over per-partition max
+        applied lsn)."""
+        wm = m.get("watermarks") or {}
+        return min(int(v) for v in wm.values()) if wm else -1
+
+    def _gc_tombstones(self, df: DataFrame, m: dict[str, Any]) -> DataFrame:
+        """Drop tombstones at/below the applied-LSN watermark.
+
+        Safe because (a) the input is already LWW-folded, so every older
+        version the tombstone suppressed is gone; (b) re-delivery of an
+        applied batch is a structural no-op (``applied_batches`` guard);
+        (c) any yet-undelivered event has lsn > its partition's watermark
+        and, per the binlog's per-key ordering guarantee, a higher
+        (warc_ts, lsn) rank — it would out-rank the tombstone anyway.
+        Without this rule a high-churn table grows without bound (the
+        reference's TTL expiry analogue for deleted keys,
+        /root/reference/fintick/bqloader/bqloader.py:9-13).
+
+        PRECONDITION: run only from a maintenance context where delivery
+        is quiescent or per-partition ordered up to the watermark. A file
+        stream can surface segment files out of lsn order mid-ingest, and
+        then the watermark over-reports progress — GC'ing a tombstone
+        while an older version of its key is still undelivered would
+        resurrect it (measured, not hypothetical). Hence ingest-loop
+        compaction keeps tombstones and only scheduled maintenance GCs —
+        the Iceberg ingest-vs-maintenance split."""
+        gc_wm = self._applied_lsn_watermark(m)
+        return df.where(~(F.col("is_deleted") & (F.col("lsn") <= F.lit(gc_wm))))
+
+    def delta_file_counts(self) -> dict[int, int]:
+        counts: dict[int, int] = {}
+        for f in self.manifest()["files"]:
+            if f.get("delta"):
+                counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        return counts
+
+    def minor_compact(
+        self,
+        max_deltas: int = 8,
+        buckets: list[int] | None = None,
+        gc_tombstones: bool = False,
+    ) -> dict[str, Any]:
+        """Fold delta files back into base files for every bucket whose
+        delta count reached ``max_deltas`` (or the explicit ``buckets``).
+
+        This is the merge-on-read cost bound: reads fold at most
+        ``max_deltas`` deltas per bucket, and each minor compaction
+        touches only the buckets that need it — write cost O(live rows of
+        those buckets), amortized O(batch) per merge when batches spread
+        across buckets. ``gc_tombstones=True`` (maintenance contexts only
+        — see :meth:`_gc_tombstones` for the delivery-order precondition)
+        additionally drops tombstones at/below the applied-LSN
+        watermark."""
+        m = self.manifest()
+        if buckets is None:
+            buckets = [
+                b for b, c in self.delta_file_counts().items() if c >= max_deltas
+            ]
+        if not buckets:
+            return {"operation": "minor_compact", "buckets": []}
+        bset = set(buckets)
+        df = self.read_physical(buckets=buckets, fold=True)
+        if gc_tombstones:
+            df = self._gc_tombstones(df, m)
+        snap = str(uuid.uuid4())[:8]
+        rel_out = f"data/minor-{snap}"
+        (
+            df.withColumn("bucket", self._bucket(m["key"], m["n_buckets"]))
+            .repartition(len(buckets), F.col("bucket"))
+            .sortWithinPartitions(m["key"])
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, rel_out))
+        )
+        new_files = self._scan_files(rel_out)
+        keep = [f for f in m["files"] if f["bucket"] not in bset]
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            files=keep + new_files,
+            summary={"operation": "minor_compact", "buckets": sorted(bset),
+                     "files_folded": len(m["files"]) - len(keep),
+                     "files_after": len(new_files)},
+            committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm["summary"]
+
+    def compact_files(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        gc_tombstones: bool = False,
+    ) -> dict[str, Any]:
         """Rewrite each bucket's files into ~target-size files (Iceberg
         ``rewrite_data_files`` analogue — the north_rule's file-size
-        compaction knob). Drops fully-superseded tombstones is NOT done
-        here (tombstones are load-bearing for LWW replay); only bin-packs.
+        compaction knob). On a merge-on-read table this also folds every
+        outstanding delta into the base (the folded read is the input).
+        ``gc_tombstones=True`` additionally drops tombstones at/below the
+        applied-LSN watermark (:meth:`_gc_tombstones`); retained
+        tombstones above it remain load-bearing for LWW replay.
         """
         m = self.manifest()
         df = self.read_physical()
+        if gc_tombstones:
+            df = self._gc_tombstones(df, m)
         total_bytes = sum(f["bytes"] for f in m["files"]) or 1
         n_files = max(1, round(total_bytes / target_file_bytes))
         snap = str(uuid.uuid4())[:8]

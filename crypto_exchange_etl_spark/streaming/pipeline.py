@@ -39,11 +39,21 @@ class CdcPipeline:
         table_path: str,
         n_buckets: int = 16,
         key: str = "url",
+        write_mode: str = "cow",
+        max_deltas: int = 8,
     ):
+        """``write_mode="mor"`` switches the lake table to merge-on-read:
+        each micro-batch appends O(batch) delta files and the pipeline
+        minor-compacts any bucket whose delta count reaches
+        ``max_deltas`` — the steady-state shape for high-frequency
+        micro-batches at scale (CoW rewrite amplification is O(live
+        table) per batch under key-space-wide skew)."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
         self.key = key
+        self.write_mode = write_mode
+        self.max_deltas = max_deltas
 
     def ensure_table(self) -> LakeTable:
         return LakeTable.create(
@@ -53,6 +63,7 @@ class CdcPipeline:
             key=self.key,
             n_buckets=self.n_buckets,
             if_not_exists=True,
+            write_mode=self.write_mode,
         )
 
     @property
@@ -69,9 +80,12 @@ class CdcPipeline:
         output either side of compaction). The merge does LWW + schema
         evolution + bucket-pruned rewrite + ledger in one atomic commit."""
         table = self.ensure_table()
-        return table.merge_apply(
+        out = table.merge_apply(
             changes, batch_id=batch_id, enrich=with_extracted_text
         )
+        if table.write_mode == "mor" and not out.get("skipped"):
+            table.minor_compact(max_deltas=self.max_deltas)
+        return out
 
     # ---------------------------------------------------------- streaming
 
