@@ -248,14 +248,28 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for id_a < id_b.
 
-    With ``candidates`` (from :func:`lsh_candidate_pairs`) the join is
-    semi-restricted to the candidate set — the scale path. Without it,
-    pairs form via the shared-shingle join (still never a cross join:
-    only docs sharing ≥1 shingle pair up).
+    With ``candidates`` (from :func:`lsh_candidate_pairs`) the exploded
+    shingle rows are semi-joined to the candidate doc-id set BEFORE the
+    shared-shingle self-join — the pruning must sit upstream of the join
+    (Catalyst pushes a LeftSemi through an Aggregate but not through a
+    two-sided join), so the O(Σ bucket²) work runs over candidate docs
+    only. A second, exact pair-level semi-join then drops same-bucket
+    pairs that were never candidates. This is the scale path. Without
+    ``candidates``, pairs form via the shared-shingle join (still never a
+    cross join: only docs sharing ≥1 shingle pair up).
     """
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
     )
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        # per-doc restriction before the explode-join; per-doc shingle
+        # counts are unaffected (whole docs in or out)
+        sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = sh.alias("a"), sh.alias("b")

@@ -192,34 +192,62 @@ def embedding_near_dup_pairs(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 8,
+    bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, sim ≥ threshold).
 
-    Scale path: SRP-LSH bucket join restricts candidates to same-bucket
-    pairs (cosine-similar vectors share sign patterns), then exact cosine
-    verifies. Cost O(Σ bucket²), the same shape as MinHash LSH dedup —
-    this is the embedding-space member of the dedup family.
+    Scale path: **banded** SRP-LSH, the same structure as MinHash LSH
+    banding (operators/dedup.lsh_candidate_pairs). The ``n_planes`` sign
+    bits split into ``bands`` independent bands of r = n_planes/bands
+    planes; two vectors are candidates iff they agree on ALL r sign bits
+    of ≥ 1 band. Exact cosine then verifies candidates.
+
+    Geometry is the scale knob: per band, E[bucket] ≈ N/2^r, so candidate
+    pairs ≈ bands · N²/2^(r+1) under uniformity. A single 8-plane band at
+    N=10⁹ means 256 buckets of ~4M vectors ⇒ ~10¹³ pairs — useless. Size
+    r ≈ log₂(N / target_bucket) (e.g. N=10⁹, target 10³ ⇒ r≈20) and add
+    bands for recall: P(candidate | sim s) = 1-(1-p(s)^r)^bands with
+    p(s) = 1 - arccos(s)/π. Candidate pairs are distinct-ed BEFORE the
+    vector fetch, so each pair pays the exact-cosine verify once.
     """
+    if n_planes % bands:
+        raise ValueError(f"bands={bands} must divide n_planes={n_planes}")
+    r = n_planes // bands
     planes = hyperplanes(dim, n_planes)
-    t = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_v"), srp_bucket(vec_col, planes).alias("_b")
-    )
-    a, b = t.alias("a"), t.alias("b")
-    return (
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            srp_bucket(vec_col, planes[b * r : (b + 1) * r]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    ex = corpus.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, "b.band", "b.bh")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
         a.join(
             b,
             on=[
-                F.col("a._b") == F.col("b._b"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a._v"), F.col("b._v")).alias("sim"),
         )
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("sim"))
         .where(F.col("sim") >= threshold)
     )
 

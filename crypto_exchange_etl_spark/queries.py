@@ -990,6 +990,7 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_PLANES = 8
+NEAR_DUP_BANDS = 2  # 2 bands × 4 planes: banded SRP-LSH (recall/bucket knob)
 NEAR_DUP_T = 0.2  # synthetic embeddings are near-orthogonal; low τ ⇒ non-empty result
 
 
@@ -1003,30 +1004,44 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        emb, dim=EMB_DIM, threshold=NEAR_DUP_T, n_planes=ANN_PLANES
+        emb, dim=EMB_DIM, threshold=NEAR_DUP_T, n_planes=ANN_PLANES,
+        bands=NEAR_DUP_BANDS,
     )
 
 
 def _near_dup_sql() -> str:
+    """Banded SRP-LSH mirror: per band, bucket = Σ 2^p·[dot>0] over that
+    band's plane slice; candidate pairs = UNION (distinct) over bands of
+    same-bucket joins; exact cosine verifies."""
     planes = hyperplanes(EMB_DIM, ANN_PLANES)
-    terms = []
-    for p, plane in enumerate(planes):
-        lit = "[" + ", ".join(str(x) for x in plane) + "]"
-        terms.append(
-            f"(case when {_dot_sql('embedding', lit)} > 0 "
-            f"then cast({1 << p} as bigint) else cast(0 as bigint) end)"
-        )
-    bucket = " + ".join(terms)
-    dot = _dot_sql("a.v", "b.v")
-    na = _dot_sql("a.v", "a.v")
-    nb = _dot_sql("b.v", "b.v")
+    r = ANN_PLANES // NEAR_DUP_BANDS
+    bucket_cols = []
+    for band in range(NEAR_DUP_BANDS):
+        terms = []
+        for p in range(r):
+            plane = planes[band * r + p]
+            lit = "[" + ", ".join(str(x) for x in plane) + "]"
+            terms.append(
+                f"(case when {_dot_sql('embedding', lit)} > 0 "
+                f"then cast({1 << p} as bigint) else cast(0 as bigint) end)"
+            )
+        bucket_cols.append("(" + " + ".join(terms) + f") as b{band}")
+    pair_selects = " union ".join(
+        f"select a.vec_id as id_a, b.vec_id as id_b "
+        f"from t a join t b on a.b{band} = b.b{band} and a.vec_id < b.vec_id"
+        for band in range(NEAR_DUP_BANDS)
+    )
+    dot = _dot_sql("va.v", "vb.v")
+    na = _dot_sql("va.v", "va.v")
+    nb = _dot_sql("vb.v", "vb.v")
     return f"""
-with t as (select vec_id, embedding as v, ({bucket}) as b from embeddings),
-p as (
-  select a.vec_id as id_a, b.vec_id as id_b,
+with t as (select vec_id, embedding as v, {", ".join(bucket_cols)} from embeddings),
+p as ({pair_selects}),
+s as (
+  select id_a, id_b,
          cast({dot} as double) / sqrt(cast({na} as double) * cast({nb} as double)) as sim
-  from t a join t b on a.b = b.b and a.vec_id < b.vec_id)
-select id_a, id_b, sim from p where sim >= {NEAR_DUP_T}
+  from p join t va on va.vec_id = id_a join t vb on vb.vec_id = id_b)
+select id_a, id_b, sim from s where sim >= {NEAR_DUP_T}
 """
 
 

@@ -19,10 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-#: Raw dump columns (reference downloads: timestamp, price, volume, side)
+#: Raw dump columns (reference downloads: symbol, timestamp, price,
+#: volume, side — /root/reference/fintick/providers/bitmex/constants.py)
 DUMP_SCHEMA = T.StructType(
     [
         T.StructField("uid", T.StringType(), True),
+        T.StructField("symbol", T.StringType(), True),
         T.StructField("timestamp", T.TimestampType(), True),
         T.StructField("price", T.DoubleType(), True),
         T.StructField("size", T.DoubleType(), True),
@@ -50,19 +52,27 @@ def read_csv_dump(
 
 def dump_to_ticks(df: DataFrame) -> DataFrame:
     """Raw dump → TICKS_SCHEMA-shaped rows using the §2.7 scalar builders
-    (volume/notional convention, tick rule from side, ns split, per-symbol
-    index via row_number — W4)."""
+    (volume/notional convention, tick rule from side, ns split, PER-SYMBOL
+    index via row_number — W4, mirroring the reference's
+    ``calculate_index`` per symbol,
+    /root/reference/fintick/providers/bitmex/lib.py:4-11).
+
+    The index window partitions by symbol, so parallelism = #symbols and
+    no row ever funnels through a single global task — at 100 TB a
+    ``partitionBy(lit(1))`` window would be a driver-adjacent
+    serialization point."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..functions.market import strip_nanoseconds
 
     ts, nanos = strip_nanoseconds("timestamp")
-    w = Window.partitionBy(F.lit(1)).orderBy("timestamp", "uid")
+    w = Window.partitionBy("symbol").orderBy("timestamp", "uid")
     price = F.col("price").cast("decimal(38,18)")
     notional = F.col("size").cast("decimal(38,18)")
     return df.select(
         "uid",
+        "symbol",
         ts.alias("timestamp"),
         nanos.alias("nanoseconds"),
         price.alias("price"),

@@ -17,10 +17,12 @@ from crypto_exchange_etl_spark.streaming.windowed import (
     windowed_page_metrics,
 )
 
-CSV = """uid,timestamp,price,size,side
-t1,2024-01-01 00:00:00.001500,100.5,2.0,buy
-t2,2024-01-01 00:00:00.001500,100.6,1.0,sell
-t3,2024-01-01 00:00:01.000000,100.7,0.5,buy
+CSV = """uid,symbol,timestamp,price,size,side
+t1,XBTUSD,2024-01-01 00:00:00.001500,100.5,2.0,buy
+t2,XBTUSD,2024-01-01 00:00:00.001500,100.6,1.0,sell
+t3,XBTUSD,2024-01-01 00:00:01.000000,100.7,0.5,buy
+t4,ETHUSD,2024-01-01 00:00:00.500000,10.0,1.0,sell
+t5,ETHUSD,2024-01-01 00:00:02.000000,10.1,1.0,buy
 """
 
 
@@ -29,18 +31,33 @@ def test_csv_dump_roundtrip(spark, tmpdir_path):
     with gzip.open(path, "wt") as fh:
         fh.write(CSV)
     raw = read_csv_dump(spark, path)
-    assert raw.count() == 3
+    assert raw.count() == 5
     # column pruning through the source
     pruned = read_csv_dump(spark, path, columns=["uid", "price"])
     assert pruned.columns == ["uid", "price"]
 
-    ticks = dump_to_ticks(raw).orderBy("index").collect()
+    rows = dump_to_ticks(raw).collect()
+    ticks = sorted((t for t in rows if t.symbol == "XBTUSD"), key=lambda t: t["index"])
     assert [t.uid for t in ticks] == ["t1", "t2", "t3"]
     assert [t.tickRule for t in ticks] == [1, -1, 1]
     # ms-floor + ns leftover split (1500 µs → 1 ms + 500000 ns)
     assert ticks[0].nanoseconds == 500_000
     assert ticks[0].timestamp.microsecond == 1000
     assert float(ticks[0].volume) == 201.0  # price*size
+    # W4: the index is assigned PER SYMBOL (reference calculate_index)
+    eth = sorted((t for t in rows if t.symbol == "ETHUSD"), key=lambda t: t["index"])
+    assert [t.uid for t in eth] == ["t4", "t5"]
+    assert [t["index"] for t in eth] == [0, 1] == [t["index"] for t in ticks[:2]]
+
+
+def test_dump_to_ticks_no_global_exchange(spark, tmpdir_path):
+    """The index window must not funnel all rows through one partition."""
+    path = os.path.join(tmpdir_path, "dump2.csv.gz")
+    with gzip.open(path, "wt") as fh:
+        fh.write(CSV)
+    plan = dump_to_ticks(read_csv_dump(spark, path))._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(symbol" in plan
 
 
 def _batch_metrics(df, window="10 minutes"):

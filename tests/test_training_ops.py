@@ -102,9 +102,18 @@ def test_lsh_candidates_restrict_jaccard_join(docs):
     sig = minhash_signature(docs, k=8, shingle_k=3)
     cand = lsh_candidate_pairs(sig, k=8, bands=4)
     pairs = ngram_jaccard_pairs(docs, shingle_k=3, candidates=cand)
-    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
     assert (0, 1) in got
-    assert got <= {(r.id_a, r.id_b) for r in cand.collect()}
+    cand_set = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert set(got) <= cand_set
+    # candidate restriction only FILTERS — jaccard values are unchanged
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, shingle_k=3).collect()}
+    assert got == {k: v for k, v in full.items() if k in cand_set}
+    # the doc-level LeftSemi prunes UPSTREAM of the shingle self-join
+    # (plus the pair-level LeftSemi after it — 2 semi joins total)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftSemi") >= 2
 
 
 VECS = [
