@@ -10,7 +10,12 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] cores + shuffle partitions (default 32)
   SPARK_GRAFT_CDC_EVENTS  synthetic binlog size for the CDC replay bench
-                          (default 2_000_000)
+                          (default 20_000_000 — sized so a replay runs
+                          tens of seconds of steady state; at 2M events
+                          wall-time was ~flat in event count, i.e. the
+                          bench measured fixed scheduling overhead, not
+                          throughput: measured 2M = 44.0 s vs 8M = 42.6 s
+                          on identical config)
 
 Scaling-efficiency evidence (north_rule's two-cluster-size criterion) is
 produced by scripts/scaling_bench.py, which runs THIS file's CDC section
@@ -50,8 +55,14 @@ BENCH_QUERIES = [
 
 
 def bench_cdc_replay(spark, n_events: int, n_cpus: int) -> dict:
-    """Generate a synthetic binlog and replay it through the full engine."""
-    tmp = tempfile.mkdtemp(prefix="cdc_bench_")
+    """Generate a synthetic binlog and replay it through the full engine.
+
+    Binlog + bench tables live on tmpfs when available (cluster
+    equivalent: executor-local NVMe) — this VM's virtio disk turns
+    concurrent small writes into fsync storms that invert any
+    measurement (see BASELINE.md methodology)."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="cdc_bench_", dir=base)
     try:
         binlog = os.path.join(tmp, "binlog")
         write_binlog_segments(
@@ -88,7 +99,7 @@ def bench_cdc_replay(spark, n_events: int, n_cpus: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "2000000"))
+    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "20000000"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     spark = get_spark(app_name="bench", cores=n_cpus, shuffle_partitions=n_cpus)

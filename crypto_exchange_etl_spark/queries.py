@@ -506,6 +506,20 @@ from w where rn = 1 and op <> 'D'
 """
 
 
+def q_cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship replay through the merge-on-read write path: winners
+    land as per-bucket delta files, a minor compaction folds them, and
+    the folded logical read must equal the same 10-line SQL oracle as the
+    CoW path — write-mode invisibility as a driver-checked property."""
+    tmp = os.path.join(tempfile.gettempdir(), f"cdc_m_{uuid.uuid4().hex[:8]}")
+    pipe = CdcPipeline(spark, tmp, n_buckets=8, write_mode="mor", max_deltas=2)
+    changes = _changes_from_events(spark, sf_dir)
+    # two micro-batches so deltas + fold-at-read are genuinely exercised
+    pipe.apply_batch(changes.where(F.col("lsn") % 2 == 0), batch_id=0)
+    pipe.apply_batch(changes.where(F.col("lsn") % 2 == 1), batch_id=1)
+    return pipe.table.read().select("url", "warc_ts", "text", "lang")
+
+
 def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: hierarchical ROLLUP aggregation (free in Catalyst; absent in
     the reference — SURVEY.md §2.4)."""
@@ -578,6 +592,92 @@ select event_id,
   cast(quarter(ts) as int) as era_quarter,
   cast(year(ts) as int) as era_year
 from events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Futures / multi-symbol contract model (reference MULTIPLE_SYMBOL family)
+# ---------------------------------------------------------------------------
+
+#: Deterministic contract fan-out: each tick maps to one of three
+#: quarterly contracts of its root symbol; expiries straddle FUT_AS_OF so
+#: the active filter genuinely drops the front contract.
+FUT_SUFFIXES = ("H24", "M24", "U24")
+FUT_EXPIRIES = ("2024-01-10 00:00:00", "2024-02-01 00:00:00", "2024-06-01 00:00:00")
+FUT_LISTING = "2023-12-01 00:00:00"
+FUT_AS_OF = "2024-01-15 00:00:00"
+
+
+def _fut_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in FUT_SUFFIXES]),
+        (F.col("index") % 3 + 1).cast("int"),
+    )
+    return t.withColumn("symbol", F.concat_ws("-", F.col("symbol"), suffix))
+
+
+def _fut_instruments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruments dimension: (symbol, root_symbol, listing, expiry) —
+    one contract per (root symbol × suffix)."""
+    base = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("root_symbol"))
+        .distinct()
+    )
+    contracts = F.array(
+        *[
+            F.struct(F.lit(s).alias("sfx"), F.lit(e).alias("exp"))
+            for s, e in zip(FUT_SUFFIXES, FUT_EXPIRIES)
+        ]
+    )
+    return base.select(
+        "root_symbol", F.explode(contracts).alias("c")
+    ).select(
+        F.concat_ws("-", F.col("root_symbol"), F.col("c.sfx")).alias("symbol"),
+        "root_symbol",
+        F.lit(FUT_LISTING).cast("timestamp").alias("listing"),
+        F.col("c.exp").cast("timestamp").alias("expiry"),
+    )
+
+
+def q_futures_active_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 + J2 at contract granularity: multi-symbol ticks filtered to
+    contracts active at FUT_AS_OF (expiry ≥ as_of — the reference's
+    get_active_futures rule) then broadcast-enriched with each
+    contract's expiry (MULTIPLE_SYMBOL output shape)."""
+    from .operators.futures import enrich_expiry, filter_to_active
+
+    t = _fut_ticks(spark, sf_dir)
+    ins = _fut_instruments(spark, sf_dir)
+    act = filter_to_active(t, ins, FUT_AS_OF)
+    return enrich_expiry(act, ins).select(
+        F.col("index").alias("idx"),
+        "symbol",
+        "timestamp",
+        F.col("price").cast("double").alias("price"),
+        "expiry",
+    )
+
+
+def _futures_sql() -> str:
+    sfx = (
+        "case cast(idx % 3 as int) when 0 then 'H24' "
+        "when 1 then 'M24' else 'U24' end"
+    )
+    exp = (
+        f"case cast(idx % 3 as int) when 0 then timestamp '{FUT_EXPIRIES[0]}' "
+        f"when 1 then timestamp '{FUT_EXPIRIES[1]}' "
+        f"else timestamp '{FUT_EXPIRIES[2]}' end"
+    )
+    return f"""
+with t as ({_ticks_sql(None)}),
+ft as (
+  select idx, symbol || '-' || {sfx} as symbol, timestamp,
+         cast(price as double) as price, {exp} as expiry
+  from t)
+select idx, symbol, timestamp, price, expiry from ft
+where expiry >= timestamp '{FUT_AS_OF}'
 """
 
 
@@ -1113,8 +1213,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minmax_by": q_minmax_by,
     "cdc_final_state": q_cdc_final_state,
     "cdc_replay_engine": q_cdc_replay_engine,
+    "cdc_replay_mor": q_cdc_replay_mor,
     "rollup_daily": q_rollup_daily,
     "scalar_market_fns": q_scalar_market_fns,
+    "futures_active_enrich": q_futures_active_enrich,
     "pricing_summary": q_pricing_summary,
     "enrich_join": q_enrich_join,
     "anti_join": q_anti_join,
@@ -1150,8 +1252,10 @@ ORACLES: dict[str, str] = {
     "minmax_by": SQL_MINMAX,
     "cdc_final_state": SQL_CDC_FINAL,
     "cdc_replay_engine": SQL_CDC_REPLAY,
+    "cdc_replay_mor": SQL_CDC_REPLAY,
     "rollup_daily": SQL_ROLLUP,
     "scalar_market_fns": SQL_SCALAR_FNS,
+    "futures_active_enrich": _futures_sql(),
     "pricing_summary": SQL_PRICING,
     "enrich_join": SQL_ENRICH,
     "anti_join": SQL_ANTI,
