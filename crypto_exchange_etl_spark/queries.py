@@ -1159,6 +1159,67 @@ def _ann_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling over `documents`
+# ---------------------------------------------------------------------------
+
+SAMPLE_FRAC = 0.2
+SAMPLE_SEED = 7
+STRATA_FRACS = {"en": 0.5, "de": 0.1}
+STRATA_DEFAULT = 0.05
+EVAL_FRAC = 0.1
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", SAMPLE_FRAC, seed=SAMPLE_SEED).select(
+        "doc_id", "lang"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "doc_id", "lang", STRATA_FRACS, default_fraction=STRATA_DEFAULT,
+        seed=SAMPLE_SEED,
+    ).select("doc_id", "lang")
+
+
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import train_eval_split
+
+    d = _t(spark, sf_dir, "documents")
+    return train_eval_split(d, "doc_id", EVAL_FRAC, seed=SAMPLE_SEED).select(
+        "doc_id", "split"
+    )
+
+
+def _sampling_sqls() -> dict[str, str]:
+    from .operators.sampling import RESOLUTION, hash_sample_sql, hash_slot_sql
+
+    plain = hash_sample_sql("doc_id", SAMPLE_FRAC, SAMPLE_SEED)
+    cutoff = "case lang " + " ".join(
+        f"when '{v}' then {int(f * RESOLUTION)}"
+        for v, f in sorted(STRATA_FRACS.items())
+    ) + f" else {int(STRATA_DEFAULT * RESOLUTION)} end"
+    slot = hash_slot_sql("doc_id", SAMPLE_SEED)
+    return {
+        "hash_sample": f"select doc_id, lang from documents where {plain}",
+        "stratified_sample": (
+            f"select doc_id, lang from documents where {slot} < {cutoff}"
+        ),
+        "train_eval_split": (
+            f"select doc_id, case when "
+            f"{hash_sample_sql('doc_id', EVAL_FRAC, SAMPLE_SEED)} "
+            f"then 'eval' else 'train' end as split from documents"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing over `documents` (binary column + mapInPandas)
 # ---------------------------------------------------------------------------
 
@@ -1236,6 +1297,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_meta": q_multimodal_meta,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "train_eval_split": q_train_eval_split,
     "thresh_bars": q_thresh_bars,
     "renko_bars": q_renko_bars,
 }
@@ -1275,6 +1339,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_buckets": _ann_sql(),
     "embedding_near_dup": _near_dup_sql(),
     "multimodal_meta": SQL_MULTIMODAL,
+    **_sampling_sqls(),
     # thresh_bars / renko_bars: stateful sequential kernels — not
     # SQL-expressible; driver records rows-only checks. Their semantics are
     # pinned by split-vs-whole equivalence tests (tests/test_aggregations.py).

@@ -187,3 +187,28 @@ def test_quality_metrics_ranges(docs):
         assert r.n_tokens > 0
         assert 0.0 <= r.stopword_ratio <= 1.0
         assert 0.0 <= r.punct_ratio <= 1.0
+
+
+def test_hash_sampling_reproducible_and_layout_independent(spark):
+    from crypto_exchange_etl_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+        train_eval_split,
+    )
+
+    df = spark.range(0, 5000, 1, 8).selectExpr(
+        "id as doc_id", "case when id % 3 = 0 then 'en' else 'de' end as lang"
+    )
+    a = {r.doc_id for r in hash_sample(df, "doc_id", 0.2, seed=1).collect()}
+    # different partition layout, same sample (df.sample can't do this)
+    b = {r.doc_id for r in hash_sample(df.repartition(3), "doc_id", 0.2, seed=1).collect()}
+    assert a == b and 0.15 < len(a) / 5000 < 0.25
+    # stratified: per-stratum rates honor the per-lang fractions
+    s = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.5}, 0.05, seed=1)
+    by = {r.lang: r.n for r in s.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert 0.4 < by["en"] / (5000 / 3) < 0.6
+    assert by.get("de", 0) / (5000 * 2 / 3) < 0.1
+    # split is a partition of the keyspace and agrees with hash_sample's hash
+    sp = train_eval_split(df, "doc_id", 0.1, seed=1)
+    ev = {r.doc_id for r in sp.where("split = 'eval'").collect()}
+    assert ev == {r.doc_id for r in hash_sample(df, "doc_id", 0.1, seed=1).collect()}
