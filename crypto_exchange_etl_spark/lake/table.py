@@ -59,14 +59,25 @@ def _fmt_version(v: int) -> str:
 #: slot + object overhead, measured order-of-magnitude on the JVM).
 _BYTES_PER_BROADCAST_KEY = 48
 
+#: Default byte budget for the winner-lsn-set broadcast: 128 MB ⇒ ~2.8M
+#: keys. Sized independently of spark.sql.autoBroadcastJoinThreshold
+#: (that guards ROW-relation estimates and defaults to 10 MB, which
+#: would cap at ~870k keys and push realistic micro-batches onto the
+#: shuffle path — measured 2.7× slower end-to-end, because the payload
+#: bytes then cross an exchange). 128 MB per executor is safe where a
+#: 20M-key ≈ 1 GB relation (the old fixed cutoff) was the OOM risk the
+#: round-1 review flagged.
+_BROADCAST_KEY_BUDGET_CONF = "spark.cdc.broadcast.keyBudgetBytes"
+_BROADCAST_KEY_BUDGET_DEFAULT = 128 * 1024 * 1024
+
 
 def _broadcast_key_budget(spark: SparkSession) -> int:
-    """Max number of int64 keys worth broadcasting, derived from
-    ``spark.sql.autoBroadcastJoinThreshold`` (4× headroom: a packed long
-    relation is far denser than the row-estimate the auto threshold
-    guards). Defaults to ~10 MB ⇒ ~870k keys if the threshold is unset or
-    disabled — well under driver/executor OOM territory."""
-    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    """Max number of int64 keys worth broadcasting for the winner-set
+    semi-join, from ``spark.cdc.broadcast.keyBudgetBytes`` (suffixes
+    k/m/g accepted)."""
+    raw = str(
+        spark.conf.get(_BROADCAST_KEY_BUDGET_CONF, str(_BROADCAST_KEY_BUDGET_DEFAULT))
+    )
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
     low = raw.strip().lower()
     scale = 1
@@ -77,10 +88,10 @@ def _broadcast_key_budget(spark: SparkSession) -> int:
     try:
         nbytes = int(low) * scale
     except ValueError:  # pragma: no cover - malformed conf
-        nbytes = 10 * 1024 * 1024
-    if nbytes <= 0:  # auto-broadcast disabled; keep a sane explicit budget
-        nbytes = 10 * 1024 * 1024
-    return (nbytes * 4) // _BYTES_PER_BROADCAST_KEY
+        nbytes = _BROADCAST_KEY_BUDGET_DEFAULT
+    if nbytes <= 0:
+        nbytes = _BROADCAST_KEY_BUDGET_DEFAULT
+    return nbytes // _BYTES_PER_BROADCAST_KEY
 
 
 class LakeTable:
