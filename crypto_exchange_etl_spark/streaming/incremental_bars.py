@@ -218,6 +218,61 @@ class IncrementalBars:
             return self.spark.createDataFrame([], self.bar_schema)
         return self.spark.read.schema(self.bar_schema).parquet(*paths)
 
+    # -------------------------------------------------------- maintenance
+
+    def compact_bars(self, max_dirs: int = 16) -> int:
+        """Fold the per-batch bar directories into one when they exceed
+        ``max_dirs`` (a long-running stream otherwise accumulates one
+        small parquet dir per micro-batch — the small-files problem).
+        Pure rewrite: bar rows are immutable once emitted. Returns the
+        number of directories folded (0 = nothing to do)."""
+        m = self.manifest()
+        if len(m["bar_dirs"]) <= max_dirs:
+            return 0
+        df = self.read()
+        rel = f"bars/compact-{uuid.uuid4().hex[:8]}"
+        df.repartition("symbol").write.mode("overwrite").parquet(
+            os.path.join(self.path, rel)
+        )
+        folded = len(m["bar_dirs"])
+        self._commit(
+            {
+                **m,
+                "version": m["version"] + 1,
+                "bar_dirs": [rel],
+                "committed_at_unix": time.time(),
+            }
+        )
+        return folded
+
+    def expire_state(self, keep_last: int = 2) -> int:
+        """Drop old state manifests and bar dirs no longer referenced by
+        the kept versions (crash-orphan GC, LakeTable.expire_snapshots
+        analogue). Returns removed file count."""
+        import shutil
+
+        cur = self.current_version()
+        if cur is None:
+            return 0
+        keep = set(range(max(0, cur - keep_last + 1), cur + 1))
+        referenced: set[str] = set()
+        for v in sorted(keep):
+            p = os.path.join(self.state_dir, _fmt_version(v))
+            if os.path.exists(p):
+                with open(p) as fh:
+                    referenced |= set(json.load(fh)["bar_dirs"])
+        removed = 0
+        for f in list(os.listdir(self.state_dir)):
+            if f.startswith("v") and f.endswith(".json") and int(f[1:-5]) not in keep:
+                os.remove(os.path.join(self.state_dir, f))
+                removed += 1
+        for d in list(os.listdir(self.bars_dir)):
+            rel = f"bars/{d}"
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(self.bars_dir, d), ignore_errors=True)
+                removed += 1
+        return removed
+
     # ---------------------------------------------------------- streaming
 
     def run_stream(

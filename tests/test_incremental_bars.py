@@ -132,3 +132,22 @@ def test_incremental_run_stream(spark, tmp_path, ticks):
     got = _sorted_rows(inc.read())
     want = _sorted_rows(thresh_bars(ticks, "notional", 60.0, top_n=1))
     assert _approx_eq(got, want)
+
+
+def test_compact_bars_and_expire_state(spark, tmp_path, ticks):
+    inc = IncrementalBars(
+        spark, str(tmp_path / "mb"), kind="thresh",
+        thresh_attr="notional", thresh_value=60.0,
+    )
+    for i, b in enumerate(_batches(ticks)):
+        inc.apply_batch(b, batch_id=i)
+    before = _sorted_rows(inc.read())
+    assert len(inc.manifest()["bar_dirs"]) == 3
+    assert inc.compact_bars(max_dirs=2) == 3
+    assert len(inc.manifest()["bar_dirs"]) == 1
+    assert _sorted_rows(inc.read()) == before  # pure rewrite
+    removed = inc.expire_state(keep_last=1)
+    assert removed > 0
+    assert _sorted_rows(inc.read()) == before  # live version untouched
+    # carry state survives maintenance: next batch still continues
+    assert set(inc.caches()) == set(SYMBOLS)
