@@ -304,3 +304,77 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. Duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dedup_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: the connected
+    components of the pair graph, labelled by each component's minimum
+    member id (= the canonical document to keep).
+
+    Iterative min-label propagation: every vertex repeatedly adopts the
+    smallest label among itself and its neighbours until a fixpoint —
+    each round is one join + one hash aggregate (two shuffles), and the
+    round count is the graph DIAMETER, not |V|. Near-dup graphs are
+    dense blobs of mutual similarity, so the diameter is small (2-4) in
+    practice; for adversarial long chains the large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce")
+    drops rounds to O(log d) at the cost of a doubled edge list — same
+    join/agg building blocks, swap-in compatible here.
+
+    Scale notes: labels are (vertex, bigint) — narrow; edges are
+    symmetrized once up front; each round ends in ``localCheckpoint``
+    to truncate the lineage (an iterative plan otherwise re-derives all
+    previous rounds and the DAG grows quadratically). Convergence is
+    detected with a count of changed labels — an O(1)-row action per
+    round. The fixpoint (min reachable id per vertex) is unique, so the
+    result is deterministic regardless of execution order.
+
+    Output: (id, component) — one row per vertex of ``pairs``;
+    ``component`` = min id in the vertex's component.
+
+    Reference analogue: none (the reference dedups on exchange uids,
+    P7); this is the cluster-resolution step every content-level dedup
+    pipeline needs between "candidate pairs" and "rows to drop".
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    labels = e.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("component")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            e.join(labels, e.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("component").alias("_nc"))
+        )
+        new = (
+            labels.join(neigh, labels.v == neigh.src, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nc"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("_nc"), F.col("component")) < F.col("component"))
+                .alias("_chg"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = new.where(F.col("_chg")).limit(1).count()
+        labels = new.select("v", "component")
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("id"), "component")

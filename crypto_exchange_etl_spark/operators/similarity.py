@@ -252,6 +252,118 @@ def embedding_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-flat (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF codebook: the ``n_cells`` corpus vectors with the
+    smallest ``portable_hash64(id)`` (a uniform deterministic sample).
+
+    Production IVF trains the codebook with k-means; a hash-sampled
+    codebook keeps the identical *index structure* (cells, assignment,
+    probe) while staying bit-reproducible in the DuckDB oracle — and
+    sampled codebooks are a known-acceptable IVF degradation (FAISS's own
+    docs allow random training subsets). Cell ids are the 0-based rank by
+    hash, so the mapping is stable across engines and runs.
+
+    Output: (cell int, centroid array<float>) — ``n_cells`` rows, always
+    broadcast by callers.
+    """
+    from ..functions.hashing import portable_hash64
+
+    h = portable_hash64(F.col(id_col).cast("string"))
+    w = Window.orderBy("_h", id_col)
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col), h.alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-file index: every corpus vector assigned to its nearest
+    centroid (argmax cosine; ties → smaller cell id).
+
+    One crossJoin against the broadcast codebook (O(N·n_cells·dim), the
+    standard IVF build cost) + one shuffle on ``id`` for the per-vector
+    argmax. At scale this runs ONCE and persists partitioned by ``cell``
+    (`.write.partitionBy("cell")`), so probes prune cells at the source.
+
+    Output: (nid, _cv vector, cell).
+    """
+    j = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("_cv")
+    ).crossJoin(F.broadcast(centroids))
+    w = Window.partitionBy("nid").orderBy(
+        cosine(F.col("_cv"), F.col("centroid")).desc(), F.col("cell")
+    )
+    return (
+        j.withColumn("_ar", F.row_number().over(w))
+        .where(F.col("_ar") == 1)
+        .select("nid", "_cv", "cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: exact cosine only inside the query's
+    ``n_probe`` nearest cells.
+
+    Each query scans ~``n_probe/n_cells`` of the corpus (vs 1/1 for
+    brute force, vs an untunable bucket share for single-band SRP).
+    ``n_probe = n_cells`` degrades gracefully to EXACT brute force —
+    pinned by test — which is the recall/latency knob IVF is used for.
+    Probe lists (|Q|·n_probe rows) are broadcast; the corpus index never
+    reshuffles after the build. Output shape = :func:`cosine_topk`.
+    """
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    index = ivf_index(corpus, cents, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"))
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "_qv", "cell", cosine(F.col("_qv"), F.col("centroid")).alias("_cs")
+    )
+    pw = Window.partitionBy("qid").orderBy(F.col("_cs").desc(), F.col("cell"))
+    probe = (
+        qc.withColumn("_pr", F.row_number().over(pw))
+        .where(F.col("_pr") <= n_probe)
+        .select("qid", "_qv", "cell")
+    )
+    sims = (
+        index.join(F.broadcast(probe), "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("_qv"), F.col("_cv")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "sim")
+    )
+
+
 def knn_label_vote(
     topk: DataFrame, labels: DataFrame, id_col: str = "vec_id", label_col: str = "label"
 ) -> DataFrame:

@@ -861,7 +861,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
 
 
-def _lang_sql() -> str:
+def _lang_exprs() -> tuple[str, str]:
+    """(hit-count column list, first-match CASE expr) mirroring
+    functions.text.lang_id — shared by the lang_id and corpus_curation
+    oracles."""
     langs = list(LANG_MARKERS)
     hits = {
         lang: f"len(list_filter(toks, tk -> tk in ({', '.join(repr(w) for w in ws)})))"
@@ -873,6 +876,11 @@ def _lang_sql() -> str:
         conds = " and ".join(f"h_{lang} >= h_{o}" for o in langs[i + 1 :])
         expr = f"case when {conds} then '{lang}' else {expr} end"
     hit_cols = ", ".join(f"{e} as h_{lang}" for lang, e in hits.items())
+    return hit_cols, expr
+
+
+def _lang_sql() -> str:
+    hit_cols, expr = _lang_exprs()
     return f"""
 with t as (select doc_id, lang, {TOKS_SQL} as toks from documents),
 h as (select doc_id, lang, {hit_cols} from t)
@@ -1158,6 +1166,93 @@ def _ann_sql() -> str:
     return f"select vec_id, cast({total} as bigint) as bucket from embeddings\n"
 
 
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < N_QUERIES),
+        n_cells=IVF_CELLS, n_probe=IVF_PROBE, k=TOPK,
+    )
+
+
+def _ivf_sql() -> str:
+    """IVF-flat mirror: hash-sampled codebook (rank by portable hash),
+    nearest-centroid assignment, n_probe nearest cells per query, exact
+    cosine within probed cells."""
+    from .functions.hashing import portable_hash64_sql
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"cast({_dot_sql(a, b)} as double) / "
+            f"sqrt(cast({_dot_sql(a, a)} as double) * cast({_dot_sql(b, b)} as double))"
+        )
+
+    h = portable_hash64_sql("cast(vec_id as varchar)")
+    return f"""
+with hh as (select vec_id, embedding, {h} as h from embeddings),
+cells as (
+  select cast(rn - 1 as int) as cell, ce from (
+    select embedding as ce, row_number() over (order by h, vec_id) as rn from hh) x
+  where rn <= {IVF_CELLS}),
+asg as (
+  select nid, cv, cell from (
+    select e.vec_id as nid, e.embedding as cv, c.cell,
+           row_number() over (partition by e.vec_id
+             order by {cos('e.embedding', 'c.ce')} desc, c.cell) as ar
+    from embeddings e cross join cells c) x
+  where ar = 1),
+q as (select vec_id as qid, embedding as qv from embeddings where vec_id < {N_QUERIES}),
+probe as (
+  select qid, qv, cell from (
+    select q.qid, q.qv, c.cell,
+           row_number() over (partition by q.qid
+             order by {cos('q.qv', 'c.ce')} desc, c.cell) as pr
+    from q cross join cells c) x
+  where pr <= {IVF_PROBE}),
+s as (select probe.qid, asg.nid, {cos('probe.qv', 'asg.cv')} as sim
+      from probe join asg using (cell) where qid <> nid),
+r as (select qid, nid, sim,
+             cast(row_number() over (partition by qid order by sim desc, nid) as int) as rank
+      from s)
+select qid, rank, nid, sim from r where rank <= {TOPK}
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_components
+    from .operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, dim=EMB_DIM, threshold=NEAR_DUP_T, n_planes=ANN_PLANES,
+        bands=NEAR_DUP_BANDS,
+    ).select("id_a", "id_b")
+    return dedup_components(pairs)
+
+
+def _components_sql() -> str:
+    """Connected components of the near-dup pair graph via DuckDB's
+    recursive CTE (transitive closure, then min reachable id per vertex)
+    — an exact cross-engine oracle for the iterative Spark label
+    propagation."""
+    return f"""
+with recursive
+nd as (select id_a, id_b from ({_near_dup_sql()}) x),
+e as (select id_a as a, id_b as b from nd union select id_b, id_a from nd),
+reach(src, dst) as (
+  select a, a from e
+  union
+  select reach.src, e.b from reach join e on e.a = reach.dst
+)
+select src as id, min(dst) as component from reach group by src
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling over `documents`
 # ---------------------------------------------------------------------------
@@ -1217,6 +1312,87 @@ def _sampling_sqls() -> dict[str, str]:
             f"then 'eval' else 'train' end as split from documents"
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation — the full training-data pipeline in ONE declarative plan
+# ---------------------------------------------------------------------------
+
+CURATION_MIN_QUALITY = 0.5
+CURATION_LANGS = ("en", "de")
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-corpus pipeline: exact dedup → quality gate →
+    language filter → leakage-proof train/eval split, composed as ONE
+    DataFrame plan (Catalyst fuses the narrow stages; the only wide op
+    is the dedup groupBy).
+
+    This is the end-to-end shape a 100 TB pretraining-data job runs:
+    every stage is a narrow projection/filter except the digest
+    aggregate, so the whole pipeline costs one shuffle over distinct
+    digests + a scan.
+    """
+    from .operators.dedup import exact_dedup
+    from .operators.sampling import train_eval_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    deduped = exact_dedup(d)
+    m = deduped.select("doc_id", "text", *quality_metrics("text"))
+    scored = m.select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        quality_score(
+            F.col("n_tokens"), F.col("stopword_ratio"), F.col("punct_ratio")
+        ),
+    ).where(F.col("quality") >= CURATION_MIN_QUALITY)
+    tagged = scored.select(
+        "doc_id", "n_tokens", "quality", lang_id("text").alias("pred_lang")
+    ).where(F.col("pred_lang").isin(*CURATION_LANGS))
+    return train_eval_split(tagged, "doc_id", EVAL_FRAC, seed=SAMPLE_SEED).select(
+        "doc_id", "pred_lang", "n_tokens", "quality", "split"
+    )
+
+
+def _curation_sql() -> str:
+    from .operators.sampling import hash_sample_sql
+
+    hit_cols, lang_expr = _lang_exprs()
+    langs_in = ", ".join(f"'{v}'" for v in CURATION_LANGS)
+    return f"""
+with dd as (select min(doc_id) as doc_id from documents group by md5(text)),
+d as (select doc_id, text from documents where doc_id in (select doc_id from dd)),
+t as (select doc_id, text, {TOKS_SQL} as toks from d),
+m as (
+  select doc_id, toks,
+    cast(len(toks) as bigint) as n_tokens,
+    cast(len(list_filter(toks, tk -> tk in ({_SW}))) as bigint) as n_stop,
+    cast(length(text) as bigint) as n_char,
+    cast(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) as bigint) as n_alnum_sp
+  from t),
+q as (
+  select doc_id, toks, n_tokens,
+    n_stop / n_tokens as stopword_ratio,
+    (n_char - n_alnum_sp) / n_char as punct_ratio
+  from m),
+s as (
+  select doc_id, toks, n_tokens,
+    (case when n_tokens >= 20 then cast(1.0 as double)
+          else n_tokens / cast(20.0 as double) end) * 0.4
+    + least(stopword_ratio * 4, cast(1.0 as double)) * 0.4
+    + greatest(cast(1.0 as double) - punct_ratio * 4, cast(0.0 as double)) * 0.2
+    as quality
+  from q),
+g as (select * from s where quality >= {CURATION_MIN_QUALITY}),
+h as (select doc_id, n_tokens, quality, {hit_cols} from g),
+l as (select doc_id, n_tokens, quality, {lang_expr} as pred_lang from h),
+k as (select * from l where pred_lang in ({langs_in}))
+select doc_id, pred_lang, n_tokens, quality,
+       case when {hash_sample_sql('doc_id', EVAL_FRAC, SAMPLE_SEED)}
+            then 'eval' else 'train' end as split
+from k
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1295,11 +1471,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "knn_label_vote": q_knn_label_vote,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "dedup_components": q_dedup_components,
     "multimodal_meta": q_multimodal_meta,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "train_eval_split": q_train_eval_split,
+    "corpus_curation": q_corpus_curation,
     "thresh_bars": q_thresh_bars,
     "renko_bars": q_renko_bars,
 }
@@ -1337,9 +1516,12 @@ ORACLES: dict[str, str] = {
     "cosine_topk": _cosine_sql(),
     "knn_label_vote": _cosine_sql(with_knn=True),
     "ann_lsh_buckets": _ann_sql(),
+    "ann_ivf_topk": _ivf_sql(),
     "embedding_near_dup": _near_dup_sql(),
+    "dedup_components": _components_sql(),
     "multimodal_meta": SQL_MULTIMODAL,
     **_sampling_sqls(),
+    "corpus_curation": _curation_sql(),
     # thresh_bars / renko_bars: stateful sequential kernels — not
     # SQL-expressible; driver records rows-only checks. Their semantics are
     # pinned by split-vs-whole equivalence tests (tests/test_aggregations.py).

@@ -212,3 +212,47 @@ def test_hash_sampling_reproducible_and_layout_independent(spark):
     sp = train_eval_split(df, "doc_id", 0.1, seed=1)
     ev = {r.doc_id for r in sp.where("split = 'eval'").collect()}
     assert ev == {r.doc_id for r in hash_sample(df, "doc_id", 0.1, seed=1).collect()}
+
+
+def test_ivf_full_probe_equals_brute_force(vecs):
+    from crypto_exchange_etl_spark.operators.similarity import ivf_topk
+
+    queries = vecs.where(F.col("vec_id") < 2)
+    exact = cosine_topk(vecs, queries, k=3)
+    # n_probe = n_cells ⇒ every cell is searched ⇒ IVF degrades to exact
+    ivf = ivf_topk(vecs, queries, n_cells=4, n_probe=4, k=3)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_partial_probe_shape(vecs):
+    from crypto_exchange_etl_spark.operators.similarity import ivf_topk
+
+    got = ivf_topk(
+        vecs, vecs.where(F.col("vec_id") < 2), n_cells=4, n_probe=2, k=3
+    ).collect()
+    assert got, "partial probe returned nothing"
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_dedup_components_chain_and_clique(spark):
+    from crypto_exchange_etl_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        # 4-chain (diameter 3 ⇒ needs >1 propagation round), a triangle,
+        # and an isolated edge
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in dedup_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
