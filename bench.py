@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "simhash",
     "cosine_topk",
+    "corpus_curation",
 ]
 
 

@@ -904,6 +904,35 @@ from documents
 """
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"), k=2)
+
+
+def _repetition_sql(k: int = 2) -> str:
+    """Mirror of functions.text.repetition_metrics (non-distinct k-grams,
+    per-doc multiplicity aggregates)."""
+    ngrams = (
+        f"list_transform(range(1, greatest(len(toks) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))"
+    )
+    return f"""
+with t as (select doc_id, {TOKS_SQL} as toks from documents),
+g as (select doc_id, unnest({ngrams}) as g from t),
+c as (select doc_id, g, cast(count(*) as bigint) as c from g group by doc_id, g),
+a as (select doc_id,
+        cast(sum(c) as bigint) as n_kgrams,
+        cast(count(*) as bigint) as distinct_kgrams,
+        cast(max(c) as bigint) as max_c
+      from c group by doc_id)
+select doc_id, n_kgrams, distinct_kgrams,
+       1.0 - distinct_kgrams / cast(n_kgrams as double) as dup_kgram_frac,
+       max_c / cast(n_kgrams as double) as top_kgram_frac
+from a
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint ≡ 1-permutation MinHash (seed 0) — reuse the explode-
     # based signature path (codegen'd hashes) rather than the per-row
@@ -1462,6 +1491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
+    "repetition_metrics": q_repetition_metrics,
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1507,6 +1537,7 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": _lang_sql(),
     "token_count": SQL_TOKEN_COUNT,
+    "repetition_metrics": _repetition_sql(),
     "doc_fingerprint": SQL_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_JACCARD,
