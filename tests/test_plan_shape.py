@@ -134,3 +134,38 @@ def test_merge_write_has_no_extra_payload_shuffle(spark, changes, tmpdir_path):
     # cross only the bucket exchange; the fetch is a broadcast probe.
     assert plan.count("hashpartitioning(bucket") == 1, plan
     assert plan.count("hashpartitioning(") <= 2, plan
+
+
+def test_corpus_curation_single_wide_op(spark, sf_dir):
+    """The curation pipeline (dedup → quality → lang → split) must stay
+    one shuffle: only the digest groupBy exchanges data; everything else
+    is narrow and fused into the scan/agg stages."""
+    from crypto_exchange_etl_spark.queries import q_corpus_curation
+
+    plan = plan_of(q_corpus_curation(spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_joins_are_broadcast(spark, sf_dir):
+    """IVF probe/assign joins must broadcast the small side (codebook,
+    probe lists) — the corpus never rides a shuffle join."""
+    from crypto_exchange_etl_spark.queries import q_ann_ivf_topk
+
+    plan = plan_of(q_ann_ivf_topk(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_metrics_is_hash_agg_no_python(spark, sf_dir):
+    """Repetition metrics = explode + two two-phase hash aggregates; no
+    interpreted per-row Python, no sort aggregates."""
+    from crypto_exchange_etl_spark.queries import q_repetition_metrics
+
+    plan = plan_of(q_repetition_metrics(spark, sf_dir))
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("hashpartitioning(") == 2, plan
