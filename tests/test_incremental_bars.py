@@ -151,3 +151,68 @@ def test_compact_bars_and_expire_state(spark, tmp_path, ticks):
     assert _sorted_rows(inc.read()) == before  # live version untouched
     # carry state survives maintenance: next batch still continues
     assert set(inc.caches()) == set(SYMBOLS)
+
+
+def test_stateful_bars_group_state(spark, tmp_path, ticks):
+    """The native stateful-streaming path (applyInPandasWithState +
+    GroupState) ≡ single-shot batch bars — INCLUDING across a query
+    restart: the carry cache must survive in the state store checkpoint,
+    not in any external manifest."""
+    from pyspark.sql.types import StructType
+
+    from crypto_exchange_etl_spark.operators.bars import THRESH_BAR_SCHEMA
+    from crypto_exchange_etl_spark.streaming.state_bars import stateful_bars
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "bars_out")
+    ck = str(tmp_path / "ck")
+    batches = _batches(ticks)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(ticks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/part*")
+        )
+        bars = stateful_bars(
+            stream, "thresh", thresh_attr="notional", thresh_value=60.0, top_n=1
+        )
+        q = (
+            bars.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    # phase 1: first two micro-batches
+    for i, b in enumerate(batches[:2]):
+        b.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"part{i}"))
+    drain()
+    # phase 2: late file + FRESH query on the same checkpoint — the
+    # carry state must resume from the state store, not restart empty
+    batches[2].coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "part2")
+    )
+    drain()
+    got = _sorted_rows(
+        spark.read.schema(StructType(THRESH_BAR_SCHEMA.fields)).parquet(out)
+    )
+    want = _sorted_rows(thresh_bars(ticks, "notional", 60.0, top_n=1))
+    assert len(got) == len(want) > 0
+    assert _approx_eq(got, want)
+
+
+def test_stateful_bars_tws_requires_protobuf():
+    """The transformWithStateInPandas variant is gated on protobuf (its
+    Python state server's wire protocol). In this container it must
+    raise a clear ImportError, not crash mid-query; where protobuf
+    exists the builder is exercised instead."""
+    from crypto_exchange_etl_spark.streaming import state_bars
+
+    if state_bars.HAVE_TWS_RUNTIME:
+        pytest.skip("protobuf present - gate inactive (tws path usable)")
+    with pytest.raises(ImportError, match="protobuf"):
+        state_bars.stateful_bars_tws(None, "thresh")
