@@ -1,0 +1,144 @@
+"""Temporal operators Spark lacks natively: as-of join and sessionization.
+
+**As-of join** (each left row ← the latest right row at-or-before its
+timestamp, per key). Spark has no ASOF JOIN; the common workaround is
+``pd.merge_asof`` inside ``applyInPandas``, but that drags every row
+through Python. This implementation stays entirely in Catalyst with the
+**union-tag trick**:
+
+1. tag both inputs and union them (right rows carry their payload,
+   left rows carry null payload),
+2. one window per key ordered by (ts, side, tiebreak):
+   ``last(payload, ignorenulls=True)`` over unbounded-preceding rows —
+   each left row sees the most recent right payload at-or-before it,
+3. filter back to left rows.
+
+Cost: ONE shuffle (the window partitionBy) over |L|+|R| narrow rows —
+same asymptotics as a sort-merge join, no Python, no per-group memory.
+At 100 TB the window sort is the only cost and AQE skew-split applies
+to hot keys. Right rows are first deduped to one per (key, ts) by max
+tiebreak, which both pins determinism and matches DuckDB's ASOF JOIN
+(greatest ts ≤ left ts) for the oracle.
+
+**Sessionization**: gap-based session ids per key (lag → boundary flag →
+running sum), the standard window composition; both windows share one
+partitioning, so it costs one shuffle plus the final group-by. In
+streaming the same semantics come from ``session_window(ts, gap)``
+(streaming/windowed.py covers windowed aggs); this batch form exists
+because training-data pipelines sessionize historical event logs.
+
+Reference analogue: none directly (SURVEY.md §2 extension); the closest
+reference shape is pagination continuity per symbol (S2) which is a
+degenerate as-of (latest checkpoint ≤ now).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Session gap: events further apart than this start a new session.
+DEFAULT_GAP_SECS = 1800
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str],
+    tiebreak: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left rows + the latest right payload at-or-before each left ``ts``
+    (per ``key``). Right rows with equal ``ts`` are collapsed to the max
+    ``tiebreak`` row first, so the result is deterministic and equals
+    DuckDB's ``ASOF JOIN`` on the deduped right side.
+
+    Output = all ``left`` columns + ``prefix + ts`` / ``prefix + c`` for
+    each payload column (null where no right row precedes).
+    """
+    # 1. dedupe right: one row per (key, ts), keep max-tiebreak row
+    r1 = (
+        right.groupBy(key, ts)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload_cols]), F.col(tiebreak)
+            ).alias("_p")
+        )
+        .select(
+            key,
+            F.col(ts).alias("_rts"),
+            *[F.col(f"_p.{c}").alias(c) for c in payload_cols],
+        )
+    )
+    # 2. tag + union (left payload = nulls, right left-cols = nulls)
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.col(ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(dict(left.dtypes)[ts]).alias("_rts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols
+          if c not in lcols],
+    )
+    r_tagged = r1.select(
+        *[
+            F.col(c) if c == key else F.lit(None).cast(t).alias(c)
+            for c, t in left.dtypes
+        ],
+        F.col("_rts").alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.col("_rts"),
+        *[F.col(c) for c in payload_cols if c not in lcols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # 3. per-key window: right rows (side 0) sort before left rows with
+    #    the same ts, so "at-or-before" includes equal timestamps
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *lcols,
+        F.col("_side"),
+        F.last("_rts", ignorenulls=True).over(w).alias(f"{prefix}{ts}"),
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    order_tiebreak: str,
+    gap_secs: int = DEFAULT_GAP_SECS,
+) -> DataFrame:
+    """Gap-based sessions per key: lag → boundary flag → running sum.
+
+    Output: one row per session — key, session_id (1-based per key),
+    n_events, session_start, session_end. Aggregates are all
+    order-independent (count/min/max), keeping the result engine-exact.
+    """
+    w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
+    # parquet naive timestamps load as TIMESTAMP_NTZ; the session runs
+    # UTC, so the cast is offset-free and unix_micros stays exact
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    flag = F.when(
+        prev.isNull() | ((us - prev) > gap_secs * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = events.withColumn(
+        "session_id",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return with_sess.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+    )

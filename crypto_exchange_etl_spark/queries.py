@@ -814,6 +814,87 @@ from orders
 
 
 # ---------------------------------------------------------------------------
+# Temporal operators over `events` (as-of join, sessionization)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SECS = 1800
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's latest purchase at-or-before it
+    (union-tag window as-of — no pandas, one shuffle)."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("p_value"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    out = asof_join(
+        clicks, purch, key="user_id", ts="ts",
+        payload_cols=["p_value", "p_event_id"], tiebreak="p_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("last_purchase_ts"),
+        F.col("asof_p_value").alias("last_purchase_value"),
+        F.col("asof_p_event_id").alias("last_purchase_event"),
+    )
+
+
+SQL_ASOF = """
+with c as (select event_id, user_id, ts from events where event_type = 'click'),
+p as (select user_id, ts,
+        arg_max(value, event_id) as p_value,
+        cast(max(event_id) as bigint) as p_event_id
+      from events where event_type = 'purchase' group by user_id, ts)
+select c.event_id, c.user_id, c.ts,
+       p.ts as last_purchase_ts,
+       p.p_value as last_purchase_value,
+       p.p_event_id as last_purchase_event
+from c asof left join p on c.user_id = p.user_id and c.ts >= p.ts
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import sessionize
+
+    return sessionize(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        order_tiebreak="event_id", gap_secs=SESSION_GAP_SECS,
+    )
+
+
+SQL_SESSIONIZE = f"""
+with o as (
+  select user_id, ts, event_id,
+         epoch_us(ts) as us,
+         lag(epoch_us(ts)) over (partition by user_id order by ts, event_id) as prev_us
+  from events),
+f as (
+  select *, case when prev_us is null or us - prev_us > {SESSION_GAP_SECS * 1_000_000}
+                 then 1 else 0 end as new_s
+  from o),
+s as (
+  select *, cast(sum(new_s) over (partition by user_id order by ts, event_id
+                                  rows unbounded preceding) as bigint) as session_id
+  from f)
+select user_id, session_id,
+       cast(count(*) as bigint) as n_events,
+       min(ts) as session_start,
+       max(ts) as session_end
+from s group by user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text-analysis queries over `documents`
 # ---------------------------------------------------------------------------
 
@@ -1488,6 +1569,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join": q_anti_join,
     "semi_join": q_semi_join,
     "running_total": q_running_total,
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
@@ -1534,6 +1617,8 @@ ORACLES: dict[str, str] = {
     "anti_join": SQL_ANTI,
     "semi_join": SQL_SEMI,
     "running_total": SQL_RUNNING,
+    "asof_join": SQL_ASOF,
+    "sessionize": SQL_SESSIONIZE,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": _lang_sql(),
     "token_count": SQL_TOKEN_COUNT,

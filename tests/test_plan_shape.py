@@ -169,3 +169,27 @@ def test_repetition_metrics_is_hash_agg_no_python(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4, plan
     assert "BatchEvalPython" not in plan
     assert plan.count("hashpartitioning(") == 2, plan
+
+
+def test_asof_join_is_joinless_single_key_shuffle(spark, sf_dir):
+    """The union-tag as-of join must compile to windows over a union —
+    NO join operator, no pandas, and only the (key,ts) dedupe + key
+    window exchanges."""
+    from crypto_exchange_etl_spark.queries import q_asof_join
+
+    plan = plan_of(q_asof_join(spark, sf_dir))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("hashpartitioning(") <= 2, plan
+
+
+def test_sessionize_shares_one_window_partitioning(spark, sf_dir):
+    """lag + running-sum + group-by all hang off the same user_id
+    partitioning — one shuffle for the windows, one for the final agg."""
+    from crypto_exchange_etl_spark.queries import q_sessionize
+
+    plan = plan_of(q_sessionize(spark, sf_dir))
+    assert plan.count("hashpartitioning(") <= 2, plan
+    assert "BatchEvalPython" not in plan
