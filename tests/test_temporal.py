@@ -1,0 +1,66 @@
+"""Unit semantics for the temporal operators (as-of join, sessionize)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_exchange_etl_spark.operators.temporal import asof_join, sessionize
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:00:00"),
+            (2, "u1", "2024-01-01 12:00:00"),
+            (3, "u2", "2024-01-01 09:00:00"),  # before any right row
+            (4, "u3", "2024-01-01 09:00:00"),  # user with no right rows
+        ],
+        "event_id long, user_id string, ts string",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:00:00", 5.0, 100),   # equal ts: inclusive
+            ("u1", "2024-01-01 10:00:00", 7.0, 101),   # same ts: max tiebreak wins
+            ("u1", "2024-01-01 11:00:00", 9.0, 102),
+            ("u2", "2024-01-01 09:30:00", 1.0, 103),   # after u2's click
+        ],
+        "user_id string, ts string, p_value double, p_event_id long",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "p_value", "p_event_id")
+    return left, right
+
+
+def test_asof_semantics(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, key="user_id", ts="ts",
+        payload_cols=["p_value", "p_event_id"], tiebreak="p_event_id",
+    )
+    rows = {r.event_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # every left row survives
+    # equal-ts inclusive + tiebreak: event 1 sees (7.0, 101), not (5.0, 100)
+    assert (rows[1].asof_p_value, rows[1].asof_p_event_id) == (7.0, 101)
+    # strictly-latest prior row
+    assert (rows[2].asof_p_value, rows[2].asof_p_event_id) == (9.0, 102)
+    # no right row at-or-before / no right rows at all -> nulls
+    assert rows[3].asof_p_value is None and rows[3].asof_ts is None
+    assert rows[4].asof_p_value is None
+
+
+def test_sessionize_gap_boundaries(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:00:00"),
+            (2, "u1", "2024-01-01 10:20:00"),   # 20 min -> same session
+            (3, "u1", "2024-01-01 11:00:00"),   # 40 min -> new session
+            (4, "u1", "2024-01-01 11:30:00"),   # exactly the gap: same session
+            (5, "u2", "2024-01-01 10:00:00"),
+        ],
+        "event_id long, user_id string, ts string",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) ts")
+    out = sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id",
+                     gap_secs=1800)
+    got = {
+        (r.user_id, r.session_id): r.n_events for r in out.collect()
+    }
+    assert got == {("u1", 1): 2, ("u1", 2): 2, ("u2", 1): 1}
