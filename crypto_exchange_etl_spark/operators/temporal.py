@@ -142,3 +142,59 @@ def sessionize(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
     )
+
+
+def proximity_pairs(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    max_gap_secs: int,
+) -> DataFrame:
+    """All pairs of rows within ``max_gap_secs`` of each other per key —
+    the **range/interval join** Spark has no native operator for.
+
+    Naive form is an inequality self-join (O(n²) per key, Catalyst can
+    only nested-loop it). The scale path here is the standard
+    **bucketization**: quantize time into gap-width buckets; a
+    qualifying pair is always in the same or adjacent bucket, so explode
+    one side to (bucket, bucket+1) tags and EQUI-join on the tag — a
+    hash join on (key, bucket) whose candidate count is O(Σ per-bucket²)
+    instead of O(Σ per-key²). Exact |Δt| filter then prunes corner
+    cases; pairs are normalized (id_a < id_b) and deduped (same-bucket
+    pairs match in both orientations).
+
+    Output: (id_a, id_b, gap_us). DuckDB oracle: the plain inequality
+    join (exact, fine at test scale).
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    gap_us = int(max_gap_secs) * 1_000_000
+    base = df.select(
+        F.col(key).alias("_k"), F.col(id_col).alias("_id"), us.alias("_us"),
+        F.floor(us / F.lit(gap_us)).alias("_b"),
+    )
+    probe = base.select(
+        "_k",
+        F.col("_id").alias("_id_x"),
+        F.col("_us").alias("_us_x"),
+        F.explode(F.array(F.col("_b"), F.col("_b") + 1)).alias("_tag"),
+    )
+    build = base.select(
+        "_k",
+        F.col("_id").alias("_id_y"),
+        F.col("_us").alias("_us_y"),
+        F.col("_b").alias("_tag"),
+    )
+    return (
+        probe.join(build, ["_k", "_tag"])
+        .where(
+            (F.col("_id_x") != F.col("_id_y"))
+            & (F.abs(F.col("_us_x") - F.col("_us_y")) <= gap_us)
+        )
+        .select(
+            F.least("_id_x", "_id_y").alias("id_a"),
+            F.greatest("_id_x", "_id_y").alias("id_b"),
+            F.abs(F.col("_us_x") - F.col("_us_y")).alias("gap_us"),
+        )
+        .distinct()
+    )

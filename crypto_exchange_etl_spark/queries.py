@@ -863,6 +863,30 @@ from c asof left join p on c.user_id = p.user_id and c.ts >= p.ts
 """
 
 
+PROXIMITY_GAP_SECS = 6 * 3600
+
+
+def q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval self-join: event pairs within 6 h per user, via the
+    bucketized equi-join (candidates = same/adjacent gap-width bucket)."""
+    from .operators.temporal import proximity_pairs
+
+    return proximity_pairs(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        id_col="event_id", max_gap_secs=PROXIMITY_GAP_SECS,
+    )
+
+
+SQL_PROXIMITY = f"""
+select cast(least(a.event_id, b.event_id) as bigint) as id_a,
+       cast(greatest(a.event_id, b.event_id) as bigint) as id_b,
+       cast(abs(epoch_us(a.ts) - epoch_us(b.ts)) as bigint) as gap_us
+from events a join events b
+  on a.user_id = b.user_id and a.event_id < b.event_id
+  and abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {PROXIMITY_GAP_SECS * 1_000_000}
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.temporal import sessionize
 
@@ -1571,6 +1595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total": q_running_total,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
+    "proximity_pairs": q_proximity_pairs,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
@@ -1619,6 +1644,7 @@ ORACLES: dict[str, str] = {
     "running_total": SQL_RUNNING,
     "asof_join": SQL_ASOF,
     "sessionize": SQL_SESSIONIZE,
+    "proximity_pairs": SQL_PROXIMITY,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": _lang_sql(),
     "token_count": SQL_TOKEN_COUNT,

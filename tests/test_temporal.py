@@ -64,3 +64,27 @@ def test_sessionize_gap_boundaries(spark):
         (r.user_id, r.session_id): r.n_events for r in out.collect()
     }
     assert got == {("u1", 1): 2, ("u1", 2): 2, ("u2", 1): 1}
+
+
+def test_proximity_pairs_bucketization_is_exact(spark):
+    """The bucketized equi-join must find exactly the pairs the naive
+    inequality join finds — including cross-bucket pairs."""
+    from crypto_exchange_etl_spark.operators.temporal import proximity_pairs
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:00:00"),
+            (2, "u1", "2024-01-01 10:00:30"),   # same bucket
+            (3, "u1", "2024-01-01 10:01:10"),   # adjacent bucket, within gap of 2
+            (4, "u1", "2024-01-01 12:00:00"),   # far away
+            (5, "u2", "2024-01-01 10:00:10"),   # other key
+        ],
+        "event_id long, user_id string, ts string",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) ts")
+    got = {
+        (r.id_a, r.id_b): r.gap_us
+        for r in proximity_pairs(
+            ev, key="user_id", ts="ts", id_col="event_id", max_gap_secs=60
+        ).collect()
+    }
+    assert got == {(1, 2): 30_000_000, (2, 3): 40_000_000}
