@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "simhash",
     "cosine_topk",
     "corpus_curation",
+    "asof_join",
+    "sessionize",
+    "proximity_pairs",
 ]
 
 
