@@ -50,3 +50,25 @@ def portable_hash64_sql(expr: str, seed: int | None = None) -> str:
     if seed is not None:
         expr = f"concat('{seed}:', {expr})"
     return f"cast(concat('0x', substr(md5({expr}), 1, {HEX_DIGITS})) as bigint)"
+
+
+def portable_hash64_pair(col: Column | str) -> tuple[Column, Column]:
+    """TWO independent 60-bit hashes from ONE md5: hex digits 1-15 and
+    17-31 of the same digest. Kirsch-Mitzenmacher double hashing then
+    derives any number of hash-family members as ``(h1 + i·h2) mod 2^60``
+    — one md5 kernel per input instead of k (the md5 IS the cost in
+    MinHash at corpus scale). Safe in int64 for i ≤ 8:
+    max(h1 + 7·h2) = 8·(2^60−1) < 2^63−1."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.md5(c)
+    h1 = F.conv(F.substring(m, 1, HEX_DIGITS), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(m, 17, HEX_DIGITS), 16, 10).cast("bigint")
+    return h1, h2
+
+
+def portable_hash64_pair_sql(expr: str) -> tuple[str, str]:
+    """DuckDB mirror of :func:`portable_hash64_pair`."""
+    return (
+        f"cast(concat('0x', substr(md5({expr}), 1, {HEX_DIGITS})) as bigint)",
+        f"cast(concat('0x', substr(md5({expr}), 17, {HEX_DIGITS})) as bigint)",
+    )

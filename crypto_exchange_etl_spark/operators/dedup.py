@@ -80,21 +80,59 @@ def minhash_signature(
     shingle_k: int = 3,
 ) -> DataFrame:
     """id + ``mh_0..mh_{k-1}`` columns: min over shingles of the i-th
-    seeded portable hash.
+    hash-family member.
 
-    Physical shape: explode shingles → k flat seeded hashes (whole-stage
-    codegen'd md5s — Spark's higher-order array lambdas are interpreted
-    per row, so k nested ``transform``s would be ~10× slower) → one
-    ``groupBy(id).agg(min...)`` with map-side partial aggregation. At
-    100 TB the shuffle carries k longs per (doc × input-split), not the
-    shingle sets."""
-    ex = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("_sh")
+    The family is Kirsch-Mitzenmacher **double hashing**: ONE md5 per
+    shingle yields two independent 60-bit halves (h1, h2); member i is
+    ``(h1 + i·h2) mod 2^60``. md5 is the dominant per-shingle cost, so
+    this is ~k× less hashing than k seeded digests for the same LSH
+    quality (K-M preserves uniformity/independence enough for Bloom- and
+    MinHash-style uses — the classic result).
+
+    Physical shape: explode shingles → one md5 → k flat modular
+    combinations (whole-stage codegen'd; Spark's higher-order array
+    lambdas are interpreted per row, so k nested ``transform``s would be
+    ~10× slower) → one ``groupBy(id).agg(min...)`` with map-side partial
+    aggregation. At 100 TB the shuffle carries k longs per (doc ×
+    input-split), not the shingle sets."""
+    if k > 8:
+        raise ValueError(
+            f"k={k} > 8 would overflow int64 in the double-hash combine "
+            "(max h1 + 7*h2 < 2^63); split into multiple signature passes"
+        )
+    from ..functions.hashing import portable_hash64_pair
+
+    # Shingles are generated WITHOUT word_shingles here: its
+    # transform-lambda is an interpreted HOF (per-element overhead), and
+    # its array_distinct is unnecessary under min (min over the shingle
+    # multiset == min over the set — verified equal). Instead: explode
+    # the start indices, then slice/array_join — plain codegen'd
+    # collection expressions — so explode → md5 → partial min all fuse
+    # into one whole-stage-codegen pass. Measured 2× over the
+    # word_shingles form at sf0.1.
+    t = tokens(F.col(text_col) if isinstance(text_col, str) else text_col)
+    ex = df.select(F.col(id_col), t.alias("_t")).select(
+        id_col,
+        "_t",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_t") - (shingle_k - 1), F.lit(1))
+            )
+        ).alias("_i"),
     )
+    sh = ex.select(
+        id_col,
+        F.array_join(F.slice(F.col("_t"), F.col("_i"), shingle_k), " ").alias("_sh"),
+    )
+    h1, h2 = portable_hash64_pair(F.col("_sh"))
+    # projection boundary: md5 computed once, halves reused k times
+    hashed = sh.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
+    m = F.lit(1 << 60).cast("long")
     aggs = [
-        F.min(portable_hash64(F.col("_sh"), i)).alias(f"mh_{i}") for i in range(k)
+        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % m).alias(f"mh_{i}")
+        for i in range(k)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

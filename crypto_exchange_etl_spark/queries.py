@@ -1039,12 +1039,19 @@ from a
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fingerprint ≡ 1-permutation MinHash (seed 0) — reuse the explode-
-    # based signature path (codegen'd hashes) rather than the per-row
-    # array-lambda Column builder.
+    # fingerprint ≡ 1-permutation MinHash (seed 0): explode-based path
+    # with the SEEDED portable hash (matches functions.text.doc_fingerprint;
+    # minhash_signature now uses the unseeded double-hash family, so it is
+    # no longer interchangeable here).
+    from .functions.text import word_shingles
+
     d = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(d, k=1, shingle_k=3)
-    return sig.select("doc_id", F.col("mh_0").alias("fingerprint"))
+    ex = d.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("_sh")
+    )
+    return ex.groupBy("doc_id").agg(
+        F.min(portable_hash64(F.col("_sh"), 0)).alias("fingerprint")
+    )
 
 
 SQL_FINGERPRINT = f"""
@@ -1101,8 +1108,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    from .functions.hashing import portable_hash64_pair_sql
+
+    h1, h2 = portable_hash64_pair_sql("g")
+    m = 1 << 60
     mh = ", ".join(
-        f"list_min(list_transform(grams, g -> {portable_hash64_sql('g', i)})) as mh_{i}"
+        f"cast(min((h1 + {i} * h2) % {m}) as bigint) as mh_{i}"
         for i in range(MINHASH_K)
     )
     r = MINHASH_K // MINHASH_BANDS
@@ -1117,8 +1128,9 @@ def _minhash_sql() -> str:
     bands = " union all ".join(band_selects)
     return f"""
 with t as (select doc_id, {TOKS_SQL} as toks from documents),
-s as (select doc_id, {_shingles_sql(3)} as grams from t),
-sig as (select doc_id, {mh} from s),
+s as (select doc_id, unnest({_shingles_sql(3)}) as g from t),
+hh as (select doc_id, {h1} as h1, {h2} as h2 from s),
+sig as (select doc_id, {mh} from hh group by doc_id),
 bands as ({bands})
 select distinct a.doc_id as id_a, b.doc_id as id_b
 from bands a join bands b on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
