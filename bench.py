@@ -77,12 +77,13 @@ def bench_cdc_replay(spark, n_events: int, n_cpus: int) -> dict:
             n_urls=max(1000, n_events // 20),
             seed=42,
         )
-        # min of 2 replays: this VM shows intermittent host interference
-        # (identical jobs vary several-fold); the minimum is the engine's
-        # actual capability (see BASELINE.md methodology)
+        # min of 3 replays: this VM shows intermittent host interference
+        # (identical jobs vary several-fold — measured 14.9 s vs 67.6 s
+        # for this exact replay on identical config); the minimum is the
+        # engine's actual capability (see BASELINE.md methodology)
         times = []
         rows = None
-        for i in range(2):
+        for i in range(3):
             pipe = CdcPipeline(spark, os.path.join(tmp, f"pages{i}"), n_buckets=n_cpus)
             t0 = time.time()
             pipe.replay_all(binlog)
@@ -109,16 +110,21 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=n_cpus, shuffle_partitions=n_cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # two passes, min per query: pass 1 absorbs the session's fixed costs
+    # (JVM JIT, codegen compile, parquet footers) that otherwise charge
+    # entirely to whichever query runs first — measured 7.0 s vs 0.6 s
+    # warm for the same aggregate — and the min also rejects host
+    # interference spikes (same methodology as the CDC min-of-2 below).
     queries: dict[str, float] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        queries[name] = round(dt, 3)
-        total += dt
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            queries[name] = min(queries.get(name, dt), dt)
+    total = round(sum(queries.values()), 3)
 
     cdc = bench_cdc_replay(spark, n_events, n_cpus)
     queries["cdc_replay"] = cdc["cdc_replay_sec"]
