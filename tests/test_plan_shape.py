@@ -193,3 +193,16 @@ def test_sessionize_shares_one_window_partitioning(spark, sf_dir):
     plan = plan_of(q_sessionize(spark, sf_dir))
     assert plan.count("hashpartitioning(") <= 2, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_minhash_hot_path_has_no_interpreted_lambdas(spark, sf_dir):
+    """MinHash signature generation must stay whole-stage-codegen:
+    no higher-order array lambdas (transform/zip_with/aggregate are
+    interpreted per element) and no Python anywhere."""
+    from crypto_exchange_etl_spark.queries import q_minhash_lsh
+
+    plan = plan_of(q_minhash_lsh(spark, sf_dir))
+    for hof in ("transform(", "zip_with", "aggregate("):
+        assert hof not in plan, f"interpreted HOF {hof} in minhash plan"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4  # two 2-phase groupBys
