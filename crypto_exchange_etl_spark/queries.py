@@ -1461,6 +1461,36 @@ def _sampling_sqls() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing over `documents`
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), budget=PACK_BUDGET)
+
+
+SQL_PACKING = f"""
+with t as (
+  select doc_id, lang,
+         cast(len(regexp_extract_all(text, '{TOKEN_RE}', 0)) as bigint) as n_tokens
+  from documents),
+c as (
+  select doc_id, lang, n_tokens,
+         sum(n_tokens) over (partition by lang order by doc_id
+                             rows unbounded preceding) as e
+  from t)
+select doc_id, lang, n_tokens,
+       cast(floor((e - n_tokens) / {PACK_BUDGET}) as bigint) as pack_id,
+       cast((e - n_tokens) % {PACK_BUDGET} as bigint) as pack_offset
+from c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus curation — the full training-data pipeline in ONE declarative plan
 # ---------------------------------------------------------------------------
 
@@ -1629,6 +1659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "train_eval_split": q_train_eval_split,
     "corpus_curation": q_corpus_curation,
+    "sequence_packing": q_sequence_packing,
     "thresh_bars": q_thresh_bars,
     "renko_bars": q_renko_bars,
 }
@@ -1676,6 +1707,7 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL,
     **_sampling_sqls(),
     "corpus_curation": _curation_sql(),
+    "sequence_packing": SQL_PACKING,
     # thresh_bars / renko_bars: stateful sequential kernels — not
     # SQL-expressible; driver records rows-only checks. Their semantics are
     # pinned by split-vs-whole equivalence tests (tests/test_aggregations.py).

@@ -88,3 +88,32 @@ def test_proximity_pairs_bucketization_is_exact(spark):
         ).collect()
     }
     assert got == {(1, 2): 30_000_000, (2, 3): 40_000_000}
+
+
+def test_pack_documents_layout(spark):
+    """Pack assignment must be the exact concat-and-chunk layout:
+    offsets are cumulative within a stratum, packs cut every `budget`
+    tokens, and strata pack independently."""
+    from crypto_exchange_etl_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b c d"),        # 4 tokens -> pack 0, offset 0
+            (2, "en", "e f g"),          # 3 tokens -> pack 0, offset 4
+            (3, "en", "h i j k l"),      # 5 tokens -> starts at 7 -> pack 0...
+            (4, "en", "m n"),            # starts at 12 -> pack 1, offset 2
+            (5, "de", "x y z"),          # own stratum -> pack 0, offset 0
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset, r.n_tokens)
+        for r in pack_documents(docs, budget=10).collect()
+    }
+    assert got == {
+        1: (0, 0, 4),
+        2: (0, 4, 3),
+        3: (0, 7, 5),   # crosses the boundary; starts in pack 0
+        4: (1, 2, 2),   # 4+3+5=12 tokens consumed -> offset 2 of pack 1
+        5: (0, 0, 3),
+    }
