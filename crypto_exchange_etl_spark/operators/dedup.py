@@ -416,3 +416,42 @@ def dedup_components(
         if changed == 0:
             break
     return labels.select(F.col("v").alias("id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# 6. Eval-set decontamination (cross-set n-gram containment)
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Training documents sharing ≥1 word ``shingle_k``-gram with ANY
+    eval document — the decontamination test every pretraining pipeline
+    runs before training (exact-substring overlap at n-gram granularity,
+    the GPT-3-style rule). Emits (id, n_shared_grams) for contaminated
+    TRAIN docs; dropping them is a left-anti join on the result.
+
+    Scale shape: both sides explode to distinct grams; the eval side is
+    the SMALL side by construction (an eval split is 0.1-10 % of the
+    corpus), so the gram join broadcasts eval grams and the train corpus
+    never shuffles — O(train grams) probe work, then one groupBy on the
+    train doc id. For an eval set too big to broadcast, the same plan
+    degrades gracefully to a shuffle join on the gram (Catalyst decides
+    via AQE); semantics unchanged.
+    """
+    tg = train.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("_g")
+    )
+    eg = eval_set.select(
+        F.explode(word_shingles(text_col, shingle_k)).alias("_g")
+    ).distinct()
+    return (
+        tg.join(F.broadcast(eg), "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )

@@ -1461,6 +1461,41 @@ def _sampling_sqls() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Eval-set decontamination over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs sharing ≥1 3-gram with the (hash-split) eval set —
+    the pre-training decontamination sweep, composed from the same
+    leakage-proof split the train_eval_split query exposes."""
+    from .operators.dedup import contamination_overlap
+    from .operators.sampling import train_eval_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    split = train_eval_split(d, "doc_id", EVAL_FRAC, seed=SAMPLE_SEED)
+    train = split.where(F.col("split") == "train")
+    ev = split.where(F.col("split") == "eval")
+    return contamination_overlap(train, ev, shingle_k=3)
+
+
+def _decontamination_sql() -> str:
+    from .operators.sampling import hash_sample_sql
+
+    is_eval = hash_sample_sql("doc_id", EVAL_FRAC, SAMPLE_SEED)
+    return f"""
+with s as (select doc_id, text, ({is_eval}) as is_eval from documents),
+tt as (select doc_id, {TOKS_SQL} as toks from s where not is_eval),
+et as (select doc_id, {TOKS_SQL} as toks from s where is_eval),
+tg as (select doc_id, unnest({_shingles_sql(3)}) as g from tt),
+eg (g) as (select distinct unnest({_shingles_sql(3)}) from et)
+select tg.doc_id, cast(count(*) as bigint) as n_shared_grams
+from tg where g in (select g from eg)
+group by tg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing over `documents`
 # ---------------------------------------------------------------------------
 
@@ -1660,6 +1695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_eval_split": q_train_eval_split,
     "corpus_curation": q_corpus_curation,
     "sequence_packing": q_sequence_packing,
+    "decontamination": q_decontamination,
     "thresh_bars": q_thresh_bars,
     "renko_bars": q_renko_bars,
 }
@@ -1708,6 +1744,7 @@ ORACLES: dict[str, str] = {
     **_sampling_sqls(),
     "corpus_curation": _curation_sql(),
     "sequence_packing": SQL_PACKING,
+    "decontamination": _decontamination_sql(),
     # thresh_bars / renko_bars: stateful sequential kernels — not
     # SQL-expressible; driver records rows-only checks. Their semantics are
     # pinned by split-vs-whole equivalence tests (tests/test_aggregations.py).
