@@ -1461,6 +1461,52 @@ def _sampling_sqls() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Per-source corpus health over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health per ingestion source: volume, exact-dup share,
+    language spread, token mass — the triage view that decides which
+    source gets dedup/filter attention first. One groupBy; the distinct
+    aggregates are partial-aggregated map-side."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            "lang",
+            F.md5("text").alias("_digest"),
+            n_tokens("text").cast("long").alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("_digest").cast("bigint").alias("n_distinct_texts"),
+            (
+                F.lit(1.0)
+                - F.countDistinct("_digest") / F.count(F.lit(1))
+            ).alias("dup_frac"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("_nt").cast("bigint").alias("total_ws_tokens"),
+        )
+    )
+
+
+SQL_SOURCE_STATS = f"""
+with t as (select source, lang, md5(text) as digest,
+                  cast(len({TOKS_SQL}) as bigint) as nt
+           from documents)
+select source,
+       cast(count(*) as bigint) as n_docs,
+       cast(count(distinct digest) as bigint) as n_distinct_texts,
+       1.0 - count(distinct digest) / cast(count(*) as double) as dup_frac,
+       cast(count(distinct lang) as bigint) as n_langs,
+       cast(sum(nt) as bigint) as total_ws_tokens
+from t group by source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Eval-set decontamination over `documents`
 # ---------------------------------------------------------------------------
 
@@ -1696,6 +1742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "sequence_packing": q_sequence_packing,
     "decontamination": q_decontamination,
+    "source_stats": q_source_stats,
     "thresh_bars": q_thresh_bars,
     "renko_bars": q_renko_bars,
 }
@@ -1745,6 +1792,7 @@ ORACLES: dict[str, str] = {
     "corpus_curation": _curation_sql(),
     "sequence_packing": SQL_PACKING,
     "decontamination": _decontamination_sql(),
+    "source_stats": SQL_SOURCE_STATS,
     # thresh_bars / renko_bars: stateful sequential kernels — not
     # SQL-expressible; driver records rows-only checks. Their semantics are
     # pinned by split-vs-whole equivalence tests (tests/test_aggregations.py).
