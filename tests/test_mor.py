@@ -166,3 +166,51 @@ def test_tombstone_gc_under_watermark(spark, tmpdir_path):
     cow.table.compact_files(gc_tombstones=True)
     assert cow.table.read_physical().where(F.col("is_deleted")).count() == 0
     assert _state(cow.table) == st2
+
+
+def test_mor_schema_evolution_across_deltas(spark, tmpdir_path):
+    """Schema evolution while in merge-on-read mode: base files written
+    under schema v1 must fold with delta files written under the widened
+    v2 (missing column → null), and minor compaction must preserve the
+    evolved state byte-for-byte."""
+    import pyspark.sql.types as T
+
+    pipe = CdcPipeline(
+        spark, os.path.join(tmpdir_path, "me"), n_buckets=2,
+        write_mode="mor", max_deltas=100,  # keep deltas: no auto-compact
+    )
+    ts = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    pipe.apply_batch(
+        spark.createDataFrame([(1, 0, "I", "a", ts, b"<p>1</p>", "en")], CHANGES_SCHEMA),
+        batch_id=0,
+    )
+    evolved = T.StructType(
+        list(CHANGES_SCHEMA.fields)
+        + [T.StructField("content_type", T.StringType(), True)]
+    )
+    s = pipe.apply_batch(
+        spark.createDataFrame(
+            [(2, 0, "I", "b", ts + dt.timedelta(hours=1), b"<p>2</p>", "en", "text/html")],
+            evolved,
+        ),
+        batch_id=1,
+    )
+    assert any(c["kind"] == "add" for c in s["schema_changes"])
+    # update of url "a" under the NEW schema, still as a delta
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [(3, 0, "U", "a", ts + dt.timedelta(hours=2), b"<p>1v2</p>", "en", "app/x")],
+            evolved,
+        ),
+        batch_id=2,
+    )
+    want = {"a": "app/x", "b": "text/html"}
+    got = {r.url: r.content_type for r in pipe.table.read().collect()}
+    assert got == want
+    assert any(f.get("delta") for f in pipe.table.manifest()["files"])
+
+    # fold deltas into the base; evolved state must be unchanged
+    pipe.table.minor_compact(max_deltas=1)
+    assert not any(f.get("delta") for f in pipe.table.manifest()["files"])
+    got2 = {r.url: r.content_type for r in pipe.table.read().collect()}
+    assert got2 == want
