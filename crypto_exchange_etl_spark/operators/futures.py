@@ -62,3 +62,51 @@ def enrich_expiry(
     is dropped, matching the reference's symbol-keyed dict)."""
     dim = instruments.select(symbol_col, "expiry")
     return ticks.join(F.broadcast(dim), symbol_col)
+
+
+def front_contract(
+    ticks: DataFrame,
+    instruments: DataFrame,
+    ts_col: str = "timestamp",
+    root_col: str = "root_symbol",
+) -> DataFrame:
+    """Continuous front-month series: each tick mapped to its root's
+    FRONT contract — the live contract (listing ≤ ts ≤ expiry) with the
+    nearest expiry. The roll happens exactly at expiry, the rule behind
+    every continuous futures chart and the reference's active-contract
+    ordering (bitmex/api.py keeps actives sorted by expiry; front =
+    head).
+
+    Broadcast range join (contracts are a dimension) + per-tick argmin
+    over the handful of matching contracts — the tick stream never
+    shuffles for the join; the argmin groupBy is the only exchange.
+    Ticks past the last expiry have no front contract and drop (inner
+    semantics, mirroring the reference's symbol-keyed dict).
+    """
+    dim = instruments.select(
+        F.col("root_symbol").alias("_r"),
+        F.col("symbol").alias("front_symbol"),
+        "listing",
+        "expiry",
+    )
+    j = ticks.join(
+        F.broadcast(dim),
+        (F.col(root_col) == F.col("_r"))
+        & (F.col("expiry") >= F.col(ts_col))
+        & (F.col("listing") <= F.col(ts_col)),
+    )
+    keep = list(ticks.columns)
+    return (
+        j.groupBy(*keep)
+        .agg(
+            F.min_by(
+                F.struct(F.col("front_symbol"), F.col("expiry")),
+                F.struct(F.col("expiry"), F.col("front_symbol")),
+            ).alias("_f")
+        )
+        .select(
+            *keep,
+            F.col("_f.front_symbol").alias("front_symbol"),
+            F.col("_f.expiry").alias("front_expiry"),
+        )
+    )

@@ -681,6 +681,40 @@ where expiry >= timestamp '{FUT_AS_OF}'
 """
 
 
+def q_futures_front_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous front-month series: each tick → the root's nearest
+    unexpired contract (roll at expiry)."""
+    from .operators.futures import front_contract
+
+    t = _ticks(spark, sf_dir).select(
+        F.col("index").alias("idx"),
+        F.col("symbol").alias("root_symbol"),
+        "timestamp",
+        F.col("price").cast("double").alias("price"),
+    )
+    return front_contract(t, _fut_instruments(spark, sf_dir))
+
+
+def _front_month_sql() -> str:
+    vals = ", ".join(
+        f"('{s}', timestamp '{e}')" for s, e in zip(FUT_SUFFIXES, FUT_EXPIRIES)
+    )
+    return f"""
+with t as ({_ticks_sql(None)}),
+c as (select * from (values {vals}) v(sfx, exp)),
+j as (
+  select t.idx, t.symbol as root_symbol, t.timestamp,
+         cast(t.price as double) as price,
+         t.symbol || '-' || c.sfx as front_symbol, c.exp as front_expiry,
+         row_number() over (partition by t.idx
+                            order by c.exp, t.symbol || '-' || c.sfx) as rn
+  from t join c
+    on c.exp >= t.timestamp and timestamp '{FUT_LISTING}' <= t.timestamp)
+select idx, root_symbol, timestamp, price, front_symbol, front_expiry
+from j where rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational operator queries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -1711,6 +1745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_daily": q_rollup_daily,
     "scalar_market_fns": q_scalar_market_fns,
     "futures_active_enrich": q_futures_active_enrich,
+    "futures_front_month": q_futures_front_month,
     "pricing_summary": q_pricing_summary,
     "enrich_join": q_enrich_join,
     "anti_join": q_anti_join,
@@ -1763,6 +1798,7 @@ ORACLES: dict[str, str] = {
     "rollup_daily": SQL_ROLLUP,
     "scalar_market_fns": SQL_SCALAR_FNS,
     "futures_active_enrich": _futures_sql(),
+    "futures_front_month": _front_month_sql(),
     "pricing_summary": SQL_PRICING,
     "enrich_join": SQL_ENRICH,
     "anti_join": SQL_ANTI,
