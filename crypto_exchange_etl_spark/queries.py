@@ -1495,6 +1495,41 @@ def _sampling_sqls() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Distribution stats (exact percentiles) over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length distribution: exact interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` — both
+    implement the same a + (b−a)·f interpolation, verified bit-equal).
+    The length-distribution view every corpus curation run starts from;
+    at 100 TB swap ``percentile`` for ``percentile_approx`` (t-digest)
+    and keep the identical plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("lang", n_tokens("text").cast("long").alias("_nt"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("_nt").alias("min_tokens"),
+        F.percentile("_nt", 0.5).alias("p50_tokens"),
+        F.percentile("_nt", 0.9).alias("p90_tokens"),
+        F.max("_nt").alias("max_tokens"),
+    )
+
+
+SQL_TOKEN_PERCENTILES = f"""
+with t as (select lang, cast(len({TOKS_SQL}) as bigint) as nt from documents)
+select lang,
+       cast(count(*) as bigint) as n_docs,
+       cast(min(nt) as bigint) as min_tokens,
+       quantile_cont(nt, 0.5) as p50_tokens,
+       quantile_cont(nt, 0.9) as p90_tokens,
+       cast(max(nt) as bigint) as max_tokens
+from t group by lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-source corpus health over `documents`
 # ---------------------------------------------------------------------------
 
@@ -1778,6 +1813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "decontamination": q_decontamination,
     "source_stats": q_source_stats,
+    "token_percentiles": q_token_percentiles,
     "thresh_bars": q_thresh_bars,
     "renko_bars": q_renko_bars,
 }
@@ -1829,6 +1865,7 @@ ORACLES: dict[str, str] = {
     "sequence_packing": SQL_PACKING,
     "decontamination": _decontamination_sql(),
     "source_stats": SQL_SOURCE_STATS,
+    "token_percentiles": SQL_TOKEN_PERCENTILES,
     # thresh_bars / renko_bars: stateful sequential kernels — not
     # SQL-expressible; driver records rows-only checks. Their semantics are
     # pinned by split-vs-whole equivalence tests (tests/test_aggregations.py).
