@@ -306,8 +306,11 @@ def ngram_jaccard_pairs(
             .distinct()
         )
         # per-doc restriction before the explode-join; per-doc shingle
-        # counts are unaffected (whole docs in or out)
-        sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+        # counts are unaffected (whole docs in or out). Broadcast is left
+        # to AQE's runtime stats: a candidate id set from a 100 TB corpus
+        # can itself be GBs, and a forced hint would OOM executors where
+        # a shuffle semi-join merely costs time (round-2 review finding).
+        sh = sh.join(cand_ids, id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -327,7 +330,7 @@ def ngram_jaccard_pairs(
     )
     if candidates is not None:
         inter = inter.join(
-            F.broadcast(candidates.select("id_a", "id_b")), ["id_a", "id_b"], "left_semi"
+            candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
         )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -415,6 +418,15 @@ def dedup_components(
         labels = new.select("v", "component")
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter with the last round still changing
+        # labels: the result would silently split components — surface it
+        # (round-2 review finding).
+        if changed != 0:
+            raise RuntimeError(
+                f"dedup_components did not converge in {max_iter} rounds; "
+                "raise max_iter (or use star contraction for long chains)"
+            )
     return labels.select(F.col("v").alias("id"), "component")
 
 
@@ -429,6 +441,7 @@ def contamination_overlap(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    broadcast_eval: bool = False,
 ) -> DataFrame:
     """Training documents sharing ≥1 word ``shingle_k``-gram with ANY
     eval document — the decontamination test every pretraining pipeline
@@ -438,11 +451,14 @@ def contamination_overlap(
 
     Scale shape: both sides explode to distinct grams; the eval side is
     the SMALL side by construction (an eval split is 0.1-10 % of the
-    corpus), so the gram join broadcasts eval grams and the train corpus
-    never shuffles — O(train grams) probe work, then one groupBy on the
-    train doc id. For an eval set too big to broadcast, the same plan
-    degrades gracefully to a shuffle join on the gram (Catalyst decides
-    via AQE); semantics unchanged.
+    corpus), so the gram join should broadcast eval grams and the train
+    corpus never shuffles — O(train grams) probe work, then one groupBy
+    on the train doc id. The broadcast decision defaults to AQE's
+    runtime size stats rather than a hard hint, so an eval gram set too
+    big to broadcast degrades to a shuffle join instead of OOMing every
+    executor (round-2 review finding); pass ``broadcast_eval=True`` to
+    force the single-shuffle plan when the eval side is known-small but
+    above the 10 MB AQE threshold.
     """
     tg = train.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("_g")
@@ -450,8 +466,10 @@ def contamination_overlap(
     eg = eval_set.select(
         F.explode(word_shingles(text_col, shingle_k)).alias("_g")
     ).distinct()
+    if broadcast_eval:
+        eg = F.broadcast(eg)
     return (
-        tg.join(F.broadcast(eg), "_g", "left_semi")
+        tg.join(eg, "_g", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
     )

@@ -82,6 +82,12 @@ def front_contract(
     shuffles for the join; the argmin groupBy is the only exchange.
     Ticks past the last expiry have no front contract and drop (inner
     semantics, mirroring the reference's symbol-keyed dict).
+
+    Assumes tick ROWS are unique (the engine's tick model always carries
+    a unique ``index``/lsn column): the argmin groups by all tick
+    columns, so two byte-identical input rows would collapse to one
+    output row. Callers with an id-free, duplicate-bearing feed must add
+    a row id first (round-2 review note).
     """
     dim = instruments.select(
         F.col("root_symbol").alias("_r"),

@@ -394,10 +394,15 @@ def knn_label_vote(
     topk: DataFrame, labels: DataFrame, id_col: str = "vec_id", label_col: str = "label"
 ) -> DataFrame:
     """Classify each query by majority label of its neighbours (ties →
-    smaller label). Input: output of :func:`cosine_topk` + (id, label)."""
+    smaller label). Input: output of :func:`cosine_topk` + (id, label).
+
+    Broadcast side: ``topk`` is |Q|·k rows of (qid, nid) — tiny by
+    construction — while ``labels`` spans the whole corpus (GBs per
+    executor at 10⁹ vectors), so the hint goes on ``topk`` and the label
+    map streams through the probe side unshuffled (round-2 review fix)."""
     lab = labels.select(F.col(id_col).alias("nid"), F.col(label_col).alias("nlabel"))
     votes = (
-        topk.join(F.broadcast(lab), "nid")
+        F.broadcast(topk).join(lab, "nid")
         .groupBy("qid", "nlabel")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )

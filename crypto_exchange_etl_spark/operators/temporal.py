@@ -57,7 +57,18 @@ def asof_join(
 
     Output = all ``left`` columns + ``prefix + ts`` / ``prefix + c`` for
     each payload column (null where no right row precedes).
+
+    ``payload_cols`` must be disjoint from ``left``'s columns (``key``
+    excluded): the union-tag plan fills via ``last(_, ignorenulls)``, so a
+    left column with a payload name would leak the left row's own value
+    into the as-of output. Guarded here instead of silently mis-joining.
     """
+    clash = (set(payload_cols) & set(left.columns)) - {key}
+    if clash:
+        raise ValueError(
+            f"asof_join payload_cols collide with left columns: {sorted(clash)}; "
+            "rename them on one side first"
+        )
     # 1. dedupe right: one row per (key, ts), keep max-tiebreak row
     r1 = (
         right.groupBy(key, ts)

@@ -786,36 +786,38 @@ group by r_name, n_name
 """
 
 
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: gap detection (ledger-vs-expected pattern, J1)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(
-        o, c["c_custkey"] == o["o_custkey"], "left_anti"
-    ).select("c_custkey", "c_name")
-
-
-SQL_ANTI = """
-select c_custkey, c_name from customer
-where not exists (select 1 from orders where o_custkey = c_custkey)
-"""
-
-
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join: replay-validation membership pattern."""
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti in ONE plan (T7 intersect/except semantics):
+    the semi side counts parts with lineitem activity per brand, the anti
+    side lists customers with no orders — both physical operators
+    (LeftSemi / LeftAnti BroadcastHashJoin) exercised under a single
+    driver row (consolidated from the round-2 ``semi_join``/``anti_join``
+    pair to stay inside the driver's 50-entry correctness budget)."""
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    semi = (
         p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
         .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("semi").alias("side"), F.col("p_brand").alias("k"), "n")
     )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        F.lit("anti").alias("side"),
+        F.col("c_name").alias("k"),
+        F.col("c_custkey").cast("long").alias("n"),
+    )
+    return semi.unionByName(anti)
 
 
-SQL_SEMI = """
-select p_brand, cast(count(*) as bigint) as n_parts from part
+SQL_SEMI_ANTI = """
+select 'semi' as side, p_brand as k, cast(count(*) as bigint) as n from part
 where exists (select 1 from lineitem where l_partkey = p_partkey)
 group by p_brand
+union all
+select 'anti' as side, c_name as k, cast(c_custkey as bigint) as n from customer
+where not exists (select 1 from orders where o_custkey = c_custkey)
 """
 
 
@@ -1620,7 +1622,9 @@ PACK_BUDGET = 2048
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import pack_documents
 
-    return pack_documents(_t(spark, sf_dir, "documents"), budget=PACK_BUDGET)
+    # n_shards=8 exercises the two-phase sharded prefix sum against the
+    # single-window DuckDB oracle (layout is shard-invariant by design)
+    return pack_documents(_t(spark, sf_dir, "documents"), budget=PACK_BUDGET, n_shards=8)
 
 
 SQL_PACKING = f"""
@@ -1742,22 +1746,124 @@ from documents
 
 
 # ---------------------------------------------------------------------------
-# Sequential bar kernels (applyInPandas; rows-only driver check — the
-# split-vs-whole cache-equivalence proofs live in tests/test_aggregations.py)
+# Sequential bar kernels (applyInPandas) — A4/A5, now with full DuckDB
+# oracles: the per-symbol fold is re-expressed as a RECURSIVE CTE over
+# BAR CUTS (not rows — O(#bars) iterations): each step finds the next
+# cut row via min(rn) against the windowed prefix sums / the renko level
+# state, then bars aggregate over the (prev_cut, cut] row ranges. All
+# arithmetic stays exact (integer-valued decimal volumes/notionals,
+# decimal(38,6) prices cast to double at the edges), so the driver's
+# repr()-level float hash matches bit-for-bit. The driver queries run
+# top_n=0 and drop the nested topN column (pandas cannot hash list
+# cells); topN selection + carry-merge stay pinned by the 440-case
+# property suite in tests/test_property_bars.py and the nested-form
+# checks in tests/test_aggregations.py.
 # ---------------------------------------------------------------------------
 
 
 def q_thresh_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # topN (array<struct>) is serialized to JSON for the driver-facing
-    # entry: the driver's canonicalizer hashes rows with pandas, which
-    # cannot sort/hash list cells. The nested form is pinned by pytest.
-    df = thresh_bars(_ticks(spark, sf_dir), "volume", 5000.0, top_n=2)
-    return df.withColumn("topN", F.to_json("topN"))
+    df = thresh_bars(_ticks(spark, sf_dir), "volume", 5000.0, top_n=0)
+    return df.drop("topN")
 
 
 def q_renko_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = renko_bars(_ticks(spark, sf_dir), box_size=25.0, top_n=2)
-    return df.withColumn("topN", F.to_json("topN"))
+    df = renko_bars(_ticks(spark, sf_dir), box_size=25.0, top_n=0)
+    return df.drop("topN")
+
+
+#: Bar-chunk aggregates shared by both bar oracles (reference bar shape,
+#: fintick/aggregators/lib.py:31-66): t = windowed tick rows, r = ranges.
+_BAR_AGG_SQL = """
+       cast(sum(t.volume) as double) as volume,
+       cast(sum(case when t."tickRule" = 1 then t.volume
+                else cast(0 as decimal(38,6)) end) as double) as "buyVolume",
+       cast(sum(t.notional) as double) as notional,
+       cast(sum(case when t."tickRule" = 1 then t.notional
+                else cast(0 as decimal(38,6)) end) as double) as "buyNotional",
+       cast(count(*) as bigint) as ticks,
+       cast(count(*) filter (t."tickRule" = 1) as bigint) as "buyTicks"
+"""
+
+#: Threshold bars (fintick/aggregators/thresh/lib.py:39-93): cut when the
+#: running volume since the previous cut reaches 5000; accumulator resets
+#: to 0 at the cut; the tail after the last cut is the (unemitted) partial.
+SQL_THRESH_BARS = f"""
+with recursive t as (
+  select *, row_number() over (partition by symbol order by timestamp, nanoseconds, idx) as rn,
+         sum(volume) over (partition by symbol order by timestamp, nanoseconds, idx
+                           rows between unbounded preceding and current row) as prefix
+  from ({_ticks_sql(None)})
+),
+cuts as (
+  select symbol, cast(0 as bigint) as cut_no, cast(0 as bigint) as rn,
+         cast(0 as decimal(38,6)) as base
+  from (select distinct symbol from t)
+  union all
+  select c.symbol, c.cut_no + 1, n.rn, n.prefix
+  from cuts c
+  join t n on n.symbol = c.symbol
+   and n.rn = (select min(t2.rn) from t t2
+               where t2.symbol = c.symbol and t2.rn > c.rn and t2.prefix >= c.base + 5000)
+),
+ranges as (
+  select symbol, cut_no, rn as end_rn,
+         lag(rn, 1, cast(0 as bigint)) over (partition by symbol order by cut_no) as start_rn
+  from cuts
+)
+select r.symbol,
+       cast(arg_min(t.price, t.rn) as double) as open,
+       cast(max(t.price) as double) as high,
+       cast(min(t.price) as double) as low,
+       cast(arg_max(t.price, t.rn) as double) as close,
+       arg_max(t.timestamp, t.rn) as timestamp,
+       arg_max(t.nanoseconds, t.rn) as nanoseconds,
+       {_BAR_AGG_SQL}
+from ranges r join t on t.symbol = r.symbol and t.rn > r.start_rn and t.rn <= r.end_rn
+where r.cut_no > 0
+group by r.symbol, r.cut_no
+"""
+
+#: Renko bars (fintick/aggregators/renko/lib.py:25-87): the first trade
+#: seeds level = trunc(price/box)·box and is discarded; a cut fires at
+#: price ≥ level+box or < level−box; an inexact down-cross rounds the new
+#: level back up one box. State recursion is over cuts; mod/trunc run on
+#: doubles exactly as the numpy kernel does (positive prices ⇒ DuckDB
+#: fmod ≡ numpy %).
+_RENKO_BOX = "25.0"
+SQL_RENKO_BARS = f"""
+with recursive t as (
+  select *, cast(price as double) as p,
+         row_number() over (partition by symbol order by timestamp, nanoseconds, idx) as rn
+  from ({_ticks_sql(None)})
+),
+cuts as (
+  select symbol, cast(0 as bigint) as cut_no, rn, trunc(p / {_RENKO_BOX}) * {_RENKO_BOX} as level
+  from t where rn = 1
+  union all
+  select c.symbol, c.cut_no + 1, n.rn,
+         case when n.p < c.level - {_RENKO_BOX} and mod(n.p, {_RENKO_BOX}) <> 0
+              then trunc(n.p / {_RENKO_BOX}) * {_RENKO_BOX} + {_RENKO_BOX}
+              else trunc(n.p / {_RENKO_BOX}) * {_RENKO_BOX} end as level
+  from cuts c
+  join t n on n.symbol = c.symbol
+   and n.rn = (select min(t2.rn) from t t2
+               where t2.symbol = c.symbol and t2.rn > c.rn
+                 and (t2.p >= c.level + {_RENKO_BOX} or t2.p < c.level - {_RENKO_BOX}))
+),
+ranges as (
+  select symbol, cut_no, level, rn as end_rn,
+         lag(rn, 1, cast(1 as bigint)) over (partition by symbol order by cut_no) as start_rn
+  from cuts
+)
+select r.symbol, r.level,
+       cast(arg_max(t.price, t.rn) as double) as price,
+       arg_max(t.timestamp, t.rn) as timestamp,
+       arg_max(t.nanoseconds, t.rn) as nanoseconds,
+       {_BAR_AGG_SQL}
+from ranges r join t on t.symbol = r.symbol and t.rn > r.start_rn and t.rn <= r.end_rn
+where r.cut_no > 0
+group by r.symbol, r.cut_no, r.level
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1783,9 +1889,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "futures_front_month": q_futures_front_month,
     "pricing_summary": q_pricing_summary,
     "enrich_join": q_enrich_join,
-    "anti_join": q_anti_join,
-    "semi_join": q_semi_join,
+    "semi_anti_join": q_semi_anti_join,
     "running_total": q_running_total,
+    "thresh_bars": q_thresh_bars,
+    "renko_bars": q_renko_bars,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "proximity_pairs": q_proximity_pairs,
@@ -1793,7 +1900,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "repetition_metrics": q_repetition_metrics,
-    "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -1814,8 +1920,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,
     "source_stats": q_source_stats,
     "token_percentiles": q_token_percentiles,
-    "thresh_bars": q_thresh_bars,
-    "renko_bars": q_renko_bars,
 }
 
 ORACLES: dict[str, str] = {
@@ -1837,9 +1941,10 @@ ORACLES: dict[str, str] = {
     "futures_front_month": _front_month_sql(),
     "pricing_summary": SQL_PRICING,
     "enrich_join": SQL_ENRICH,
-    "anti_join": SQL_ANTI,
-    "semi_join": SQL_SEMI,
+    "semi_anti_join": SQL_SEMI_ANTI,
     "running_total": SQL_RUNNING,
+    "thresh_bars": SQL_THRESH_BARS,
+    "renko_bars": SQL_RENKO_BARS,
     "asof_join": SQL_ASOF,
     "sessionize": SQL_SESSIONIZE,
     "proximity_pairs": SQL_PROXIMITY,
@@ -1847,7 +1952,6 @@ ORACLES: dict[str, str] = {
     "lang_id": _lang_sql(),
     "token_count": SQL_TOKEN_COUNT,
     "repetition_metrics": _repetition_sql(),
-    "doc_fingerprint": SQL_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_JACCARD,
     "minhash_lsh": _minhash_sql(),
@@ -1866,7 +1970,9 @@ ORACLES: dict[str, str] = {
     "decontamination": _decontamination_sql(),
     "source_stats": SQL_SOURCE_STATS,
     "token_percentiles": SQL_TOKEN_PERCENTILES,
-    # thresh_bars / renko_bars: stateful sequential kernels — not
-    # SQL-expressible; driver records rows-only checks. Their semantics are
-    # pinned by split-vs-whole equivalence tests (tests/test_aggregations.py).
+    # thresh_bars / renko_bars oracles (recursive-CTE-over-cuts) are
+    # registered above; topN carry-merge — the one non-SQL-expressible
+    # part — stays pinned by tests/test_property_bars.py.
+    # doc_fingerprint was folded into the MinHash family (it is 1-perm
+    # MinHash with the seeded hash); its SQL/impl remain pytest-covered.
 }

@@ -159,6 +159,29 @@ def test_knn_label_vote_majority(vecs):
     assert pred[1] == 0
 
 
+def test_knn_label_vote_broadcasts_topk_side(vecs):
+    """The broadcast must build on the |Q|·k topk side, never on the
+    corpus-wide label map (round-2 review fix): at 10⁹ vectors the label
+    map is GBs per executor."""
+    topk = cosine_topk(vecs, vecs.where(F.col("vec_id") <= 1), k=2)
+    plan = (
+        knn_label_vote(topk, vecs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    (join_i,) = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l]
+    # BuildLeft ⇒ the first (":-") child is the broadcast side; it must be
+    # the BroadcastExchange over the topk projection (carries `qid`), and
+    # the corpus label map (`nlabel`) must be on the streamed side.
+    assert "BuildLeft" in lines[join_i], lines[join_i]
+    assert "BroadcastExchange" in lines[join_i + 1], lines[join_i + 1]
+    assert "qid" in lines[join_i + 2], lines[join_i + 2]
+    probe = [l for l in lines[join_i + 1 :] if l.lstrip(" :+-").startswith("Project")]
+    assert any("nlabel" in l and not l.lstrip().startswith(":") for l in probe), plan
+
+
 def test_multimodal_meta_matches_hashlib(docs):
     media = with_media_from_text(docs)
     meta = {r.doc_id: r for r in decoded_meta(media, id_cols=("doc_id",)).collect()}
@@ -291,3 +314,20 @@ def test_ann_recall_floors(spark):
         for r in ivf_topk(emb, qs, n_cells=16, n_probe=8, k=5).collect()
     }
     assert len(ivf8 & exact) >= len(ivf4 & exact)
+
+
+def test_doc_fingerprint_oracle_parity(spark):
+    """doc_fingerprint left the driver registry in round 3 (it is 1-perm
+    MinHash — consolidated to stay inside the driver's entry budget); the
+    cross-engine value parity stays pinned here."""
+    import os
+    from crypto_exchange_etl_spark.queries import SQL_FINGERPRINT, q_doc_fingerprint
+    from oracle_harness import compare, duck_connection
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    con = duck_connection(sf)
+    try:
+        errs = compare(q_doc_fingerprint(spark, sf), con, SQL_FINGERPRINT, "doc_fingerprint")
+        assert not errs, "\n".join(errs)
+    finally:
+        con.close()
