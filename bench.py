@@ -58,6 +58,35 @@ BENCH_QUERIES = [
 ]
 
 
+def _busy_loop(dt: float) -> int:
+    """Count tight-loop iterations for ``dt`` wall-seconds."""
+    end = time.perf_counter() + dt
+    n = 0
+    while time.perf_counter() < end:
+        n += 1
+    return n
+
+
+def host_calibration(n_procs: int, dt: float = 0.4) -> dict:
+    """Measure how much of this host's nominal parallelism is actually
+    available RIGHT NOW: one busy-loop process vs ``n_procs`` concurrent
+    ones, pure Python, no Spark. On this VM a quiet host yields ~25×/32
+    procs and a stolen host far less (BASELINE.md methodology) — emitting
+    the factor alongside the timings lets a reader tell a loaded-host
+    driver run from an engine regression without re-running."""
+    from multiprocessing import get_context
+
+    solo = _busy_loop(dt)
+    with get_context("fork").Pool(n_procs) as pool:
+        counts = pool.map(_busy_loop, [dt] * n_procs)
+    return {
+        "procs": n_procs,
+        "solo_mloops_per_sec": round(solo / dt / 1e6, 2),
+        "aggregate_mloops_per_sec": round(sum(counts) / dt / 1e6, 2),
+        "speedup": round(sum(counts) / solo, 1),
+    }
+
+
 def bench_cdc_replay(spark, n_events: int, n_cpus: int) -> dict:
     """Generate a synthetic binlog and replay it through the full engine.
 
@@ -107,6 +136,9 @@ def main() -> None:
     n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "20000000"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # calibrate BEFORE the JVM exists so the probe sees the bare host
+    cal_start = host_calibration(n_cpus)
+
     spark = get_spark(app_name="bench", cores=n_cpus, shuffle_partitions=n_cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -129,6 +161,10 @@ def main() -> None:
     cdc = bench_cdc_replay(spark, n_events, n_cpus)
     queries["cdc_replay"] = cdc["cdc_replay_sec"]
 
+    # second probe after the timed work: start≈end ⇒ conditions held;
+    # a large drop ⇒ the host got busy mid-run and the numbers are a floor
+    cal_end = host_calibration(n_cpus)
+
     out = {
         "metric": "cdc_apply_throughput_and_query_secs",
         "value": cdc["cdc_replay_events_per_sec"],
@@ -138,6 +174,7 @@ def main() -> None:
         "cpus": n_cpus,
         **cdc,
         "total_query_sec": round(total, 3),
+        "host_calibration": {"start": cal_start, "end": cal_end},
     }
     print(json.dumps(out))
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -71,24 +72,25 @@ _BROADCAST_KEY_BUDGET_CONF = "spark.cdc.broadcast.keyBudgetBytes"
 _BROADCAST_KEY_BUDGET_DEFAULT = 128 * 1024 * 1024
 
 
+def _parse_bytes(raw: str) -> int:
+    """Parse a byte-size conf value: plain int or ``<int>[kmg][b]`` in any
+    case (``128m``, ``128mb``, ``64KB``, ``1g`` …). Raises ValueError on
+    malformed input so a typo'd conf surfaces instead of silently falling
+    back to the default (round-2 review finding)."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmg]?)b?\s*", raw.lower())
+    if not m:
+        raise ValueError(f"malformed byte size: {raw!r}")
+    return int(m.group(1)) * (1 << {"": 0, "k": 10, "m": 20, "g": 30}[m.group(2)])
+
+
 def _broadcast_key_budget(spark: SparkSession) -> int:
     """Max number of int64 keys worth broadcasting for the winner-set
     semi-join, from ``spark.cdc.broadcast.keyBudgetBytes`` (suffixes
-    k/m/g accepted)."""
+    k/m/g with optional trailing b accepted)."""
     raw = str(
         spark.conf.get(_BROADCAST_KEY_BUDGET_CONF, str(_BROADCAST_KEY_BUDGET_DEFAULT))
     )
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
-    low = raw.strip().lower()
-    scale = 1
-    for suffix, s in mult.items():
-        if low.endswith(suffix):
-            low, scale = low[: -len(suffix)], s
-            break
-    try:
-        nbytes = int(low) * scale
-    except ValueError:  # pragma: no cover - malformed conf
-        nbytes = _BROADCAST_KEY_BUDGET_DEFAULT
+    nbytes = _parse_bytes(raw)
     if nbytes <= 0:
         nbytes = _BROADCAST_KEY_BUDGET_DEFAULT
     return nbytes // _BYTES_PER_BROADCAST_KEY
@@ -689,6 +691,158 @@ class LakeTable:
             summary={"operation": "compact", "files_before": len(m["files"]),
                      "files_after": len(new_files)},
             committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm["summary"]
+
+    def expire_rows(
+        self,
+        older_than: _dt.datetime,
+        ts_col: str = "warc_ts",
+        settled_only: bool = True,
+    ) -> dict[str, Any]:
+        """Time-based retention: expire rows whose ``ts_col`` is before
+        ``older_than`` — the reference's 6-day hourly-partition TTL
+        (/root/reference/fintick/bqloader/bqloader.py:9-13,
+        fintick/constants.py:52-53) re-expressed for a bucket-partitioned
+        lake table where age is a ROW property, not a partition.
+
+        Three-tier cost, Iceberg-style:
+
+        - files whose parquet-footer max(ts) is already past the cutoff
+          are dropped from the manifest WITHOUT reading data — O(1) per
+          file, the analogue of the reference's whole-partition drop
+          (physical deletion deferred to :meth:`expire_snapshots`, so
+          older snapshots still time-travel);
+        - files whose footer min(ts) is at/after the cutoff are untouched
+          — never opened;
+        - only straddling files are rewritten with the retention filter,
+          base and delta rewritten separately so merge-on-read fold
+          semantics survive.
+
+        Tombstone correctness: with ``settled_only`` (default) a row —
+        live OR tombstone — expires only when ``lsn`` ≤ the applied-LSN
+        watermark, so no still-undelivered event at/below it can observe
+        the gap: LWW replay of the live range is unchanged (same
+        precondition argument as :meth:`_gc_tombstones`). A table with no
+        recorded watermarks then expires nothing. ``settled_only=False``
+        is the reference's unconditional drop.
+
+        The expiry is committed atomically with a ledger row
+        (``partition=-1`` marks maintenance lineage; ``n_delete`` =
+        expired rows), mirroring how data+ledger commit together in
+        :meth:`merge_apply`.
+        """
+        m = self.manifest()
+        cutoff = older_than
+        if cutoff.tzinfo is not None:
+            cutoff = cutoff.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        wm = self._applied_lsn_watermark(m) if settled_only else None
+        if settled_only and wm < 0:
+            return {"operation": "expire_rows", "n_expired": 0,
+                    "reason": "no applied-LSN watermark; nothing settled"}
+
+        import pyarrow.parquet as pq
+
+        def _naive(v):
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+
+        drop, rewrite, keep = [], [], []
+        dropped_rows = 0
+        for f in m["files"]:
+            md = pq.ParquetFile(os.path.join(self.path, f["path"])).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mins, maxs, lsn_max = [], [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[ts_col]).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(_naive(st.min)); maxs.append(_naive(st.max))
+                lst = md.row_group(rg).column(idx["lsn"]).statistics
+                lsn_max.append(lst.max if lst is not None and lst.has_min_max
+                               else None)
+            if not mins:  # no stats ⇒ must rewrite conservatively
+                rewrite.append(f)
+            elif min(mins) >= cutoff:
+                keep.append(f)  # nothing old inside — never opened
+            elif max(maxs) < cutoff and (
+                wm is None or (all(x is not None for x in lsn_max)
+                               and max(lsn_max) <= wm)
+            ):
+                drop.append(f)  # whole file expired — metadata-only delete
+                dropped_rows += md.num_rows
+            else:
+                rewrite.append(f)
+
+        expired_pred = F.col(ts_col) < F.lit(cutoff)
+        if wm is not None:
+            expired_pred = expired_pred & (F.col("lsn") <= F.lit(wm))
+
+        new_files: list[dict[str, Any]] = []
+        rewritten_expired = 0
+        snap = str(uuid.uuid4())[:8]
+        schema = self._physical_schema(m)
+        for flag in (False, True):  # base files, then delta files
+            group = [f for f in rewrite if bool(f.get("delta")) == flag]
+            if not group:
+                continue
+            src = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f["path"]) for f in group]
+            )
+            rewritten_expired += src.where(expired_pred).count()
+            rel_out = f"data/expire-{snap}-{'delta' if flag else 'base'}"
+            (
+                src.where(~expired_pred)
+                .withColumn("bucket", self._bucket(m["key"], m["n_buckets"]))
+                .repartition(
+                    max(1, len({f["bucket"] for f in group})), F.col("bucket")
+                )
+                .sortWithinPartitions(m["key"])
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(self.path, rel_out))
+            )
+            new_files.extend(self._scan_files(rel_out, delta=flag))
+
+        n_expired = dropped_rows + rewritten_expired
+        now = time.time()
+        ledger_rel = f"ledger/expire-{snap}.parquet"
+        self._write_ledger_file(
+            [{
+                "partition": -1,
+                "batch_id": m["version"] + 1,
+                "max_lsn": int(wm if wm is not None else -1),
+                "n_events": int(n_expired),
+                "n_insert": 0,
+                "n_update": 0,
+                "n_delete": int(n_expired),
+                "n_dedup": 0,
+                "ok": True,
+                "committed_at": _dt.datetime.fromtimestamp(
+                    now, tz=_dt.timezone.utc
+                ),
+            }],
+            ledger_rel,
+        )
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            files=keep + new_files,
+            ledger_files=m["ledger_files"] + [ledger_rel],
+            summary={
+                "operation": "expire_rows",
+                "cutoff": cutoff.isoformat(),
+                "n_expired": int(n_expired),
+                "files_dropped": len(drop),
+                "files_rewritten": len(rewrite),
+                "files_untouched": len(keep),
+            },
+            committed_at_unix=now,
         )
         self._write_manifest(nm)
         return nm["summary"]

@@ -65,6 +65,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # int64-micros timestamps, not legacy INT96: INT96 carries NO
+        # parquet column statistics, which silently disables every
+        # footer-stats pruning path (time-range scan pruning, expire_rows'
+        # metadata-only file drop) — at 100 TB that is the difference
+        # between planning on footers and reading data
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")

@@ -253,6 +253,103 @@ def test_compact_and_expire(spark, tmpdir_path):
     assert len(t.manifest()["files"]) <= before + 4
 
 
+def test_expire_rows_ttl(spark, tmpdir_path):
+    """Age-based retention (reference: 6-day hourly TTL,
+    fintick/bqloader/bqloader.py:9-13): expired rows gone, live rows and
+    their LWW lineage untouched, the expiry committed with a ledger row,
+    and the pre-expiry snapshot still time-travelable."""
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=4)
+    old = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    new = dt.datetime(2024, 1, 10, tzinfo=UTC)
+    rows = [
+        (1, 0, "I", "old_a", old, b"<p>oa</p>", "en"),
+        (2, 0, "I", "old_b", old, b"<p>ob</p>", "en"),
+        (3, 0, "D", "old_b", old + dt.timedelta(hours=1), None, None),
+        (4, 0, "I", "new_a", new, b"<p>na</p>", "en"),
+        (5, 1, "I", "new_b", new, b"<p>nb</p>", "en"),
+    ]
+    pipe.apply_batch(spark.createDataFrame(rows, CHANGES_SCHEMA), batch_id=0)
+    t = pipe.table
+    v_before = t.current_version()
+    assert {r.url for r in t.read().collect()} == {"old_a", "new_a", "new_b"}
+
+    cutoff = dt.datetime(2024, 1, 6, tzinfo=UTC)
+    summary = t.expire_rows(cutoff)
+    # 2 physical old rows: old_a (live) + old_b's tombstone (the
+    # superseded insert was already LWW-compacted away at merge time);
+    # both settled (wm = min(4,5) = 4 ≥ 3)
+    assert summary["n_expired"] == 2
+    assert {r.url for r in t.read().collect()} == {"new_a", "new_b"}
+    # physical: not even tombstones of the expired range survive
+    assert t.read_physical().where(F.col("warc_ts") < F.lit(
+        cutoff.replace(tzinfo=None))).count() == 0
+
+    # LWW replay of the live range unchanged: a late update to a live key
+    # merges exactly as it would have pre-expiry
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [(6, 0, "U", "new_a", new + dt.timedelta(hours=1), b"<p>na2</p>", "en")],
+            CHANGES_SCHEMA,
+        ),
+        batch_id=1,
+    )
+    live = {r.url: r.text for r in t.read().collect()}
+    assert live == {"new_a": "na2", "new_b": "nb"}
+
+    # ledger records the expiry as maintenance lineage (partition = -1)
+    led = t.ledger().where(F.col("partition") == -1).collect()
+    assert len(led) == 1 and led[0].n_delete == 2 and led[0].ok
+
+    # snapshot isolation: the pre-expiry version still shows the old rows
+    assert {r.url for r in t.read(version=v_before).collect()} == {
+        "old_a", "new_a", "new_b"
+    }
+
+
+def test_expire_rows_settled_only_guard(spark, tmpdir_path):
+    """A row older than the cutoff whose lsn is ABOVE the applied-LSN
+    watermark must survive: delivery on another binlog partition has not
+    settled past it, so dropping it could change a future LWW fold."""
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=2)
+    old = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        (3, 0, "I", "old_low", old, b"<p>l</p>", "en"),
+        (10, 0, "I", "old_high", old, b"<p>h</p>", "en"),
+        (5, 1, "I", "other", dt.datetime(2024, 1, 10, tzinfo=UTC), b"<p>o</p>", "en"),
+    ]
+    pipe.apply_batch(spark.createDataFrame(rows, CHANGES_SCHEMA), batch_id=0)
+    t = pipe.table
+    # watermark = min(partition maxima) = min(10, 5) = 5
+    summary = t.expire_rows(dt.datetime(2024, 1, 6, tzinfo=UTC))
+    assert summary["n_expired"] == 1  # old_low only; old_high (lsn 10 > 5) stays
+    assert {r.url for r in t.read().collect()} == {"old_high", "other"}
+    # unconditional mode (the reference's behavior) drops it
+    t.expire_rows(dt.datetime(2024, 1, 6, tzinfo=UTC), settled_only=False)
+    assert {r.url for r in t.read().collect()} == {"other"}
+
+
+def test_expire_rows_metadata_only_drop(spark, tmpdir_path):
+    """A file wholly past the cutoff leaves the manifest WITHOUT a data
+    rewrite (files_dropped > 0, files_rewritten == 0) — the whole-
+    partition-drop fast path; physical deletion deferred to
+    expire_snapshots."""
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=4)
+    old = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        (i, 0, "I", f"u{i}", old + dt.timedelta(minutes=i), b"<p>x</p>", "en")
+        for i in range(8)
+    ]
+    pipe.apply_batch(spark.createDataFrame(rows, CHANGES_SCHEMA), batch_id=0)
+    t = pipe.table
+    n_files = len(t.manifest()["files"])
+    summary = t.expire_rows(dt.datetime(2024, 1, 6, tzinfo=UTC))
+    assert summary["n_expired"] == 8
+    assert summary["files_dropped"] == n_files and summary["files_rewritten"] == 0
+    assert t.read().count() == 0
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed >= n_files
+
+
 def test_time_travel(spark, tmpdir_path):
     pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=2)
     ts = dt.datetime(2024, 1, 1, tzinfo=UTC)
