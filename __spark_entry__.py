@@ -32,9 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query. ``thresh_bars`` /
-    ``renko_bars`` are intentionally absent: inherently-sequential
-    stateful kernels (SURVEY.md §2.4 A4/A5) whose semantics are pinned by
-    split-vs-whole equivalence tests instead (tests/test_aggregations.py).
-    """
+    """DuckDB-runnable ANSI SQL oracle per query — one for EVERY
+    registry entry, including the sequential bar kernels (``thresh_bars``
+    / ``renko_bars``), whose per-symbol folds are re-expressed as
+    recursive CTEs over bar cuts (see queries.py)."""
     return dict(ORACLES)

@@ -357,6 +357,8 @@ def dedup_components(
     max_iter: int = 25,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    pointer_jump: bool = True,
+    return_rounds: bool = False,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS: the connected
     components of the pair graph, labelled by each component's minimum
@@ -364,13 +366,19 @@ def dedup_components(
 
     Iterative min-label propagation: every vertex repeatedly adopts the
     smallest label among itself and its neighbours until a fixpoint —
-    each round is one join + one hash aggregate (two shuffles), and the
-    round count is the graph DIAMETER, not |V|. Near-dup graphs are
-    dense blobs of mutual similarity, so the diameter is small (2-4) in
-    practice; for adversarial long chains the large-star/small-star
-    contraction (Kiveris et al., "Connected Components in MapReduce")
-    drops rounds to O(log d) at the cost of a doubled edge list — same
-    join/agg building blocks, swap-in compatible here.
+    each round is one join + one hash aggregate, and with plain
+    propagation the round count is the graph DIAMETER. Near-dup graphs
+    are dense blobs of mutual similarity (diameter 2-4), but adversarial
+    chains exist, so ``pointer_jump`` (default on) additionally adopts
+    the LABEL'S OWN label each round — Shiloach-Vishkin pointer jumping,
+    the same O(log d) round bound the large-star/small-star contraction
+    of Kiveris et al. ("Connected Components in MapReduce and Beyond")
+    achieves, for one extra narrow self-join of the (vertex, label) map
+    per round. Correctness is unchanged: a label is always the id of a
+    reachable vertex (jumping composes reachability), labels only
+    decrease, and at the fixpoint adjacent labels are mutually ≤, hence
+    equal, hence the component minimum. A 1000-vertex path converges in
+    ~⌈log₂ d⌉ rounds (pinned by test) vs ~d/2 without jumping.
 
     Scale notes: labels are (vertex, bigint) — narrow; edges are
     symmetrized once up front; each round ends in ``localCheckpoint``
@@ -396,24 +404,39 @@ def dedup_components(
     labels = e.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("component")
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh = (
             e.join(labels, e.dst == labels.v)
             .groupBy("src")
             .agg(F.min("component").alias("_nc"))
         )
-        new = (
-            labels.join(neigh, labels.v == neigh.src, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_nc"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("_nc"), F.col("component")) < F.col("component"))
-                .alias("_chg"),
-            )
+        l1 = labels.join(neigh, labels.v == neigh.src, "left").select(
+            "v",
+            F.least(
+                F.col("component"), F.coalesce(F.col("_nc"), F.col("component"))
+            ).alias("_c1"),
+            F.col("component").alias("_old"),
         )
-        new = new.localCheckpoint(eager=True)
+        if pointer_jump:
+            # adopt the label's own label: L(v) ← min(L(v), L(L(v))).
+            # L(v) is itself a vertex id, so the jump is a narrow
+            # (vertex, label) self-join — this is what turns O(d) rounds
+            # into O(log d) on chain-shaped components.
+            x, y = l1.alias("x"), l1.alias("y")
+            new = x.join(y, F.col("x._c1") == F.col("y.v"), "left").select(
+                F.col("x.v").alias("v"),
+                F.least(
+                    F.col("x._c1"), F.coalesce(F.col("y._c1"), F.col("x._c1"))
+                ).alias("component"),
+                F.col("x._old").alias("_old"),
+            )
+        else:
+            new = l1.select("v", F.col("_c1").alias("component"), "_old")
+        new = new.withColumn(
+            "_chg", F.col("component") < F.col("_old")
+        ).localCheckpoint(eager=True)
         changed = new.where(F.col("_chg")).limit(1).count()
         labels = new.select("v", "component")
         if changed == 0:
@@ -425,9 +448,11 @@ def dedup_components(
         if changed != 0:
             raise RuntimeError(
                 f"dedup_components did not converge in {max_iter} rounds; "
-                "raise max_iter (or use star contraction for long chains)"
+                "raise max_iter (pointer_jump=True needs only "
+                "O(log diameter) of them)"
             )
-    return labels.select(F.col("v").alias("id"), "component")
+    out = labels.select(F.col("v").alias("id"), "component")
+    return (out, rounds) if return_rounds else out
 
 
 # ---------------------------------------------------------------------------

@@ -309,6 +309,85 @@ def ivf_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd's k-means codebook — the
+    recall upgrade over :func:`ivf_centroids` at the SAME index shape
+    (FAISS-style IVF training, cf. its random-subset training default).
+
+    Determinism (bit-reproducible across runs, layouts, engines):
+
+    - init = the hash-sampled :func:`ivf_centroids` codebook;
+    - assignment = exact quantized-int cosine argmax (ties → smaller
+      cell), the same arithmetic the probe path uses;
+    - update = component means computed as INTEGER sums of the quantized
+      components (associative ⇒ shuffle-order-free) divided once into a
+      double — no float accumulation anywhere;
+    - empty cells keep their previous centroid.
+
+    Scale shape: each iteration is one broadcast-crossJoin assign
+    (O(N·n_cells·dim), the IVF build cost) + one explode/groupBy mean
+    (O(N·dim), map-side combinable). The codebook (n_cells×dim) is
+    driver-resident between iterations — bounded metadata, exactly like
+    the manifest — so each iteration's plan starts fresh instead of
+    growing an n_iter-deep lineage."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    corp = _with_norm(corpus, id_col, vec_col, "nid", "_cv", "_cn")
+    dim_schema = "cell int, centroid array<double>"
+    for _ in range(n_iter):
+        assigned = _assign_cells(corp, cents)
+        comp = (
+            assigned.select("cell", F.posexplode(F.col("_cv")).alias("pos", "_x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(_q6(F.col("_x"))).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .withColumn(
+                "_c",
+                (F.col("_s").cast("double") / F.col("_n").cast("double"))
+                / F.lit(Q_SCALE),
+            )
+        )
+        new = (
+            comp.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_c"))),
+                    lambda s: s["_c"],
+                ).alias("centroid")
+            )
+        )
+        rows = {r["cell"]: list(r["centroid"]) for r in new.collect()}
+        prev = {r["cell"]: list(r["centroid"]) for r in cents.collect()}
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(c, rows.get(c, prev[c])) for c in sorted(prev)], dim_schema
+        )
+    return cents
+
+
+def _assign_cells(corp_normed: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (argmax cosine, ties → smaller cell)
+    for a corpus already in (nid, _cv, _cn) form."""
+    cents = _with_norm(centroids, "cell", "centroid", "cell", "_ce", "_cen")
+    j = corp_normed.crossJoin(F.broadcast(cents))
+    sim = _dot_dec(F.col("_cv"), F.col("_ce")).cast("double") / F.sqrt(
+        F.col("_cn").cast("double") * F.col("_cen").cast("double")
+    )
+    w = Window.partitionBy("nid").orderBy(sim.desc(), F.col("cell"))
+    return (
+        j.withColumn("_ar", F.row_number().over(w))
+        .where(F.col("_ar") == 1)
+        .select("nid", "_cv", "_cn", "cell")
+    )
+
+
 def ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -326,18 +405,8 @@ def ivf_index(
     Output: (nid, _cv vector, _cn ‖·‖², cell) — the norm rides along so
     probe-time pair similarity needs only a dot product.
     """
-    cents = _with_norm(centroids, "cell", "centroid", "cell", "_ce", "_cen")
-    j = _with_norm(corpus, id_col, vec_col, "nid", "_cv", "_cn").crossJoin(
-        F.broadcast(cents)
-    )
-    sim = _dot_dec(F.col("_cv"), F.col("_ce")).cast("double") / F.sqrt(
-        F.col("_cn").cast("double") * F.col("_cen").cast("double")
-    )
-    w = Window.partitionBy("nid").orderBy(sim.desc(), F.col("cell"))
-    return (
-        j.withColumn("_ar", F.row_number().over(w))
-        .where(F.col("_ar") == 1)
-        .select("nid", "_cv", F.col("_cn"), "cell")
+    return _assign_cells(
+        _with_norm(corpus, id_col, vec_col, "nid", "_cv", "_cn"), centroids
     )
 
 
@@ -349,9 +418,12 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: exact cosine only inside the query's
-    ``n_probe`` nearest cells.
+    ``n_probe`` nearest cells. ``centroids`` overrides the default
+    hash-sampled codebook (pass :func:`kmeans_centroids` output for the
+    trained variant; the index/probe machinery is identical).
 
     Each query scans ~``n_probe/n_cells`` of the corpus (vs 1/1 for
     brute force, vs an untunable bucket share for single-band SRP).
@@ -360,7 +432,11 @@ def ivf_topk(
     Probe lists (|Q|·n_probe rows) are broadcast; the corpus index never
     reshuffles after the build. Output shape = :func:`cosine_topk`.
     """
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_cells, id_col, vec_col)
+    )
     index = ivf_index(corpus, cents, id_col, vec_col)
     q = _with_norm(queries, id_col, vec_col, "qid", "_qv", "_qn")
     cn = _with_norm(cents, "cell", "centroid", "cell", "_ce", "_cen")

@@ -506,6 +506,50 @@ from w where rn = 1 and op <> 'D'
 """
 
 
+#: TTL cutoff for q_ttl_retention — mid-range of the events table's fixed
+#: Jan-2024 span at every SF.
+_TTL_CUTOFF = "2024-01-16 00:00:00"
+
+
+def q_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based retention as a driver-checked query (reference: 6-day
+    hourly-partition TTL, fintick/bqloader/bqloader.py:9-13): full
+    replay, then ``expire_rows`` at a mid-range cutoff, then the logical
+    read. The oracle reproduces the settled-only rule exactly — a row
+    expires iff it is older than the cutoff AND its lsn is at/below the
+    applied-LSN watermark (min over binlog partitions of max lsn)."""
+    import datetime as _dtm
+
+    tmp = os.path.join(tempfile.gettempdir(), f"cdc_t_{uuid.uuid4().hex[:8]}")
+    pipe = CdcPipeline(spark, tmp, n_buckets=8)
+    pipe.apply_batch(_changes_from_events(spark, sf_dir), batch_id=0)
+    pipe.table.expire_rows(
+        _dtm.datetime.fromisoformat(_TTL_CUTOFF).replace(tzinfo=_dtm.timezone.utc)
+    )
+    return pipe.table.read().select("url", "warc_ts", "text", "lang")
+
+
+SQL_TTL_RETENTION = f"""
+with ch as (
+  select event_id as lsn, cast(user_id % 8 as int) as part, {_OP_EXPR} as op,
+         concat('user:', cast(user_id as varchar)) as url,
+         ts as warc_ts, props, event_type as lang
+  from events),
+wm as (
+  select min(mx) as wm from (select max(lsn) as mx from ch group by part)),
+w as (
+  select *, row_number() over (partition by url order by warc_ts desc, lsn desc) as rn
+  from ch)
+select url, warc_ts,
+       trim(regexp_replace(regexp_replace(concat('<p>', props, '</p>'),
+            '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) as text,
+       lang
+from w, wm
+where rn = 1 and op <> 'D'
+  and not (warc_ts < timestamp '{_TTL_CUTOFF}' and lsn <= wm.wm)
+"""
+
+
 def q_cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship replay through the merge-on-read write path: winners
     land as per-bucket delta files, a minor compaction folds them, and
@@ -1883,6 +1927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_final_state": q_cdc_final_state,
     "cdc_replay_engine": q_cdc_replay_engine,
     "cdc_replay_mor": q_cdc_replay_mor,
+    "ttl_retention": q_ttl_retention,
     "rollup_daily": q_rollup_daily,
     "scalar_market_fns": q_scalar_market_fns,
     "futures_active_enrich": q_futures_active_enrich,
@@ -1935,6 +1980,7 @@ ORACLES: dict[str, str] = {
     "cdc_final_state": SQL_CDC_FINAL,
     "cdc_replay_engine": SQL_CDC_REPLAY,
     "cdc_replay_mor": SQL_CDC_REPLAY,
+    "ttl_retention": SQL_TTL_RETENTION,
     "rollup_daily": SQL_ROLLUP,
     "scalar_market_fns": SQL_SCALAR_FNS,
     "futures_active_enrich": _futures_sql(),

@@ -176,7 +176,13 @@ class IncrementalBars:
             rel_dir = f"bars/batch-{batch_id}-{uuid.uuid4().hex[:8]}"
             bar_rows = out.where(F.col("_cache").isNull()).drop("_cache")
             bar_rows.write.mode("overwrite").parquet(os.path.join(self.path, rel_dir))
-            # sidecar rows: exactly one per symbol present in the batch
+            # sidecar rows: exactly one per symbol present in the batch.
+            # This collect is bounded by SYMBOL CARDINALITY, not data
+            # volume — market symbol universes are O(10³-10⁴) and each
+            # cache row is a few hundred bytes of partial-bar state, so
+            # the driver holds ≤ a few MB regardless of tick volume. For
+            # an unbounded key space use state_bars.stateful_bars, which
+            # keeps the carry in the executor-side state store instead.
             new_caches = {
                 r["symbol"]: r["_cache"]
                 for r in out.where(F.col("_cache").isNotNull())

@@ -281,6 +281,26 @@ def test_dedup_components_chain_and_clique(spark):
     }
 
 
+def test_dedup_components_path_graph_log_rounds(spark):
+    """Adversarial 1000-vertex path (diameter 999): pointer jumping must
+    converge in ≲ ⌈log₂ d⌉ + c rounds with labels identical to plain
+    propagation's fixpoint (all 1000 vertices → component 0)."""
+    import math
+
+    from crypto_exchange_etl_spark.operators.dedup import dedup_components
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels_df, rounds = dedup_components(
+        pairs, max_iter=30, return_rounds=True
+    )
+    labels = {r.id: r.component for r in labels_df.collect()}
+    assert labels == {i: 0 for i in range(n)}
+    assert rounds <= math.ceil(math.log2(n - 1)) + 3, rounds
+
+
 @pytest.mark.skipif(
     not __import__("os").path.exists("/root/testdata/sf0.001"),
     reason="driver testdata not present",
@@ -314,6 +334,42 @@ def test_ann_recall_floors(spark):
         for r in ivf_topk(emb, qs, n_cells=16, n_probe=8, k=5).collect()
     }
     assert len(ivf8 & exact) >= len(ivf4 & exact)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/testdata/sf0.001"),
+    reason="driver testdata not present",
+)
+def test_kmeans_codebook_lifts_recall(spark):
+    """Lloyd's-trained codebook must not lose recall vs the hash-sampled
+    one at the SAME (n_cells, n_probe) budget — the whole point of
+    training — and must be bit-deterministic run-to-run (integer-sum
+    means, fixed init, fixed iteration count)."""
+    from crypto_exchange_etl_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 20)
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, qs, k=5).collect()}
+    sampled = {
+        (r.qid, r.nid)
+        for r in ivf_topk(emb, qs, n_cells=16, n_probe=4, k=5).collect()
+    }
+    km = kmeans_centroids(emb, n_cells=16, n_iter=4)
+    trained = {
+        (r.qid, r.nid)
+        for r in ivf_topk(
+            emb, qs, n_cells=16, n_probe=4, k=5, centroids=km
+        ).collect()
+    }
+    assert len(trained & exact) >= len(sampled & exact)
+
+    km2 = kmeans_centroids(emb, n_cells=16, n_iter=4)
+    a = sorted((r.cell, tuple(r.centroid)) for r in km.collect())
+    b = sorted((r.cell, tuple(r.centroid)) for r in km2.collect())
+    assert a == b
 
 
 def test_doc_fingerprint_oracle_parity(spark):
