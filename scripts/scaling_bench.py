@@ -89,12 +89,20 @@ finally:
 
 
 def run_level(repo: str, cores: int, n_events: int, binlog: str) -> dict:
+    # host-capacity probe (bench.host_calibration) immediately before the
+    # level: distinguishes a stolen-host rep spread from an engine effect
+    sys.path.insert(0, repo)
+    from bench import host_calibration
+
+    cal = host_calibration(8)
     out = subprocess.run(
         [sys.executable, "-c", _CHILD.format(repo=repo, n_buckets=N_BUCKETS),
          str(cores), str(n_events), binlog, str(REPEATS)],
         capture_output=True, text=True, check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    res["host_calibration_before"] = cal
+    return res
 
 
 def main() -> None:
