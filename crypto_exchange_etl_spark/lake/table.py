@@ -46,7 +46,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..model import LEDGER_SCHEMA, PAGES_INTERNAL_FIELDS
-from ..operators.compaction import ORDER_COLS, lww_compact, lww_winner_keys
+from ..operators.compaction import (
+    ORDER_COLS,
+    lww_compact,
+    lww_pack_expr,
+    lww_unpack,
+)
 from .schema_evolution import conform, resolve_schema
 
 _INTERNAL_COLS = [f.name for f in PAGES_INTERNAL_FIELDS]  # lsn, is_deleted
@@ -315,31 +320,56 @@ class LakeTable:
             _timing[phase] = round(now - _t0[0], 3)
             _t0[0] = now
 
-        # -- JOB 1: per-binlog-partition high-watermarks + batch size +
-        # affected buckets, in ONE column-pruned pass over the raw
-        # envelope (no UDF, no wide columns; collect_set is map-side
-        # partially aggregated down to ≤ n_buckets ints per split)
-        part_rows = (
-            changes.groupBy("partition")
+        # -- JOB 1 (narrow, FUSED): one column-pruned pass over the raw
+        # envelope computes BOTH grouping arrangements via GROUPING SETS —
+        # per binlog partition (high-watermarks, batch size, affected
+        # buckets) and per key (the batch-local LWW winner). Page payloads
+        # (html/text — the wide bytes) never enter this shuffle: the
+        # winner of each key is decided on a single packed decimal rank
+        # (see lww_winner_keys) — a pure two-phase HashAggregate,
+        # ~24 B/key shuffled, hot keys collapsed map-side. The Expand
+        # doubles agg input rows, but partial aggregation collapses both
+        # arrangements map-side, and one binlog scan replaces the two
+        # separate jobs this used to take (scan >> agg for the narrow
+        # projection). grouping_id distinguishes the arrangements: 1 ⇒
+        # grouped by key (partition aggregated), 2 ⇒ grouped by partition.
+        # NOTE no collect_set here: an object-typed aggregate would force
+        # ObjectHashAggregate, whose sort-based fallback (128-group
+        # threshold) sorts the whole expanded input once the key
+        # arrangement's millions of groups appear. All three aggregates
+        # are fixed-width ⇒ pure codegen HashAggregate; affected buckets
+        # come from a follow-up distinct over the CACHED key rows instead
+        # (no rescan, ≤ n_buckets result rows).
+        gs = (
+            changes.groupingSets(
+                [[key], ["partition"]], key, "partition"
+            )
             .agg(
+                F.max(lww_pack_expr()).alias("_p"),
                 F.max("lsn").alias("max_lsn"),
                 F.count(F.lit(1)).alias("n_events"),
-                F.collect_set(self._bucket(key, n_buckets)).alias("buckets"),
+                F.grouping_id().alias("_gid"),
             )
+            .cache()
+        )
+        part_rows = (
+            gs.where(F.col("_gid") == 2)
+            .select("partition", "max_lsn", "n_events")
             .collect()
         )
         n_events = sum(int(r["n_events"]) for r in part_rows)
-        affected = sorted({int(b) for r in part_rows for b in r["buckets"]})
-        _mark("part_stats")
+        affected = sorted(
+            int(r["b"])
+            for r in gs.where(F.col("_gid") == 1)
+            .select(self._bucket(key, n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        _mark("fused_narrow_agg")
 
-        # -- JOB 2 (narrow): batch-local LWW over the KEY COLUMNS ONLY.
-        # Page payloads (html/text — the wide bytes) never enter this
-        # shuffle: the winner of each key is decided on a single packed
-        # decimal rank (see lww_winner_keys) — a pure two-phase
-        # HashAggregate, ~24 B/key shuffled, hot keys collapsed map-side.
         # Upsert metrics come from the same narrow world: winners joined
         # against the column-pruned live-key scan of the affected buckets.
-        wk = lww_winner_keys(changes, key=key).cache()
+        wk = lww_unpack(gs.where(F.col("_gid") == 1), key=key)
         cur_live = (
             self.read_physical(buckets=affected)
             .where(~F.col("is_deleted"))
@@ -356,7 +386,7 @@ class LakeTable:
             )
             .collect()[0]
         )
-        _mark("narrow_lww_stats")
+        _mark("upsert_stats")
 
         # -- 3. winner payload fetch: broadcast the winning lsn set and
         # semi-join it against the raw batch — a map-side hash probe, so
@@ -373,13 +403,46 @@ class LakeTable:
             winners = changes.join(F.broadcast(lsn_set), "lsn", "left_semi")
         else:  # pragma: no cover - cluster-scale escape hatch
             winners = changes.join(lsn_set, "lsn", "left_semi")
+
+        # Bootstrap (backfill) fast path: when the affected buckets hold no
+        # current rows, every post-merge survivor IS a batch winner, so the
+        # (pure, per-row) enrich can run AFTER the bucket exchange, on
+        # exactly the rows being written — the derived bytes (extracted
+        # text: measured 45% of the html+text payload on the bench corpus)
+        # then never cross the exchange. On tmpfs shuffle the end-to-end
+        # effect is within host noise (the one full payload scan dominates
+        # memory traffic); on a real cluster the exchange is the NETWORK
+        # hop, where 45% fewer bytes is the point. Incremental batches
+        # keep the pre-exchange placement: post-window rows coming from
+        # current state would re-pay the UDF (Arrow evaluates a UDF for
+        # every row in its node — a null-gate cannot skip them), and
+        # current >> batch in steady state. A deferred enrich sees
+        # conformed physical rows (payload + lsn/is_deleted), not the
+        # op/partition envelope — fine for any pure payload projection,
+        # which is what the enrich contract requires.
+        # SPARK_CDC_DEFER_ENRICH=0 restores pre-exchange placement (A/B).
+        affected_set = set(affected)
+        bootstrap = not any(f["bucket"] in affected_set for f in m["files"])
+        mode = m.get("write_mode", "cow")
+        defer_enrich = (
+            enrich is not None
+            and bootstrap
+            and mode != "mor"
+            and os.environ.get("SPARK_CDC_DEFER_ENRICH", "1") != "0"
+        )
         if enrich is not None:
-            winners = enrich(winners)
+            enriched = enrich(winners)
+            if not defer_enrich:
+                winners = enriched
+        else:
+            enriched = winners
 
         # -- 4. schema evolution: batch payload columns vs table schema
+        # (resolved against the ENRICHED schema even when the enrich
+        # computation itself is deferred past the exchange)
         table_schema = T.StructType.fromJson(m["schema"])
         payload = T.StructType(
-            [f for f in winners.schema.fields if f.name not in ("op", "partition")]
+            [f for f in enriched.schema.fields if f.name not in ("op", "partition")]
         )  # lsn is both envelope and lineage; exclude op/partition only
         res = resolve_schema(table_schema, payload)
         new_schema = res.schema
@@ -396,7 +459,6 @@ class LakeTable:
             winners.withColumn("is_deleted", F.col("op") == F.lit("D")), phys_plus
         )
         phys_cols = [f.name for f in phys_plus.fields]
-        mode = m.get("write_mode", "cow")
         snap = str(uuid.uuid4())[:8]
 
         if mode == "mor":
@@ -436,18 +498,19 @@ class LakeTable:
                 *[F.col(c).desc() for c in ORDER_COLS],
             )
             prev_key = F.lag(F.col(key)).over(wspec)
-            merged = (
-                u.withColumn("_pk", prev_key)
-                .where(F.col("_pk").isNull() | (F.col("_pk") != F.col(key)))
-                .select(*phys_cols, "bucket")
+            merged = u.withColumn("_pk", prev_key).where(
+                F.col("_pk").isNull() | (F.col("_pk") != F.col(key))
             )
+            if defer_enrich:
+                merged = enrich(merged)
+            merged = merged.select(*phys_cols, "bucket")
             rel_out = f"data/snap-{snap}"
-            keep = [f for f in m["files"] if f["bucket"] not in set(affected)]
+            keep = [f for f in m["files"] if f["bucket"] not in affected_set]
 
         out_dir = os.path.join(self.path, rel_out)
         merged.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         _mark("merge_write")
-        wk.unpersist()
+        gs.unpersist()
         new_files = self._scan_files(rel_out, delta=(mode == "mor"))
         _mark("scan_files")
 

@@ -88,6 +88,44 @@ _PACK = 10**19
 _OP_CODE = {"I": 1, "U": 2, "D": 3}
 
 
+def lww_pack_expr(
+    ts_col: str = "warc_ts", lsn_col: str = "lsn", op_col: str = "op"
+):
+    """The packed decimal(38,0) LWW rank: ``µs·10^19 + lsn·10 + op_code``
+    (see :func:`lww_winner_keys` for why packing beats ``max_by(struct)``)."""
+    pack_lit = F.lit(str(_PACK)).cast("decimal(20,0)")  # 10^19 > max long
+    micros = F.unix_micros(F.col(ts_col)).cast("decimal(38,0)")
+    op_code = (
+        F.when(F.col(op_col) == "I", 1)
+        .when(F.col(op_col) == "U", 2)
+        .otherwise(3)
+        .cast("decimal(38,0)")
+    )
+    return micros * pack_lit + F.col(lsn_col).cast("decimal(38,0)") * 10 + op_code
+
+
+def lww_unpack(
+    df: DataFrame,
+    key: str = "url",
+    packed_col: str = "_p",
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """Invert :func:`lww_pack_expr` on aggregated rows: (key, max packed)
+    → (key, lsn, op, is_deleted) of the winner."""
+    pack_lit = F.lit(str(_PACK)).cast("decimal(20,0)")
+    rem = F.pmod(F.col(packed_col), pack_lit.cast("decimal(38,0)"))
+    op_num = F.pmod(rem, F.lit(10).cast("decimal(38,0)")).cast("int")
+    lsn = ((rem - op_num) / 10).cast("long")
+    op = F.when(op_num == 1, "I").when(op_num == 2, "U").otherwise("D")
+    return df.select(
+        F.col(key),
+        lsn.alias(lsn_col),
+        op.alias(op_col),
+        (op_num == _OP_CODE["D"]).alias("is_deleted"),
+    )
+
+
 def lww_winner_keys(
     df: DataFrame,
     key: str = "url",
@@ -109,32 +147,9 @@ def lww_winner_keys(
     This is the merge path's hot aggregation at scale: a pure hash agg
     with map-side partial reduction and ~24 B/key of shuffle.
     """
-    pack_lit = F.lit(str(_PACK)).cast("decimal(20,0)")  # 10^19 > max long
-    micros = F.unix_micros(F.col(ts_col)).cast("decimal(38,0)")
-    op_code = (
-        F.when(F.col(op_col) == "I", 1)
-        .when(F.col(op_col) == "U", 2)
-        .otherwise(3)
-        .cast("decimal(38,0)")
-    )
-    packed = (
-        micros * pack_lit
-        + F.col(lsn_col).cast("decimal(38,0)") * 10
-        + op_code
-    )
+    packed = lww_pack_expr(ts_col=ts_col, lsn_col=lsn_col, op_col=op_col)
     agg = df.groupBy(key).agg(F.max(packed).alias("_p"))
-    rem = F.pmod(F.col("_p"), pack_lit.cast("decimal(38,0)"))
-    op_num = F.pmod(rem, F.lit(10).cast("decimal(38,0)")).cast("int")
-    lsn = ((rem - op_num) / 10).cast("long")
-    op = (
-        F.when(op_num == 1, "I").when(op_num == 2, "U").otherwise("D")
-    )
-    return agg.select(
-        F.col(key),
-        lsn.alias(lsn_col),
-        op.alias(op_col),
-        (op_num == _OP_CODE["D"]).alias("is_deleted"),
-    )
+    return lww_unpack(agg, key=key, lsn_col=lsn_col, op_col=op_col)
 
 
 def lww_compact_window(

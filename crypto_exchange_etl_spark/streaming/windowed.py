@@ -97,6 +97,51 @@ def windowed_candles(
     )
 
 
+def dedup_events_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once events from an at-least-once feed, with bounded state.
+
+    The reference re-fetches a 3-hour lookback window every hourly run
+    (/root/reference/fintick/main.py:41-42), so the same REST page is
+    delivered more than once and the uid dedup (P7,
+    /root/reference/fintick/controllers/base.py:142-150) strips the
+    replays. This is the declarative streaming twin:
+    ``dropDuplicatesWithinWatermark`` keeps a seen-``lsn`` set ONLY for
+    events newer than the watermark — exactly the 3h lookback horizon —
+    so the dedup state is bounded by (arrival rate × watermark), not by
+    total stream history as plain ``dropDuplicates`` on a stream would
+    be. Late replays beyond the watermark are already rejected by the
+    sink's idempotent LWW MERGE, so the two layers compose to
+    exactly-once without unbounded state at either.
+    """
+    return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["lsn"])
+
+
+def run_dedup_stream(
+    spark,
+    binlog_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    timeout_secs: float | None = 300,
+):
+    """Wire :func:`dedup_events_stream` to a parquet append sink
+    (availableNow: drain the current binlog, then stop)."""
+    from ..sources.binlog import read_binlog_stream
+
+    stream = read_binlog_stream(spark, binlog_dir, max_files_per_trigger=2)
+    q = (
+        dedup_events_stream(stream, watermark=watermark)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_secs) if timeout_secs else q.awaitTermination()
+    return q
+
+
 def run_windowed_metrics_stream(
     spark,
     binlog_dir: str,

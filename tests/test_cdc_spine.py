@@ -367,3 +367,27 @@ def test_time_travel(spark, tmpdir_path):
     )
     assert pipe.table.read(version=v1).collect()[0].text == "1"
     assert pipe.table.read().collect()[0].text == "2"
+
+
+def test_bootstrap_deferred_enrich_matches_pre_exchange_placement(
+    spark, tmpdir_path, monkeypatch
+):
+    """The backfill fast path (extraction AFTER the bucket exchange, so
+    derived text never crosses it) must be byte-identical to the
+    pre-exchange placement — purity of the enrich makes the two plans
+    equivalent; this pins it."""
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=3000, n_segments=2, n_urls=250)
+
+    monkeypatch.setenv("SPARK_CDC_DEFER_ENRICH", "1")
+    a = CdcPipeline(spark, os.path.join(tmpdir_path, "ta"), n_buckets=4)
+    a.replay_all(binlog)
+    monkeypatch.setenv("SPARK_CDC_DEFER_ENRICH", "0")
+    b = CdcPipeline(spark, os.path.join(tmpdir_path, "tb"), n_buckets=4)
+    b.replay_all(binlog)
+
+    da, db = a.table.read(), b.table.read()
+    cols = sorted(da.columns)
+    assert da.count() == db.count() > 0
+    assert da.select(*cols).exceptAll(db.select(*cols)).count() == 0
+    assert db.select(*cols).exceptAll(da.select(*cols)).count() == 0

@@ -162,3 +162,36 @@ def test_windowed_candles_matches_batch_operator(spark):
         assert (r.open, r.high, r.low, r.close, r.volume, r.ticks) == (
             w.open, w.high, w.low, w.close, w.volume, w.ticks
         )
+
+
+def test_stream_dedup_within_watermark_removes_redelivered_pages(spark, tmpdir_path):
+    """An at-least-once binlog (a whole segment redelivered, the
+    reference's 3h-lookback re-fetch) streams through
+    dedup_events_stream to exactly the batch-distinct event set."""
+    import shutil
+
+    from crypto_exchange_etl_spark.streaming.windowed import run_dedup_stream
+
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(
+        spark, binlog, n_events=3000, n_segments=3, files_per_segment=1,
+        n_urls=300, seed=7, late_frac=0.0,
+    )
+    # redeliver segment 1 verbatim as a later segment (same lsns, same
+    # payloads — the REST page fetched again by the lookback window)
+    shutil.copytree(os.path.join(binlog, "seg=00001"), os.path.join(binlog, "seg=00003"))
+
+    out = os.path.join(tmpdir_path, "deduped")
+    run_dedup_stream(
+        spark, binlog, out, os.path.join(tmpdir_path, "ck"), watermark="2 hours"
+    )
+
+    got = spark.read.parquet(out)
+    batch = read_binlog(spark, binlog)
+    assert batch.count() == 4000  # duplicates really were delivered
+    assert got.count() == 3000
+    assert got.select("lsn").distinct().count() == 3000
+    # value-level: deduped stream == the original (pre-redelivery) events
+    orig = batch.where(F.col("lsn") < 3000).dropDuplicates(["lsn"])
+    cols = [c for c in got.columns]
+    assert got.select(*cols).exceptAll(orig.select(*cols)).count() == 0
