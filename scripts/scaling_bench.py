@@ -88,6 +88,24 @@ finally:
 """
 
 
+def _taskset_prefix(cores: int) -> list[str]:
+    """Pin the level's whole process tree (JVM + forked python workers) to
+    exactly ``cores`` CPUs — the single-box equivalent of a node's cpuset
+    budget. UNPINNED, an N-thread local JVM plus its N python UDF workers
+    uses up to 2N physical cores during UDF stages; the host satisfies
+    that at N=2 (4 ≤ free cores) but not at N=8 (16 ≈ the whole box), so
+    the unpinned 2→8 ratio compares a 4-core reality against a ~16-core
+    one and under-reports scaling. Measured on the round-3 engine, 40M
+    events: unpinned local[2] best 100.7 s vs PINNED 150.5 s (the level
+    was free-riding 1.49×) while local[8] moved only 33.8→41.4 s (1.22×);
+    the pinned ratio is the honest one. A real 2-core cluster cannot
+    borrow a third core — pinning is what "fully provisioned cluster of
+    size N" means on one box."""
+    if shutil.which("taskset"):
+        return ["taskset", "-c", f"0-{cores - 1}"]
+    return []  # pragma: no cover - taskset ships with util-linux everywhere
+
+
 def run_level(repo: str, cores: int, n_events: int, binlog: str) -> dict:
     # host-capacity probe (bench.host_calibration) immediately before the
     # level: distinguishes a stolen-host rep spread from an engine effect
@@ -96,12 +114,14 @@ def run_level(repo: str, cores: int, n_events: int, binlog: str) -> dict:
 
     cal = host_calibration(8)
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD.format(repo=repo, n_buckets=N_BUCKETS),
+        [*_taskset_prefix(cores),
+         sys.executable, "-c", _CHILD.format(repo=repo, n_buckets=N_BUCKETS),
          str(cores), str(n_events), binlog, str(REPEATS)],
         capture_output=True, text=True, check=True,
     )
     res = json.loads(out.stdout.strip().splitlines()[-1])
     res["host_calibration_before"] = cal
+    res["pinned_cpus"] = cores
     return res
 
 
@@ -135,7 +155,9 @@ def main() -> None:
             "high": hi,
             f"scaling_efficiency_{LEVELS[0]}_to_{LEVELS[1]}": round(eff, 3),
             "method": f"min of {REPEATS} replays per level, identical input, "
-                      f"n_buckets={N_BUCKETS} at both levels, tmpfs scratch",
+                      f"n_buckets={N_BUCKETS} at both levels, tmpfs scratch, "
+                      f"each level cpuset-pinned to exactly its core budget "
+                      f"(taskset; JVM + python UDF workers share the pin)",
         }
         line = json.dumps(result)
         print(line)
