@@ -57,6 +57,15 @@ from .schema_evolution import conform, resolve_schema
 _INTERNAL_COLS = [f.name for f in PAGES_INTERNAL_FIELDS]  # lsn, is_deleted
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed this manifest version first (optimistic
+    concurrency). The loser's data files are orphans (cleaned by
+    ``expire_snapshots``); retrying the operation recomputes against the
+    new current snapshot — safe for MERGE because LWW merges commute, so
+    a re-applied batch converges to the same final state regardless of
+    commit order (Iceberg's commit-retry model)."""
+
+
 def _fmt_version(v: int) -> str:
     return f"v{v:08d}.json"
 
@@ -163,7 +172,12 @@ class LakeTable:
             "summary": {"operation": "create", "total_rows": 0},
             "committed_at_unix": time.time(),
         }
-        t._write_manifest(manifest)
+        try:
+            t._write_manifest(manifest)
+        except CommitConflictError:
+            if if_not_exists:  # concurrent create raced us — theirs wins
+                return t
+            raise
         return t
 
     @classmethod
@@ -192,11 +206,24 @@ class LakeTable:
             return json.load(fh)
 
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
+        """Atomic commit point with optimistic-concurrency CAS: the
+        version file is created with ``os.link`` (create-exclusive), so
+        if another writer already committed this version number the link
+        fails and a :class:`CommitConflictError` surfaces instead of the
+        silent last-writer-clobber a plain ``rename`` would allow."""
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4()}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         final = os.path.join(self.meta_dir, _fmt_version(manifest["version"]))
-        os.rename(tmp, final)  # atomic commit point
+        try:
+            os.link(tmp, final)  # atomic; fails iff version already exists
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version {manifest['version']} already committed at "
+                f"{self.path} by a concurrent writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     @property
     def schema(self) -> T.StructType:

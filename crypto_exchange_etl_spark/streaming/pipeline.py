@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.extract import with_extracted_text
-from ..lake.table import LakeTable
+from ..lake.table import CommitConflictError, LakeTable
 from ..model import PAGES_PHYSICAL_SCHEMA
 from ..sources.binlog import read_binlog, read_binlog_stream
 from pyspark.sql import types as T
@@ -78,11 +78,25 @@ class CdcPipeline:
         applied by the merge to the LWW *winners only* — a superseded
         update never pays the UDF (pure per-row transform ⇒ identical
         output either side of compaction). The merge does LWW + schema
-        evolution + bucket-pruned rewrite + ledger in one atomic commit."""
+        evolution + bucket-pruned rewrite + ledger in one atomic commit.
+
+        A :class:`CommitConflictError` (a concurrent maintenance commit —
+        compaction, retention — won the version CAS) is retried: the
+        merge recomputes against the new current snapshot, and because
+        LWW merges commute the retried batch converges to the same state
+        it would have produced without the race."""
         table = self.ensure_table()
-        out = table.merge_apply(
-            changes, batch_id=batch_id, enrich=with_extracted_text
-        )
+        last: Exception | None = None
+        for _attempt in range(3):
+            try:
+                out = table.merge_apply(
+                    changes, batch_id=batch_id, enrich=with_extracted_text
+                )
+                break
+            except CommitConflictError as e:
+                last = e
+        else:
+            raise last
         if table.write_mode == "mor" and not out.get("skipped"):
             table.minor_compact(max_deltas=self.max_deltas)
         return out
