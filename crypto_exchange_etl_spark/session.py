@@ -55,8 +55,17 @@ def get_spark(
     """
     cores_s = "*" if cores is None else str(cores)
     n_shuffle = shuffle_partitions or (cores if cores else DEFAULT_SHUFFLE_PARTITIONS)
+    # Respect a master supplied by the launcher (spark-submit --master /
+    # $SPARK_GRAFT_MASTER): a .master() call in code OVERRIDES spark-submit,
+    # which would silently run the whole job local on the driver node of a
+    # real cluster. Only default to local[] when nothing upstream set one.
+    from pyspark import SparkConf
+
+    preset = os.environ.get("SPARK_GRAFT_MASTER") or SparkConf().get(
+        "spark.master", None
+    )
     builder = (
-        SparkSession.builder.master(f"local[{cores_s}]")
+        SparkSession.builder.master(preset or f"local[{cores_s}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
@@ -75,8 +84,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
+    # tmpfs scratch is a single-box workaround (see _default_local_dir);
+    # on a real cluster spark.local.dir must stay the site's NVMe config —
+    # RAM-backed shuffle scratch on executors would evict the page cache.
     local_dir = _default_local_dir()
-    if local_dir:
+    if local_dir and (preset is None or preset.startswith("local")):
         builder = builder.config("spark.local.dir", local_dir)
 
     # Preload pandas/pyarrow in the python-worker daemon (fork inherits them
