@@ -970,6 +970,98 @@ class LakeTable:
                     shutil.rmtree(root, ignore_errors=True)
         return removed
 
+    def rebucket(self, n_buckets: int) -> dict[str, Any]:
+        """Bucket-layout evolution: rewrite the table into ``n_buckets``
+        hash buckets. The bucket count is the table's parallelism knob
+        (merge-stage width, file pruning granularity); a table that grew
+        100× since creation needs more buckets than it started with.
+
+        One full rewrite — a single shuffle keyed by the NEW bucket, the
+        same exchange shape as a merge, cost O(live table) once. (Iceberg
+        partition evolution instead applies the new spec lazily to new
+        files only; with hash buckets that would make every merge prune
+        and rewrite under BOTH specs until compaction finishes the
+        migration — this engine takes the one-shot rewrite for plan
+        simplicity, scheduled like any other maintenance op.) Delta files
+        are folded in (the rewrite IS a major compaction); tombstones are
+        kept — replay semantics survive the new layout."""
+        m = self.manifest()
+        if n_buckets == m["n_buckets"]:
+            return {"operation": "rebucket", "n_buckets": n_buckets,
+                    "skipped": True}
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        df = self.read_physical(fold=True)
+        snap = str(uuid.uuid4())[:8]
+        rel_out = f"data/rebucket-{snap}"
+        (
+            df.withColumn("bucket", self._bucket(m["key"], n_buckets))
+            .repartition(n_buckets, F.col("bucket"))
+            .sortWithinPartitions(m["key"])
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, rel_out))
+        )
+        new_files = self._scan_files(rel_out)
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            n_buckets=n_buckets,
+            files=new_files,
+            summary={"operation": "rebucket",
+                     "n_buckets_before": m["n_buckets"],
+                     "n_buckets": n_buckets,
+                     "files_after": len(new_files)},
+            committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm["summary"]
+
+    def stats(self, read_footers: bool = False) -> dict[str, Any]:
+        """Table health snapshot from METADATA only (no Spark job): size,
+        file counts, per-bucket byte skew (hot-domain detection — the
+        north_rule's skew knob needs a signal before it needs a salt),
+        delta backlog, applied-batch/watermark summary.
+
+        ``read_footers=True`` additionally sums parquet-footer row counts
+        (driver-side, O(files) footer opens, still no data read)."""
+        m = self.manifest()
+        per_bucket: dict[int, dict[str, int]] = {}
+        for f in m["files"]:
+            b = per_bucket.setdefault(
+                f["bucket"], {"files": 0, "bytes": 0, "delta_files": 0}
+            )
+            b["files"] += 1
+            b["bytes"] += f["bytes"]
+            if f.get("delta"):
+                b["delta_files"] += 1
+        sizes = [b["bytes"] for b in per_bucket.values()]
+        mean = (sum(sizes) / len(sizes)) if sizes else 0.0
+        out: dict[str, Any] = {
+            "version": m["version"],
+            "write_mode": m.get("write_mode", "cow"),
+            "n_buckets": m["n_buckets"],
+            "buckets_with_data": len(per_bucket),
+            "total_files": len(m["files"]),
+            "total_bytes": sum(sizes),
+            "delta_files": sum(b["delta_files"] for b in per_bucket.values()),
+            "max_bucket_bytes": max(sizes, default=0),
+            "bucket_skew": round(max(sizes, default=0) / mean, 3) if mean else 0.0,
+            "applied_batches": len(m["applied_batches"]),
+            "lsn_watermark": self._applied_lsn_watermark(m),
+            "per_bucket": per_bucket,
+        }
+        if read_footers:
+            import pyarrow.parquet as pq
+
+            out["total_rows"] = sum(
+                pq.ParquetFile(os.path.join(self.path, f["path"])).metadata.num_rows
+                for f in m["files"]
+            )
+        return out
+
     def rollback(self, version: int) -> dict[str, Any]:
         """Restore the table to an older snapshot as a NEW commit (Iceberg
         ``rollback_to_snapshot`` analogue). Nothing is rewritten: the new

@@ -251,3 +251,57 @@ def test_lookup_skips_files(spark, tmpdir_path):
     bucket_files = [f for f in m["files"] if f["bucket"] == b]
     assert len(opened) <= len(bucket_files) < total
     assert df.count() == 1
+
+
+# ---------------------------------------------------- rebucket + stats
+
+
+def test_rebucket_preserves_state_and_serves_merges(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    table = _build(spark, path, n_batches=2)
+    before = sorted(_live_state(table, table.current_version()).items())
+    summary = table.rebucket(16)
+    assert summary["n_buckets"] == 16 and summary["n_buckets_before"] == 8
+    table = LakeTable.load(spark, path)
+    assert table.n_buckets == 16
+    assert {f["bucket"] for f in table.manifest()["files"]} <= set(range(16))
+    assert sorted(_live_state(table, table.current_version()).items()) == before
+    # merges keep working against the new layout (batch 2 of the same feed)
+    pipe = CdcPipeline(spark, path, n_buckets=16)
+    df = generate_changes(spark, 3 * 1200, n_urls=150, seed=11)
+    pipe.apply_batch(
+        df.where((F.col("lsn") >= 2400) & (F.col("lsn") < 3600)), batch_id=2
+    )
+    # final state == a never-rebucketed table fed the same three batches
+    ref = _build(spark, os.path.join(tmpdir_path, "ref"), n_batches=3)
+    got = sorted(_live_state(pipe.table, pipe.table.current_version()).items())
+    want = sorted(_live_state(ref, ref.current_version()).items())
+    assert got == want
+    # lookup's bucket hash follows the new layout
+    url = pipe.table.read().select("url").first().url
+    assert pipe.table.lookup(url).count() == 1
+    # rebucket to the same count is a metadata no-op
+    assert pipe.table.rebucket(16).get("skipped")
+
+
+def test_rebucket_folds_mor_deltas(spark, tmpdir_path):
+    table = _build(spark, os.path.join(tmpdir_path, "t"), write_mode="mor")
+    assert any(f.get("delta") for f in table.manifest()["files"])
+    before = sorted(_live_state(table, table.current_version()).items())
+    table.rebucket(4)
+    m = table.manifest()
+    assert not any(f.get("delta") for f in m["files"])  # major-compacted
+    assert sorted(_live_state(table, table.current_version()).items()) == before
+
+
+def test_stats_metadata_only(spark, tmpdir_path):
+    table = _build(spark, os.path.join(tmpdir_path, "t"))
+    s = table.stats(read_footers=True)
+    m = table.manifest()
+    assert s["version"] == m["version"]
+    assert s["total_files"] == len(m["files"])
+    assert s["total_bytes"] == sum(f["bytes"] for f in m["files"])
+    assert s["bucket_skew"] >= 1.0
+    assert s["applied_batches"] == len(m["applied_batches"])
+    # footer row count equals the physical row count (incl. tombstones)
+    assert s["total_rows"] == table.read_physical(fold=False).count()
