@@ -1,0 +1,111 @@
+"""URL canonicalization — merge-key hygiene cases.
+
+Every case is (input, expected canonical); the suite also pins the two
+invariants the merge depends on: idempotence (canon(canon(x)) ==
+canon(x)) and non-URL passthrough (garbage never collides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_exchange_etl_spark.functions.urls import (
+    canonicalize_url,
+    url_host,
+    url_path,
+    url_query,
+    url_registered_domain,
+    url_scheme,
+)
+
+CASES = [
+    # scheme/host case + default port + www
+    ("HTTP://WWW.Example.COM:80/a", "http://example.com/a"),
+    ("https://Example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    # fragment dropped
+    ("http://example.com/a#section-2", "http://example.com/a"),
+    # trailing slash off non-root; root kept; empty path -> /
+    ("http://example.com/a/", "http://example.com/a"),
+    ("http://example.com/", "http://example.com/"),
+    ("http://example.com", "http://example.com/"),
+    # tracking params dropped (case-insensitive name match), rest sorted
+    (
+        "http://example.com/a?utm_source=tw&b=2&A=1&gclid=xyz",
+        "http://example.com/a?A=1&b=2",
+    ),
+    ("http://example.com/a?utm_source=tw", "http://example.com/a"),
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+    # userinfo dropped
+    ("http://user:pw@example.com/a", "http://example.com/a"),
+    # non-URL passthrough
+    ("not a url", "not a url"),
+    ("", ""),
+]
+
+
+def _canon(spark, values, **kw):
+    df = spark.createDataFrame([(v,) for v in values], "url string")
+    return [
+        r.c for r in df.select(canonicalize_url(F.col("url"), **kw).alias("c")).collect()
+    ]
+
+
+def test_canonicalize_cases(spark):
+    got = _canon(spark, [i for i, _ in CASES])
+    for (inp, want), g in zip(CASES, got):
+        assert g == want, f"{inp!r}: got {g!r}, want {want!r}"
+
+
+def test_canonicalize_idempotent(spark):
+    once = _canon(spark, [i for i, _ in CASES])
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_keep_www_option(spark):
+    got = _canon(spark, ["http://www.example.com/a"], strip_www=False)
+    assert got == ["http://www.example.com/a"]
+
+
+def test_component_extractors(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://user@News.BBC.co.uk:8443/p/q/?x=1&y=2#frag",)], "url string"
+    )
+    r = df.select(
+        url_scheme(F.col("url")).alias("s"),
+        url_host(F.col("url")).alias("h"),
+        url_registered_domain(F.col("url")).alias("d"),
+        url_path(F.col("url")).alias("p"),
+        url_query(F.col("url")).alias("q"),
+    ).first()
+    assert r.s == "https"
+    assert r.h == "news.bbc.co.uk"
+    assert r.d == "co.uk"  # documented two-label stand-in (no PSL offline)
+    assert r.p == "/p/q/"
+    assert r.q == "x=1&y=2"
+
+
+def test_canonical_key_merges_spellings(spark):
+    """The motivating property: several spellings of one page map to one
+    merge key, distinct pages stay distinct."""
+    same = [
+        "HTTP://WWW.Example.com:80/news/today/?utm_source=x#top",
+        "http://example.com/news/today?utm_source=y",
+        "http://example.com/news/today/",
+    ]
+    other = ["http://example.com/news/yesterday", "https://example.com/news/today"]
+    got = set(_canon(spark, same + other))
+    assert len(got) == 3
+    assert set(_canon(spark, same)) == {"http://example.com/news/today"}
+
+
+def test_plan_stays_jvm_side(spark):
+    """No Python evaluation nodes: the canonicalizer must be usable in
+    front of the merge's narrow aggregation at scan speed."""
+    df = spark.createDataFrame([("http://a.b/c",)], "url string")
+    plan = (
+        df.select(canonicalize_url(F.col("url")).alias("u"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
