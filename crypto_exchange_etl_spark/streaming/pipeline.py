@@ -41,19 +41,30 @@ class CdcPipeline:
         key: str = "url",
         write_mode: str = "cow",
         max_deltas: int = 8,
+        canonicalize_keys: bool = False,
     ):
         """``write_mode="mor"`` switches the lake table to merge-on-read:
         each micro-batch appends O(batch) delta files and the pipeline
         minor-compacts any bucket whose delta count reaches
         ``max_deltas`` — the steady-state shape for high-frequency
         micro-batches at scale (CoW rewrite amplification is O(live
-        table) per batch under key-space-wide skew)."""
+        table) per batch under key-space-wide skew).
+
+        ``canonicalize_keys=True`` rewrites the merge key with
+        :func:`~..functions.urls.canonicalize_url` before every merge, so
+        spelling variants of one page (scheme/host case, default ports,
+        tracking params, fragments) collapse onto one LWW key. Off by
+        default: it changes key identity, so it must be chosen at table
+        birth and never toggled mid-history (a half-canonicalized table
+        has forked keys — the same reason the reference pins one
+        canonical symbol spelling per exchange before load)."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
         self.key = key
         self.write_mode = write_mode
         self.max_deltas = max_deltas
+        self.canonicalize_keys = canonicalize_keys
 
     def ensure_table(self) -> LakeTable:
         return LakeTable.create(
@@ -86,6 +97,14 @@ class CdcPipeline:
         LWW merges commute the retried batch converges to the same state
         it would have produced without the race."""
         table = self.ensure_table()
+        if self.canonicalize_keys:
+            from pyspark.sql import functions as F
+
+            from ..functions.urls import canonicalize_url
+
+            changes = changes.withColumn(
+                self.key, canonicalize_url(F.col(self.key))
+            )
         last: Exception | None = None
         for _attempt in range(3):
             try:

@@ -109,3 +109,35 @@ def test_plan_stays_jvm_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pipeline_canonicalize_keys(spark, tmpdir_path):
+    """Opt-in key canonicalization collapses spelling variants onto one
+    LWW key at merge time (off by default: key identity is a
+    table-birth decision)."""
+    import datetime as dt
+    import os
+
+    from crypto_exchange_etl_spark.model import CHANGES_SCHEMA
+    from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        (0, 0, "U", "HTTP://WWW.Example.com:80/a?utm_source=x", ts, b"<p>v0</p>", "en"),
+        (1, 0, "U", "http://example.com/a/", ts, b"<p>v1</p>", "en"),
+        (2, 0, "U", "http://example.com/b", ts, b"<p>b</p>", "en"),
+    ]
+    df = spark.createDataFrame(rows, CHANGES_SCHEMA)
+    pipe = CdcPipeline(
+        spark, os.path.join(tmpdir_path, "t"), n_buckets=4, canonicalize_keys=True
+    )
+    pipe.apply_batch(df, batch_id=0)
+    got = {
+        (r.url, r.lsn)
+        for r in pipe.table.read_physical()
+        .where(~F.col("is_deleted"))
+        .select("url", "lsn")
+        .collect()
+    }
+    # the two /a spellings collapsed; lsn=1 won LWW at equal warc_ts
+    assert got == {("http://example.com/a", 1), ("http://example.com/b", 2)}
