@@ -129,6 +129,7 @@ class CdcPipeline:
         max_files_per_trigger: int = 1,
         available_now: bool = True,
         timeout_secs: float | None = None,
+        source_reader=None,
     ):
         """Tail the binlog directory with checkpointed exactly-once apply.
 
@@ -136,9 +137,14 @@ class CdcPipeline:
         micro-batch with the SAME batch_id after restart; ``merge_apply``
         skips already-applied ids and LWW-merge makes even a forced
         re-apply produce the identical table state.
+
+        ``source_reader(spark, dir, max_files_per_trigger)`` overrides the
+        feed format — e.g. ``sources.debezium.read_debezium_json_stream``
+        for a Debezium ndjson feed; default is the parquet binlog.
         """
         self.ensure_table()
-        stream = read_binlog_stream(self.spark, binlog_dir, max_files_per_trigger)
+        reader = source_reader or read_binlog_stream
+        stream = reader(self.spark, binlog_dir, max_files_per_trigger)
 
         def _sink(df: DataFrame, batch_id: int) -> None:
             self.apply_batch(df, batch_id)
