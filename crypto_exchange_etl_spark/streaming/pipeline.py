@@ -164,6 +164,63 @@ class CdcPipeline:
             q.awaitTermination()
         return q
 
+    def run_debezium_stream(
+        self,
+        feed_dir: str,
+        checkpoint_dir: str,
+        dead_letter_dir: str | None = None,
+        max_files_per_trigger: int = 1,
+        available_now: bool = True,
+        timeout_secs: float | None = None,
+    ):
+        """Tail a Debezium ndjson feed with dead-letter quarantine.
+
+        The stream carries the RAW lines; each micro-batch is split
+        batch-side into valid change events (merged exactly-once like any
+        other batch) and dead letters (landed under ``dead_letter_dir/
+        batch-<id>/`` with their parse reason). Both outcomes happen in
+        the same ``foreachBatch`` scope, so a replayed batch re-lands the
+        SAME dead letters under the SAME batch id (overwrite ⇒ no
+        duplicates) — a malformed event can never abort the job OR
+        silently vanish.
+        """
+        from ..sources.debezium import (
+            debezium_dead_letters,
+            debezium_to_changes,
+        )
+
+        self.ensure_table()
+        raw = (
+            self.spark.readStream.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            ).text(feed_dir)
+        )
+
+        def _sink(lines: DataFrame, batch_id: int) -> None:
+            if dead_letter_dir is not None:
+                dead = debezium_dead_letters(lines)
+                (
+                    dead.write.mode("overwrite").parquet(
+                        os.path.join(dead_letter_dir, f"batch-{batch_id}")
+                    )
+                )
+            self.apply_batch(debezium_to_changes(lines), batch_id=batch_id)
+
+        writer = (
+            raw.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(f"cdc_dbz_{os.path.basename(self.table_path)}")
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+        else:
+            q = writer.trigger(processingTime="1 second").start()
+        if timeout_secs is not None:
+            q.awaitTermination(timeout_secs)
+        else:
+            q.awaitTermination()
+        return q
+
     # ------------------------------------------------------------- replay
 
     def replay_all(self, binlog_dir: str, batch_id: int = 0) -> dict:

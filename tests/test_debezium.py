@@ -143,3 +143,41 @@ def test_streaming_debezium_source(spark, tmpdir_path):
     )
     assert got == want
     native.unpersist()
+
+
+def test_run_debezium_stream_with_dead_letters(spark, tmpdir_path):
+    """End-to-end: raw ndjson feed with malformed lines mixed in → table
+    state equals the clean replay AND every bad line lands quarantined
+    with a reason, batch-scoped."""
+    native = generate_changes(spark, 600, n_urls=60, seed=9).cache()
+    rows = native.collect()
+    feed = os.path.join(tmpdir_path, "feed")
+    bad = ["{ not json", json.dumps({"payload": {"op": "z", "source": {"lsn": 7}}})]
+    for i in range(2):
+        _write_ndjson(
+            os.path.join(feed, f"seg-{i}.json"),
+            _to_debezium_lines([r for r in rows if r.lsn % 2 == i]) + bad,
+        )
+    dlq = os.path.join(tmpdir_path, "dlq")
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=4)
+    pipe.run_debezium_stream(
+        feed,
+        os.path.join(tmpdir_path, "ck"),
+        dead_letter_dir=dlq,
+        available_now=True,
+        timeout_secs=300,
+    )
+    ref = CdcPipeline(spark, os.path.join(tmpdir_path, "ref"), n_buckets=4)
+    ref.apply_batch(native, batch_id=0)
+
+    def live(p):
+        return sorted(
+            (r.url, r.lsn) for r in p.table.read_physical()
+            .where(~F.col("is_deleted")).select("url", "lsn").collect()
+        )
+
+    assert live(pipe) == live(ref)
+    dead = spark.read.parquet(os.path.join(dlq, "*"))
+    assert dead.count() == len(bad) * 2  # per micro-batch, none lost
+    assert set(r.reason for r in dead.collect()) == {"unparseable", "unknown_op"}
+    native.unpersist()
