@@ -305,3 +305,28 @@ def test_stats_metadata_only(spark, tmpdir_path):
     assert s["applied_batches"] == len(m["applied_batches"])
     # footer row count equals the physical row count (incl. tombstones)
     assert s["total_rows"] == table.read_physical(fold=False).count()
+
+
+def test_changes_between_across_rollback(spark, tmpdir_path):
+    """A rollback commit appears in the change feed as the state REVERT
+    (deletes/inserts/updates undoing the rolled-back commits) — consumers
+    downstream of the feed converge to the restored state instead of
+    diverging silently."""
+    table = _build(spark, os.path.join(tmpdir_path, "t"))
+    cur = table.current_version()
+    target = 1
+    table.rollback(target)
+    v_rb = table.current_version()
+    got = _got_changes(table.changes_between(cur, v_rb).collect())
+    # expected: diff of live states cur -> target (what the revert did)
+    old, new = _live_state(table, cur), _live_state(table, target)
+    exp = set()
+    for k in new.keys() - old.keys():
+        exp.add((k, "insert", v_rb))
+    for k in old.keys() - new.keys():
+        exp.add((k, "delete", v_rb))
+    for k in old.keys() & new.keys():
+        if old[k][0] != new[k][0]:
+            exp.add((k, "update_preimage", v_rb))
+            exp.add((k, "update_postimage", v_rb))
+    assert got == exp

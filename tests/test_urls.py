@@ -141,3 +141,31 @@ def test_pipeline_canonicalize_keys(spark, tmpdir_path):
     }
     # the two /a spellings collapsed; lsn=1 won LWW at equal warc_ts
     assert got == {("http://example.com/a", 1), ("http://example.com/b", 2)}
+
+
+def test_canonicalize_fuzz_idempotent(spark):
+    """500 grammar-generated URLs (every combination of case, ports,
+    userinfo, www, paths, params, fragments, plus junk): canonicalization
+    is idempotent across the board — one Spark pass for the whole corpus."""
+    import random
+
+    rng = random.Random(1234)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["Example.com", "www.example.com", "a.b.co.uk", "X.Y", "localhost"]
+    ports = ["", ":80", ":443", ":8080"]
+    users = ["", "u@", "u:p@"]
+    paths = ["", "/", "/a", "/a/", "/a/b/c", "/a%20b/"]
+    queries = ["", "?a=1", "?b=2&a=1", "?utm_source=x", "?a=1&utm_medium=y&z",
+               "?=v", "?a"]
+    frags = ["", "#f", "#a/b?c"]
+    urls = []
+    for _ in range(500):
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(users) + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(paths) + rng.choice(queries)
+            + rng.choice(frags)
+        )
+    urls += ["", "no scheme here", "ftp://weird.host:21/x?b=1&a=2#z"]
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    assert once == twice
