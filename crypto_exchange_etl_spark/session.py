@@ -94,7 +94,17 @@ def get_spark(
     # Preload pandas/pyarrow in the python-worker daemon (fork inherits them
     # copy-on-write) — without this, the first pandas-UDF stage stalls
     # ~0.5 s × n_cores while every fresh worker cold-imports pandas.
-    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_root = os.path.dirname(pkg_dir)
+    if not os.path.isdir(pkg_dir):
+        # shipped via spark-submit --py-files: the package lives inside a
+        # zip, so put the ZIP itself on the workers' PYTHONPATH (zipimport)
+        # or the daemon-module preload below would fail to resolve
+        z = pkg_root
+        while z and not z.lower().endswith(".zip") and z != os.path.dirname(z):
+            z = os.path.dirname(z)
+        if z.lower().endswith(".zip"):
+            pkg_root = z
     py_path = os.environ.get("PYTHONPATH", "")
     if pkg_root not in py_path.split(os.pathsep):
         py_path = f"{pkg_root}{os.pathsep}{py_path}" if py_path else pkg_root

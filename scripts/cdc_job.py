@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint for the CDC ingest engine.
+
+The north rule requires the engine to run "via spark-submit --py-files on
+a multi-executor cluster"; this script is that job. It deliberately never
+calls ``.master()`` beyond the ``get_spark`` default — ``get_spark``
+honors a launcher-supplied master, so the SAME file runs identically on
+``local[N]`` and on a real cluster (the reference's equivalent entry is
+the Cloud Function trigger, /root/reference/fintick/main.py:22-85).
+
+Ship the library, then submit:
+
+    python scripts/cdc_job.py package --out dist/
+    spark-submit --master <cluster> \\
+        --py-files dist/crypto_exchange_etl_spark.zip \\
+        scripts/cdc_job.py replay --binlog /lake/binlog --table /lake/pages \\
+        --buckets 256
+
+Subcommands
+-----------
+``package``  zip the library for ``--py-files`` (pure stdlib, no Spark).
+``replay``   single-shot backfill: apply an entire binlog directory as one
+             batch (the oracle path — stream-applied state must equal it).
+``tail``     checkpointed streaming apply (exactly-once): availableNow by
+             default (drain-and-exit, cron-able like the reference's
+             hourly trigger) or ``--continuous`` to keep tailing.
+
+Sizing guidance (north_rule's merge-stage knobs): set ``--buckets`` to at
+least the cluster's total cores — the bucket-aligned MERGE's write stage
+has parallelism exactly ``n_buckets`` — and pass shuffle-partition /
+AQE-advisory confs through ``spark-submit --conf`` (get_spark only
+defaults them when unset).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zipfile
+
+
+def _package(out_dir: str) -> str:
+    """Zip the library next to this checkout for --py-files shipping."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "crypto_exchange_etl_spark")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "crypto_exchange_etl_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in sorted(files):
+                if f.endswith(".pyc"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, repo)
+                zf.write(full, rel)
+    return out
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--binlog", required=True, help="binlog/WAL directory")
+    p.add_argument("--table", required=True, help="lake table path")
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    p.add_argument(
+        "--canonicalize",
+        action="store_true",
+        help="canonicalize merge-key urls before every merge (table-birth choice)",
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cdc_job")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pk = sub.add_parser("package")
+    pk.add_argument("--out", default="dist")
+
+    rp = sub.add_parser("replay")
+    _add_common(rp)
+    rp.add_argument("--batch-id", type=int, default=0)
+
+    tl = sub.add_parser("tail")
+    _add_common(tl)
+    tl.add_argument("--checkpoint", required=True)
+    tl.add_argument("--max-files-per-trigger", type=int, default=1)
+    tl.add_argument(
+        "--continuous",
+        action="store_true",
+        help="keep tailing (default: availableNow drain-and-exit)",
+    )
+    tl.add_argument("--timeout-secs", type=float, default=None)
+    tl.add_argument(
+        "--debezium",
+        action="store_true",
+        help="binlog dir is a Debezium ndjson feed instead of parquet segments",
+    )
+    tl.add_argument("--dead-letters", default=None, help="quarantine dir (debezium)")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "package":
+        out = _package(args.out)
+        print(out)
+        return 0
+
+    from crypto_exchange_etl_spark.session import get_spark
+    from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline
+
+    spark = get_spark(app_name=f"cdc_{args.cmd}")
+    pipe = CdcPipeline(
+        spark,
+        args.table,
+        n_buckets=args.buckets,
+        write_mode=args.mode,
+        canonicalize_keys=args.canonicalize,
+    )
+    if args.cmd == "replay":
+        summary = pipe.replay_all(args.binlog, batch_id=args.batch_id)
+        print(
+            f"replayed {summary.get('n_events', 0)} events into {args.table} "
+            f"(ins={summary.get('n_insert')} upd={summary.get('n_update')} "
+            f"del={summary.get('n_delete')} dedup={summary.get('n_dedup')})"
+        )
+        return 0
+
+    if args.debezium:
+        pipe.run_debezium_stream(
+            args.binlog,
+            args.checkpoint,
+            dead_letter_dir=args.dead_letters,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=not args.continuous,
+            timeout_secs=args.timeout_secs,
+        )
+    else:
+        pipe.run_stream(
+            args.binlog,
+            args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=not args.continuous,
+            timeout_secs=args.timeout_secs,
+        )
+    print(f"stream drained into {args.table}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
