@@ -198,7 +198,15 @@ class LakeTable:
         ]
         return max(versions) if versions else None
 
-    def manifest(self, version: int | None = None) -> dict[str, Any]:
+    def manifest(self, version: int | str | None = None) -> dict[str, Any]:
+        # a str version is a STAGED token (write-audit-publish): the
+        # snapshot exists on disk but is not part of the committed chain
+        if isinstance(version, str):
+            p = os.path.join(self.meta_dir, f"staged-{version}.json")
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"no staged snapshot {version!r} at {self.path}")
+            with open(p) as fh:
+                return json.load(fh)
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no lake table at {self.path}")
@@ -258,7 +266,7 @@ class LakeTable:
     def read_physical(
         self,
         buckets: list[int] | None = None,
-        version: int | None = None,
+        version: int | str | None = None,
         fold: bool = True,
     ) -> DataFrame:
         """Read physical rows (incl. tombstones + lineage cols), pruning
@@ -287,7 +295,7 @@ class LakeTable:
             df = lww_compact(df, key=m["key"], order_cols=ORDER_COLS)
         return df
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | str | None = None) -> DataFrame:
         """Logical read: tombstones filtered, internal columns hidden."""
         m = self.manifest(version)
         df = self.read_physical(version=version)
@@ -309,7 +317,7 @@ class LakeTable:
     # --------------------------------------------------------------- MERGE
 
     def merge_apply(
-        self, changes: DataFrame, batch_id: int, enrich=None
+        self, changes: DataFrame, batch_id: int, enrich=None, publish: bool = True
     ) -> dict[str, Any]:
         """Apply one micro-batch of change events as a key-partitioned MERGE.
 
@@ -587,10 +595,76 @@ class LakeTable:
             },
             "committed_at_unix": now,
         }
-        self._write_manifest(new_manifest)
+        if publish:
+            self._write_manifest(new_manifest)
+        else:
+            # write-audit-publish: land the snapshot as a STAGED manifest —
+            # data + ledger files exist, but the committed version chain is
+            # untouched until publish(token) CAS-advances it. Readers of
+            # the committed table never see staged rows; audits read them
+            # via read(version=token).
+            new_manifest["staged"] = {
+                "token": snap,
+                "rel_out": rel_out,
+                "rel_ledger": rel_ledger,
+            }
+            tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4()}.json")
+            with open(tmp, "w") as fh:
+                json.dump(new_manifest, fh)
+            os.replace(tmp, os.path.join(self.meta_dir, f"staged-{snap}.json"))
+            new_manifest["summary"]["staged_token"] = snap
         if os.environ.get("SPARK_CDC_TIMING"):
             new_manifest["summary"]["timing"] = _timing
         return new_manifest["summary"]
+
+    # ------------------------------------------------- write-audit-publish
+
+    def list_staged(self) -> list[str]:
+        return sorted(
+            f[len("staged-"):-5]
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("staged-") and f.endswith(".json")
+        )
+
+    def publish(self, token: str) -> dict[str, Any]:
+        """Commit a staged snapshot (the P of write-audit-publish).
+
+        The staged manifest was computed against ``parent_version``; if
+        any other commit advanced the table since staging, the staged
+        file set is stale (it rewrote buckets from the old snapshot), so
+        the publish fails with :class:`CommitConflictError` and the
+        caller re-merges — identical semantics to losing the version CAS,
+        which also backstops two concurrent publishers of the same
+        version number."""
+        sm = self.manifest(token)
+        cur = self.current_version()
+        if cur != sm["parent_version"]:
+            raise CommitConflictError(
+                f"staged snapshot {token} was computed against version "
+                f"{sm['parent_version']} but the table is now at {cur}"
+            )
+        staged_path = os.path.join(self.meta_dir, f"staged-{token}.json")
+        sm.pop("staged", None)
+        self._write_manifest(sm)
+        os.unlink(staged_path)
+        return sm["summary"]
+
+    def discard_staged(self, token: str) -> None:
+        """Drop a staged snapshot that failed its audit: delete its data
+        dir, ledger file, and staged manifest. The committed table was
+        never touched, and the batch id was never recorded as applied —
+        so a corrected batch can re-use the SAME batch id and the
+        exactly-once guard still holds."""
+        sm = self.manifest(token)
+        st = sm.get("staged", {})
+        if st.get("rel_out"):
+            shutil.rmtree(os.path.join(self.path, st["rel_out"]), ignore_errors=True)
+        if st.get("rel_ledger"):
+            try:
+                os.unlink(os.path.join(self.path, st["rel_ledger"]))
+            except FileNotFoundError:
+                pass
+        os.unlink(os.path.join(self.meta_dir, f"staged-{token}.json"))
 
     def _write_ledger_file(self, rows: list[dict[str, Any]], rel_path: str) -> None:
         """Driver-side pyarrow write of the per-batch ledger parquet
@@ -941,7 +1015,10 @@ class LakeTable:
             return 0
         keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
         referenced: set[str] = set()
-        for v in keep_versions:
+        # staged (write-audit-publish) snapshots are live pending commits:
+        # their files must survive expiry even though no version references
+        # them yet
+        for v in [*keep_versions, *self.list_staged()]:
             mv = self.manifest(v)
             referenced |= {f["path"] for f in mv["files"]}
             referenced |= set(mv["ledger_files"])
@@ -1212,7 +1289,7 @@ class LakeTable:
 
     # ------------------------------------------------------ point lookup
 
-    def lookup(self, value: Any, version: int | None = None) -> DataFrame:
+    def lookup(self, value: Any, version: int | str | None = None) -> DataFrame:
         """Point lookup of one key with two-level file skipping: hash the
         key to its bucket (manifest pruning drops (n_buckets-1)/n_buckets
         of all files without touching them), then drop candidate files

@@ -26,6 +26,12 @@ from ..model import PAGES_PHYSICAL_SCHEMA
 from ..sources.binlog import read_binlog, read_binlog_stream
 from pyspark.sql import types as T
 
+class AuditFailedError(RuntimeError):
+    """A write-audit-publish audit rejected a staged batch. The staged
+    snapshot was discarded; the committed table is unchanged and the batch
+    id remains unapplied (safe to re-run after fixing the feed)."""
+
+
 #: public pages schema (what queries see)
 _PAGES_TABLE_SCHEMA = T.StructType(
     [f for f in PAGES_PHYSICAL_SCHEMA.fields if f.name not in ("lsn", "is_deleted")]
@@ -42,6 +48,7 @@ class CdcPipeline:
         write_mode: str = "cow",
         max_deltas: int = 8,
         canonicalize_keys: bool = False,
+        audit=None,
     ):
         """``write_mode="mor"`` switches the lake table to merge-on-read:
         each micro-batch appends O(batch) delta files and the pipeline
@@ -57,7 +64,19 @@ class CdcPipeline:
         default: it changes key identity, so it must be chosen at table
         birth and never toggled mid-history (a half-canonicalized table
         has forked keys — the same reason the reference pins one
-        canonical symbol spelling per exchange before load)."""
+        canonical symbol spelling per exchange before load).
+
+        ``audit`` turns every merge into write-audit-publish: the batch is
+        staged (data + ledger written, committed chain untouched), then
+        ``audit(staged_df, summary) -> bool`` inspects the WOULD-BE table
+        state; ``True`` publishes atomically, ``False`` discards the
+        staged files and raises :class:`AuditFailedError` — the batch id
+        is never marked applied, so a corrected feed can re-run the same
+        batch under exactly-once. This is the Iceberg WAP pattern; the
+        reference's analogue is the post-load validation flag it sets
+        only after row counts check out
+        (/root/reference/fintick/controllers/base.py:244-267) — but there
+        the bad rows are already live; here they never were."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -65,6 +84,7 @@ class CdcPipeline:
         self.write_mode = write_mode
         self.max_deltas = max_deltas
         self.canonicalize_keys = canonicalize_keys
+        self.audit = audit
 
     def ensure_table(self) -> LakeTable:
         return LakeTable.create(
@@ -108,9 +128,33 @@ class CdcPipeline:
         last: Exception | None = None
         for _attempt in range(3):
             try:
-                out = table.merge_apply(
-                    changes, batch_id=batch_id, enrich=with_extracted_text
-                )
+                if self.audit is None:
+                    out = table.merge_apply(
+                        changes, batch_id=batch_id, enrich=with_extracted_text
+                    )
+                else:
+                    out = table.merge_apply(
+                        changes,
+                        batch_id=batch_id,
+                        enrich=with_extracted_text,
+                        publish=False,
+                    )
+                    if out.get("skipped"):
+                        return out
+                    token = out["staged_token"]
+                    if not self.audit(table.read(version=token), out):
+                        table.discard_staged(token)
+                        raise AuditFailedError(
+                            f"batch {batch_id} failed its audit; staged "
+                            f"snapshot discarded, table unchanged"
+                        )
+                    try:
+                        table.publish(token)
+                    except CommitConflictError:
+                        # staged against a superseded snapshot — drop the
+                        # stale file set and re-merge from the new current
+                        table.discard_staged(token)
+                        raise
                 break
             except CommitConflictError as e:
                 last = e
