@@ -398,23 +398,42 @@ class LakeTable:
 
         # Upsert metrics come from the same narrow world: winners joined
         # against the column-pruned live-key scan of the affected buckets.
+        # Bootstrap batches (affected buckets hold no files at all — the
+        # backfill-replay shape) skip the join: the live side is empty by
+        # construction, so every non-delete winner is an insert. Measured
+        # ~1.0 s of a 10.5 s 20M-event replay.
         wk = lww_unpack(ka, key=key)
-        cur_live = (
-            self.read_physical(buckets=affected)
-            .where(~F.col("is_deleted"))
-            .select(key)
-        )
+        affected_set = set(affected)
+        bootstrap = not any(f["bucket"] in affected_set for f in m["files"])
         is_del = F.col("op") == "D"
-        stats = (
-            wk.join(cur_live.withColumn("_m", F.lit(1)), on=key, how="left")
-            .agg(
+        if bootstrap:
+            winners_only = wk.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(~is_del & F.col("_m").isNull(), 1).otherwise(0)).alias("ins"),
-                F.sum(F.when(~is_del & F.col("_m").isNotNull(), 1).otherwise(0)).alias("upd"),
+                F.sum(F.when(~is_del, 1).otherwise(0)).alias("ins"),
                 F.sum(F.when(is_del, 1).otherwise(0)).alias("dele"),
+            ).collect()[0]
+            stats = {
+                "n": winners_only["n"],
+                "ins": winners_only["ins"],
+                "upd": 0,
+                "dele": winners_only["dele"],
+            }
+        else:
+            cur_live = (
+                self.read_physical(buckets=affected)
+                .where(~F.col("is_deleted"))
+                .select(key)
             )
-            .collect()[0]
-        )
+            stats = (
+                wk.join(cur_live.withColumn("_m", F.lit(1)), on=key, how="left")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(~is_del & F.col("_m").isNull(), 1).otherwise(0)).alias("ins"),
+                    F.sum(F.when(~is_del & F.col("_m").isNotNull(), 1).otherwise(0)).alias("upd"),
+                    F.sum(F.when(is_del, 1).otherwise(0)).alias("dele"),
+                )
+                .collect()[0]
+            )
         _mark("upsert_stats")
 
         # -- 3. winner payload fetch: broadcast the winning lsn set and
@@ -450,8 +469,6 @@ class LakeTable:
         # op/partition envelope — fine for any pure payload projection,
         # which is what the enrich contract requires.
         # SPARK_CDC_DEFER_ENRICH=0 restores pre-exchange placement (A/B).
-        affected_set = set(affected)
-        bootstrap = not any(f["bucket"] in affected_set for f in m["files"])
         mode = m.get("write_mode", "cow")
         defer_enrich = (
             enrich is not None
