@@ -303,6 +303,107 @@ class LakeTable:
                   if f.name not in _INTERNAL_COLS]
         return df.where(~F.col("is_deleted")).select(*public)
 
+    @staticmethod
+    def _to_micros(ts: _dt.datetime) -> int:
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return int((ts - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+    def scan_file_plan(
+        self,
+        ts_from: _dt.datetime | None = None,
+        ts_to: _dt.datetime | None = None,
+        ts_col: str = "warc_ts",
+        version: int | str | None = None,
+    ) -> dict[str, Any]:
+        """Plan a time-range scan against manifest column stats — zero
+        file I/O (the stats were captured from the footers at write time).
+
+        Pruning rules are correctness-driven by the LWW fold:
+
+        - a bucket with NO delta files holds exactly one row per key (CoW
+          rewrites are whole-bucket), so both range bounds prune files
+          individually;
+        - a bucket WITH delta files folds base+delta before the range
+          filter, so a file may be pruned only when it provably contains
+          neither in-range rows nor rows that could supersede them. Under
+          (ts, lsn) rank ordering a row with ts < ts_from can never beat
+          an in-range row, so ``ts_max < ts_from`` files prune safely —
+          the tail-scan shape (the reference's 2-day hot window,
+          /root/reference/fintick/constants.py:52) skips every settled
+          delta at planning time. ``ts_to`` cannot prune MOR files: a
+          LATER row must be seen to suppress the in-range version it
+          superseded.
+
+        Files without recorded stats (pre-stats manifests) are always
+        kept — pruning only ever skips provably-irrelevant files.
+        """
+        m = self.manifest(version)
+        lo = self._to_micros(ts_from) if ts_from is not None else None
+        hi = self._to_micros(ts_to) if ts_to is not None else None
+
+        def bounds(f: dict[str, Any]):
+            st = (f.get("stats") or {}).get(ts_col)
+            return (st[0], st[1]) if st else (None, None)
+
+        files = m["files"]
+        mor_buckets = {f["bucket"] for f in files if f.get("delta")}
+        chosen = []
+        for f in files:
+            fmin, fmax = bounds(f)
+            if f["bucket"] in mor_buckets:
+                if lo is not None and fmax is not None and fmax < lo:
+                    continue
+            else:
+                if lo is not None and fmax is not None and fmax < lo:
+                    continue
+                if hi is not None and fmin is not None and fmin >= hi:
+                    continue
+            chosen.append(f)
+        return {
+            "files": chosen,
+            "n_candidates": len(files),
+            "n_chosen": len(chosen),
+            "manifest": m,
+        }
+
+    def scan(
+        self,
+        ts_from: _dt.datetime | None = None,
+        ts_to: _dt.datetime | None = None,
+        ts_col: str = "warc_ts",
+        version: int | str | None = None,
+    ) -> DataFrame:
+        """Logical read restricted to ``ts_from <= ts_col < ts_to``, with
+        planning-time file pruning from manifest stats (see
+        :meth:`scan_file_plan`). Semantically identical to
+        ``read(version).where(range)`` — the residual predicate still
+        applies (and pushes down to row-group skipping inside the chosen
+        files); the stats only decide which files never get scheduled."""
+        plan = self.scan_file_plan(ts_from, ts_to, ts_col=ts_col, version=version)
+        m = plan["manifest"]
+        schema = self._physical_schema(m)
+        public = [
+            f.name
+            for f in T.StructType.fromJson(m["schema"]).fields
+            if f.name not in _INTERNAL_COLS
+        ]
+        if not plan["files"]:
+            return self.spark.createDataFrame(
+                [], T.StructType([f for f in schema.fields if f.name in set(public)])
+            ).select(*public)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, f["path"]) for f in plan["files"]]
+        )
+        if any(f.get("delta") for f in plan["files"]):
+            df = lww_compact(df, key=m["key"], order_cols=ORDER_COLS)
+        pred = ~F.col("is_deleted")
+        if ts_from is not None:
+            pred = pred & (F.col(ts_col) >= F.lit(ts_from))
+        if ts_to is not None:
+            pred = pred & (F.col(ts_col) < F.lit(ts_to))
+        return df.where(pred).select(*public)
+
     def ledger(self) -> DataFrame:
         files = self.manifest()["ledger_files"]
         if not files:
@@ -557,7 +658,9 @@ class LakeTable:
         merged.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         _mark("merge_write")
         ka.unpersist()
-        new_files = self._scan_files(rel_out, delta=(mode == "mor"))
+        new_files = self._scan_files(
+            rel_out, delta=(mode == "mor"), stat_cols=(key, *self._STAT_COLS)
+        )
         _mark("scan_files")
 
         # ledger parquet for this batch (same commit scope)
@@ -712,7 +815,41 @@ class LakeTable:
     def _bucket(self, key: str, n_buckets: int) -> F.Column:
         return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
-    def _scan_files(self, rel_dir: str, delta: bool = False) -> list[dict[str, Any]]:
+    #: columns whose min/max land in every manifest file entry (Iceberg
+    #: column-stats analogue): the merge key (point-lookup pruning), the
+    #: event-time column (time-range scan + retention pruning), and lsn
+    #: (settled-only retention).
+    _STAT_COLS = ("warc_ts", "lsn")
+
+    @staticmethod
+    def _json_stat(v: Any) -> Any:
+        """JSON-encode a parquet footer min/max: timestamps as unix
+        micros (the manifest is JSON), bytes skipped, rest as-is."""
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            epoch = _dt.datetime(1970, 1, 1)
+            return int((v - epoch).total_seconds() * 1_000_000)
+        if isinstance(v, bytes):
+            return None
+        return v
+
+    def _scan_files(
+        self,
+        rel_dir: str,
+        delta: bool = False,
+        stat_cols: tuple[str, ...] | None = None,
+    ) -> list[dict[str, Any]]:
+        """Inventory just-written data files. With ``stat_cols`` the
+        parquet footers (hot in page cache — written moments ago) are read
+        ONCE and their per-file min/max land in the manifest, so later
+        point lookups, time-range scans, and retention passes prune at
+        PLANNING time with zero file I/O — the Iceberg manifest
+        column-stats model. At 100 TB this is the difference between the
+        driver consulting a JSON it already holds and opening 10⁵ footers
+        over the network per query."""
+        import pyarrow.parquet as pq
+
         out = []
         base = os.path.join(self.path, rel_dir)
         for root, _dirs, files in os.walk(base):
@@ -730,6 +867,30 @@ class LakeTable:
                 entry = {"path": rel, "bucket": bucket, "bytes": os.path.getsize(full)}
                 if delta:
                     entry["delta"] = True
+                if stat_cols:
+                    md = pq.ParquetFile(full).metadata
+                    idx = {
+                        md.schema.column(i).name: i for i in range(md.num_columns)
+                    }
+                    stats: dict[str, Any] = {}
+                    for col in stat_cols:
+                        if col not in idx:
+                            continue
+                        lo = hi = None
+                        ok = True
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(idx[col]).statistics
+                            if st is None or not st.has_min_max:
+                                ok = False
+                                break
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                        lo, hi = self._json_stat(lo), self._json_stat(hi)
+                        if ok and lo is not None and hi is not None:
+                            stats[col] = [lo, hi]
+                    entry["rows"] = md.num_rows
+                    if stats:
+                        entry["stats"] = stats
                 out.append(entry)
         return out
 
@@ -811,7 +972,9 @@ class LakeTable:
             .mode("overwrite")
             .parquet(os.path.join(self.path, rel_out))
         )
-        new_files = self._scan_files(rel_out)
+        new_files = self._scan_files(
+            rel_out, stat_cols=(m["key"], *self._STAT_COLS)
+        )
         keep = [f for f in m["files"] if f["bucket"] not in bset]
         nm = dict(m)
         nm.update(
@@ -856,7 +1019,9 @@ class LakeTable:
             .mode("overwrite")
             .parquet(os.path.join(self.path, rel_out))
         )
-        new_files = self._scan_files(rel_out)
+        new_files = self._scan_files(
+            rel_out, stat_cols=(m["key"], *self._STAT_COLS)
+        )
         nm = dict(m)
         nm.update(
             version=m["version"] + 1,
@@ -924,31 +1089,45 @@ class LakeTable:
                 return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             return v
 
-        drop, rewrite, keep = [], [], []
-        dropped_rows = 0
-        for f in m["files"]:
+        epoch = _dt.datetime(1970, 1, 1)
+
+        def _file_bounds(f: dict[str, Any]):
+            """(ts_min, ts_max, lsn_max, n_rows) — manifest stats when the
+            entry carries them (zero I/O), else one footer open."""
+            mst = f.get("stats") or {}
+            if ts_col in mst and "rows" in f:
+                ts_lo = epoch + _dt.timedelta(microseconds=mst[ts_col][0])
+                ts_hi = epoch + _dt.timedelta(microseconds=mst[ts_col][1])
+                lmax = mst["lsn"][1] if "lsn" in mst else None
+                return ts_lo, ts_hi, lmax, f["rows"]
             md = pq.ParquetFile(os.path.join(self.path, f["path"])).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             mins, maxs, lsn_max = [], [], []
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[ts_col]).statistics
                 if st is None or not st.has_min_max:
-                    mins, maxs = [], []
-                    break
+                    return None, None, None, md.num_rows
                 mins.append(_naive(st.min)); maxs.append(_naive(st.max))
                 lst = md.row_group(rg).column(idx["lsn"]).statistics
                 lsn_max.append(lst.max if lst is not None and lst.has_min_max
                                else None)
-            if not mins:  # no stats ⇒ must rewrite conservatively
+            lmax = (max(lsn_max) if lsn_max and all(x is not None for x in lsn_max)
+                    else None)
+            return min(mins), max(maxs), lmax, md.num_rows
+
+        drop, rewrite, keep = [], [], []
+        dropped_rows = 0
+        for f in m["files"]:
+            ts_lo, ts_hi, lsn_max, n_rows = _file_bounds(f)
+            if ts_lo is None:  # no stats ⇒ must rewrite conservatively
                 rewrite.append(f)
-            elif min(mins) >= cutoff:
+            elif ts_lo >= cutoff:
                 keep.append(f)  # nothing old inside — never opened
-            elif max(maxs) < cutoff and (
-                wm is None or (all(x is not None for x in lsn_max)
-                               and max(lsn_max) <= wm)
+            elif ts_hi < cutoff and (
+                wm is None or (lsn_max is not None and lsn_max <= wm)
             ):
                 drop.append(f)  # whole file expired — metadata-only delete
-                dropped_rows += md.num_rows
+                dropped_rows += n_rows
             else:
                 rewrite.append(f)
 
@@ -980,7 +1159,11 @@ class LakeTable:
                 .mode("overwrite")
                 .parquet(os.path.join(self.path, rel_out))
             )
-            new_files.extend(self._scan_files(rel_out, delta=flag))
+            new_files.extend(
+                self._scan_files(
+                    rel_out, delta=flag, stat_cols=(m["key"], *self._STAT_COLS)
+                )
+            )
 
         n_expired = dropped_rows + rewritten_expired
         now = time.time()
@@ -1090,7 +1273,9 @@ class LakeTable:
             .mode("overwrite")
             .parquet(os.path.join(self.path, rel_out))
         )
-        new_files = self._scan_files(rel_out)
+        new_files = self._scan_files(
+            rel_out, stat_cols=(m["key"], *self._STAT_COLS)
+        )
         nm = dict(m)
         nm.update(
             version=m["version"] + 1,
@@ -1340,6 +1525,14 @@ class LakeTable:
         candidates = []
         for f in m["files"]:
             if f["bucket"] != b:
+                continue
+            mst = (f.get("stats") or {}).get(key)
+            if mst is not None:
+                # manifest column stats (captured at write time): prune
+                # with zero file I/O — the footer-open below only runs
+                # for files from pre-stats manifests
+                if mst[0] <= value <= mst[1]:
+                    candidates.append(f)
                 continue
             md = pq.ParquetFile(os.path.join(self.path, f["path"])).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}

@@ -1,0 +1,156 @@
+"""Manifest column statistics + planning-time file pruning (scan()).
+
+Iceberg-model file skipping: the merge records per-file min/max of
+(key, warc_ts, lsn) in the manifest at write time, so time-range scans,
+point lookups, and retention classify files WITHOUT opening footers.
+Correctness first: every scan must equal read().where(range) exactly,
+including under merge-on-read where the LWW fold must not lose
+superseding rows to pruning.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from crypto_exchange_etl_spark.sources.binlog import (
+    generate_changes,
+    read_binlog,
+    write_binlog_segments,
+)
+from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline
+
+TS = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+
+
+def _mk_cow(spark, tmpdir_path):
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=4000, n_segments=2, n_urls=300, seed=11)
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "pages"), n_buckets=8)
+    pipe.replay_all(binlog)
+    return pipe.table
+
+
+def _mk_mor_time_sliced(spark, tmpdir_path, n_events=6000, n_batches=3):
+    """MOR table built from time-local micro-batches (lsn slices — the
+    generator's event time advances with lsn)."""
+    pipe = CdcPipeline(
+        spark, os.path.join(tmpdir_path, "pages_mor"), n_buckets=4, write_mode="mor",
+        max_deltas=1000,  # keep every delta file (no minor compaction)
+    )
+    pipe.ensure_table()
+    step = n_events // n_batches
+    for i in range(n_batches):
+        changes = generate_changes(
+            spark, min((i + 1) * step, n_events), n_urls=400, seed=11,
+            lsn_from=i * step,
+        )
+        pipe.apply_batch(changes, batch_id=i)
+    return pipe.table
+
+
+def test_merge_records_manifest_stats(spark, tmpdir_path):
+    table = _mk_cow(spark, tmpdir_path)
+    files = table.manifest()["files"]
+    assert files
+    for f in files:
+        assert f["rows"] > 0
+        st = f["stats"]
+        assert set(st) >= {"url", "warc_ts", "lsn"}
+        assert st["warc_ts"][0] <= st["warc_ts"][1]
+        assert st["lsn"][0] <= st["lsn"][1]
+        assert st["url"][0] <= st["url"][1]
+
+
+def test_scan_equals_filtered_read_cow(spark, tmpdir_path):
+    table = _mk_cow(spark, tmpdir_path)
+    lo, hi = TS("2024-01-01 00:20:00"), TS("2024-01-01 00:45:00")
+    got = table.scan(lo, hi).orderBy("url").collect()
+    want = (
+        table.read()
+        .where((F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") < F.lit(hi)))
+        .orderBy("url")
+        .collect()
+    )
+    assert got == want
+    # open-ended ranges too
+    assert table.scan(ts_from=lo).count() == table.read().where(
+        F.col("warc_ts") >= F.lit(lo)
+    ).count()
+    assert table.scan(ts_to=hi).count() == table.read().where(
+        F.col("warc_ts") < F.lit(hi)
+    ).count()
+
+
+def test_scan_equals_filtered_read_mor(spark, tmpdir_path):
+    table = _mk_mor_time_sliced(spark, tmpdir_path)
+    for lo, hi in [
+        (TS("2024-01-01 00:40:00"), None),          # tail scan
+        (TS("2024-01-01 00:10:00"), TS("2024-01-01 01:00:00")),
+        (None, TS("2024-01-01 00:30:00")),          # head scan
+    ]:
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col("warc_ts") >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col("warc_ts") < F.lit(hi))
+        got = table.scan(lo, hi).orderBy("url").collect()
+        want = table.read().where(pred).orderBy("url").collect()
+        assert got == want, (lo, hi)
+
+
+def test_tail_scan_prunes_old_delta_files(spark, tmpdir_path):
+    table = _mk_mor_time_sliced(spark, tmpdir_path)
+    # a tail scan starting inside the LAST batch's time range must skip
+    # the earlier batches' delta files at planning time
+    plan = table.scan_file_plan(ts_from=TS("2024-01-01 01:20:00"))
+    assert plan["n_chosen"] < plan["n_candidates"]
+    # and an impossible future range chooses nothing
+    empty = table.scan_file_plan(ts_from=TS("2030-01-01 00:00:00"))
+    assert empty["n_chosen"] == 0
+    assert table.scan(ts_from=TS("2030-01-01 00:00:00")).count() == 0
+
+
+def test_tail_scan_does_not_resurrect_superseded_rows(spark, tmpdir_path):
+    """A key updated ACROSS the pruning boundary: its old version lives in
+    a pruned file, its superseding version in a chosen file — the scan
+    must show only the winner; and a key whose winner is OLD must not
+    appear in a tail scan at all."""
+    table = _mk_mor_time_sliced(spark, tmpdir_path)
+    lo = TS("2024-01-01 01:20:00")
+    got = {r["url"]: r for r in table.scan(ts_from=lo).collect()}
+    want = {
+        r["url"]: r
+        for r in table.read().where(F.col("warc_ts") >= F.lit(lo)).collect()
+    }
+    assert got == want
+    # sanity: the full fold agrees key-by-key (no stale versions leaked)
+    full = {r["url"]: r["warc_ts"] for r in table.read().collect()}
+    for url, row in got.items():
+        assert full[url] == row["warc_ts"]
+
+
+def test_lookup_uses_manifest_stats(spark, tmpdir_path):
+    table = _mk_cow(spark, tmpdir_path)
+    some = table.read().select("url").orderBy("url").limit(3).collect()
+    for r in some:
+        got = table.lookup(r["url"]).collect()
+        want = table.read().where(F.col("url") == r["url"]).collect()
+        assert got == want
+    assert table.lookup("https://nowhere.example.com/x").count() == 0
+
+
+def test_expire_rows_metadata_only_from_manifest_stats(spark, tmpdir_path):
+    """With time-sliced MOR deltas, a cutoff beyond an early batch drops
+    its fully-expired files without reading them, using manifest stats."""
+    table = _mk_mor_time_sliced(spark, tmpdir_path)
+    # batch 0 spans lsn 0..1999 ⇒ event time up to ~00:33:19; a 00:35
+    # cutoff makes its delta files fully-expired (metadata-only drop)
+    cutoff = TS("2024-01-01 00:35:00")
+    live_after = table.read().where(F.col("warc_ts") >= F.lit(cutoff)).count()
+    out = table.expire_rows(cutoff)
+    assert out["n_expired"] > 0
+    assert out["files_dropped"] > 0  # metadata-only classification fired
+    assert table.read().count() == live_after
