@@ -1292,6 +1292,61 @@ class LakeTable:
         self._write_manifest(nm)
         return nm["summary"]
 
+    def rewrite_clustered(
+        self,
+        by: str = "warc_ts",
+        max_rows_per_file: int = 100_000,
+    ) -> dict[str, Any]:
+        """Cluster each bucket's data by ``by`` (default event time) into
+        rolled files — the Iceberg sort-order rewrite. Merges write
+        key-sorted buckets (tight KEY ranges → point-lookup skipping);
+        this maintenance op re-sorts each bucket by TIME and rolls a new
+        file every ``max_rows_per_file`` rows, so each file covers a
+        narrow time slice and :meth:`scan` prunes WITHIN buckets from the
+        manifest stats — the layout for read-mostly/archived tables whose
+        queries are time-ranged.
+
+        Trade-off (documented, not hidden): key ranges per file widen to
+        ~full-bucket, so :meth:`lookup` reads every file of the key's
+        bucket again (one bucket, not the table). The next MERGE into a
+        bucket restores key order for that bucket — clustering is a
+        read-optimization pass, not an invariant.
+
+        One shuffle keyed by bucket (same exchange shape as a merge),
+        deltas folded in, tombstones kept — replay semantics survive.
+        """
+        m = self.manifest()
+        df = self.read_physical(fold=True)
+        snap = str(uuid.uuid4())[:8]
+        rel_out = f"data/cluster-{snap}"
+        (
+            df.withColumn("bucket", self._bucket(m["key"], m["n_buckets"]))
+            .repartition(m["n_buckets"], F.col("bucket"))
+            .sortWithinPartitions(by, m["key"])
+            .write.option("maxRecordsPerFile", max_rows_per_file)
+            .partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, rel_out))
+        )
+        new_files = self._scan_files(
+            rel_out, stat_cols=(m["key"], *self._STAT_COLS)
+        )
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            files=new_files,
+            summary={
+                "operation": "rewrite_clustered",
+                "cluster_by": by,
+                "files_after": len(new_files),
+            },
+            committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm["summary"]
+
     def stats(self, read_footers: bool = False) -> dict[str, Any]:
         """Table health snapshot from METADATA only (no Spark job): size,
         file counts, per-bucket byte skew (hot-domain detection — the
@@ -1330,8 +1385,40 @@ class LakeTable:
             import pyarrow.parquet as pq
 
             out["total_rows"] = sum(
-                pq.ParquetFile(os.path.join(self.path, f["path"])).metadata.num_rows
+                f["rows"]
+                if "rows" in f
+                else pq.ParquetFile(
+                    os.path.join(self.path, f["path"])
+                ).metadata.num_rows
                 for f in m["files"]
+            )
+        return out
+
+    def history(self) -> list[dict[str, Any]]:
+        """Snapshot log, oldest→newest (Iceberg ``history`` metadata table
+        analogue): one row per retained manifest with its operation
+        summary — the audit trail a replay or incident review starts
+        from. O(retained versions) JSON reads, no Spark job."""
+        if not os.path.isdir(self.meta_dir):
+            return []
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        out = []
+        for v in versions:
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "snapshot_id": m["snapshot_id"],
+                    "parent_version": m["parent_version"],
+                    "committed_at_unix": m.get("committed_at_unix"),
+                    "operation": (m.get("summary") or {}).get("operation"),
+                    "summary": m.get("summary") or {},
+                    "n_files": len(m["files"]),
+                }
             )
         return out
 

@@ -154,3 +154,65 @@ def test_expire_rows_metadata_only_from_manifest_stats(spark, tmpdir_path):
     assert out["n_expired"] > 0
     assert out["files_dropped"] > 0  # metadata-only classification fired
     assert table.read().count() == live_after
+
+
+def test_rewrite_clustered_enables_intra_bucket_pruning(spark, tmpdir_path):
+    # wide key space so each bucket holds enough rows to roll files
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(
+        spark, binlog, n_events=6000, n_segments=2, n_urls=4000, seed=11
+    )
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "pages"), n_buckets=8)
+    pipe.replay_all(binlog)
+    table = pipe.table
+    before = table.read().orderBy("url").collect()
+    # a tail range: after clustering only each bucket's LAST rolled file
+    # overlaps it (a mid-range straddles the roll boundary in every bucket)
+    lo, hi = TS("2024-01-01 01:25:00"), None
+
+    # key-sorted CoW buckets: every file spans ~the full time range, so a
+    # narrow range prunes nothing
+    plan0 = table.scan_file_plan(lo, hi)
+    assert plan0["n_chosen"] == plan0["n_candidates"]
+
+    out = table.rewrite_clustered(by="warc_ts", max_rows_per_file=200)
+    assert out["files_after"] > plan0["n_candidates"]  # files rolled
+
+    # state identical, scan still exact
+    assert table.read().orderBy("url").collect() == before
+    got = table.scan(lo, hi).orderBy("url").collect()
+    want = (
+        table.read()
+        .where(F.col("warc_ts") >= F.lit(lo))
+        .orderBy("url")
+        .collect()
+    )
+    assert got == want
+
+    # and now the same narrow range prunes within buckets
+    plan1 = table.scan_file_plan(lo, hi)
+    assert plan1["n_chosen"] < plan1["n_candidates"]
+
+    # lookup pays the documented trade-off but stays correct
+    some = table.read().select("url").limit(2).collect()
+    for r in some:
+        assert table.lookup(r["url"]).count() == 1
+
+
+def test_history_lists_operations(spark, tmpdir_path):
+    table = _mk_mor_time_sliced(spark, tmpdir_path, n_events=3000, n_batches=2)
+    table.rewrite_clustered(max_rows_per_file=500)
+    h = table.history()
+    assert [r["version"] for r in h] == list(range(len(h)))
+    ops = [r["operation"] for r in h]
+    assert ops[0] == "create"
+    assert ops.count("merge") == 2
+    assert ops[-1] == "rewrite_clustered"
+    assert all(r["committed_at_unix"] is not None for r in h)
+
+
+def test_stats_total_rows_from_manifest(spark, tmpdir_path):
+    table = _mk_cow(spark, tmpdir_path)
+    st = table.stats(read_footers=True)
+    # physical rows = live + tombstones
+    assert st["total_rows"] == table.read_physical().count()
