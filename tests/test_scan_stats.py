@@ -216,3 +216,33 @@ def test_stats_total_rows_from_manifest(spark, tmpdir_path):
     st = table.stats(read_footers=True)
     # physical rows = live + tombstones
     assert st["total_rows"] == table.read_physical().count()
+
+
+def test_scan_fuzz_random_ranges(spark, tmpdir_path):
+    """Seeded sweep of random time ranges over a MOR table (the pruning
+    rules' hardest case): every scan must equal the filtered full read."""
+    import random
+
+    table = _mk_mor_time_sliced(spark, tmpdir_path)
+    base = TS("2024-01-01 00:00:00")
+    rng = random.Random(1234)
+    full = table.read().cache()
+    try:
+        for _ in range(10):
+            a = base + dt.timedelta(seconds=rng.randint(-7200, 7200))
+            b = base + dt.timedelta(seconds=rng.randint(-7200, 7200))
+            lo, hi = (a, b) if a <= b else (b, a)
+            if rng.random() < 0.25:
+                lo = None
+            if rng.random() < 0.25:
+                hi = None
+            pred = F.lit(True)
+            if lo is not None:
+                pred = pred & (F.col("warc_ts") >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col("warc_ts") < F.lit(hi))
+            got = sorted(map(tuple, table.scan(lo, hi).collect()))
+            want = sorted(map(tuple, full.where(pred).collect()))
+            assert got == want, (lo, hi)
+    finally:
+        full.unpersist()
