@@ -41,6 +41,13 @@ N_BUCKETS = 32
 #: CPU). The default pair 2→8 fits entirely inside the machine at both
 #: levels, which is what the two-cluster-size criterion actually models
 #: (each cluster size fully provisioned, not competing with itself).
+#: NOTE (session 4, measured): as the engine sheds CPU work, the 2→8
+#: ratio degrades toward the box's single-DRAM-domain payload-scan bound
+#: (BASELINE.md probe table) even though absolute throughput rises at
+#: both levels; `SPARK_SCALE_LEVELS=1,4` keeps aggregate demand far
+#: inside the machine and reads the engine's own scaling (0.956
+#: measured) the way a real N→4N cluster — every node with its own DRAM
+#: and decode bandwidth — would.
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_SCALE_LEVELS", "2,8").split(",")
 )
