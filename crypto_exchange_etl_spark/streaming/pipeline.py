@@ -49,6 +49,7 @@ class CdcPipeline:
         max_deltas: int = 8,
         canonicalize_keys: bool = False,
         audit=None,
+        views=None,
     ):
         """``write_mode="mor"`` switches the lake table to merge-on-read:
         each micro-batch appends O(batch) delta files and the pipeline
@@ -76,7 +77,15 @@ class CdcPipeline:
         reference's analogue is the post-load validation flag it sets
         only after row counts check out
         (/root/reference/fintick/controllers/base.py:244-267) — but there
-        the bad rows are already live; here they never were."""
+        the bad rows are already live; here they never were.
+
+        ``views`` is a list of :class:`~..lake.matview.MaterializedAggregate`
+        (or anything with ``refresh()``) kept current inside the same
+        ``foreachBatch`` scope: each applied batch refreshes every view
+        from the change feed before the next micro-batch starts. View
+        refresh is idempotent with its own durable cursor, so a crash
+        between table commit and view refresh self-heals on the next
+        refresh (the view just consumes a two-version range)."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -85,6 +94,7 @@ class CdcPipeline:
         self.max_deltas = max_deltas
         self.canonicalize_keys = canonicalize_keys
         self.audit = audit
+        self.views = list(views or [])
 
     def ensure_table(self) -> LakeTable:
         return LakeTable.create(
@@ -162,6 +172,9 @@ class CdcPipeline:
             raise last
         if table.write_mode == "mor" and not out.get("skipped"):
             table.minor_compact(max_deltas=self.max_deltas)
+        if not out.get("skipped"):
+            for v in self.views:
+                v.refresh()
         return out
 
     # ---------------------------------------------------------- streaming

@@ -160,3 +160,22 @@ def test_lag_error_and_rebuild(spark, tmpdir_path):
     )
     view.refresh()
     _assert_matches(view, pipe.table)
+
+
+def test_views_maintained_inside_the_stream(spark, tmpdir_path):
+    """views=[...] on the pipeline: after a checkpointed streaming drain,
+    every view matches a recompute of the final table — derived tables
+    ride the same exactly-once apply loop."""
+    from crypto_exchange_etl_spark.sources.binlog import write_binlog_segments
+
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=4000, n_segments=4, n_urls=250, seed=9)
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "pages"), n_buckets=4)
+    view = _mk_view(spark, pipe, tmpdir_path)
+    pipe.views = [view]
+    pipe.run_stream(
+        binlog, os.path.join(tmpdir_path, "ck"), available_now=True,
+        timeout_secs=300,
+    )
+    _assert_matches(view, pipe.table)
+    assert view.position() == pipe.table.current_version()
