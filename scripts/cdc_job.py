@@ -98,6 +98,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     tl.add_argument("--dead-letters", default=None, help="quarantine dir (debezium)")
 
+    mt = sub.add_parser(
+        "maintain",
+        help="table maintenance: compaction, snapshot/row retention, clustering",
+    )
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--compact-files", action="store_true",
+                    help="bin-pack small files per bucket")
+    mt.add_argument("--expire-snapshots", type=int, default=None,
+                    metavar="KEEP_LAST", help="drop old snapshots + orphans")
+    mt.add_argument("--expire-rows-before", default=None, metavar="ISO_TS",
+                    help="row-level TTL cutoff (settled rows only)")
+    mt.add_argument("--rewrite-clustered", default=None, metavar="COLUMN",
+                    help="re-sort buckets by COLUMN and roll files")
+    mt.add_argument("--rebucket", type=int, default=None, metavar="N",
+                    help="rewrite into N hash buckets")
+
+    ins = sub.add_parser("inspect", help="print table history and health stats")
+    ins.add_argument("--table", required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "package":
@@ -105,10 +124,43 @@ def main(argv: list[str] | None = None) -> int:
         print(out)
         return 0
 
+    import json as _json
+
     from crypto_exchange_etl_spark.session import get_spark
     from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline
 
     spark = get_spark(app_name=f"cdc_{args.cmd}")
+
+    if args.cmd in ("maintain", "inspect"):
+        import datetime as _dt
+
+        from crypto_exchange_etl_spark.lake.table import LakeTable
+
+        table = LakeTable.load(spark, args.table)
+        if args.cmd == "inspect":
+            for row in table.history():
+                print(_json.dumps(row))
+            print(_json.dumps(table.stats()))
+            return 0
+        did = []
+        if args.compact_files:
+            did.append(table.compact_files())
+        if args.expire_snapshots is not None:
+            did.append({"operation": "expire_snapshots",
+                        "files_removed": table.expire_snapshots(args.expire_snapshots)})
+        if args.expire_rows_before:
+            did.append(
+                table.expire_rows(_dt.datetime.fromisoformat(args.expire_rows_before))
+            )
+        if args.rewrite_clustered:
+            did.append(table.rewrite_clustered(by=args.rewrite_clustered))
+        if args.rebucket is not None:
+            did.append(table.rebucket(args.rebucket))
+        for d in did:
+            print(_json.dumps(d))
+        if not did:
+            print("nothing to do (pass at least one maintenance flag)")
+        return 0
     pipe = CdcPipeline(
         spark,
         args.table,

@@ -90,3 +90,42 @@ def test_spark_submit_pyfiles_replay(spark, tmpdir_path):
     CdcPipeline(spark, table_ref, n_buckets=8).replay_all(binlog)
 
     assert _state_fingerprint(spark, table_sub) == _state_fingerprint(spark, table_ref)
+
+
+def test_cli_maintain_and_inspect(spark, tmpdir_path, capsys):
+    """The maintenance/inspection subcommands drive the lake ops end-to-end
+    (in-process: get_spark reuses the session via getOrCreate)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("cdc_job", JOB)
+    cdc_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cdc_job)
+
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=3000, n_segments=3, n_urls=200)
+    table_path = os.path.join(tmpdir_path, "pages")
+    CdcPipeline(spark, table_path, n_buckets=4).replay_all(binlog)
+
+    rc = cdc_job.main(
+        ["maintain", "--table", table_path, "--compact-files",
+         "--rewrite-clustered", "warc_ts", "--expire-snapshots", "2"]
+    )
+    assert rc == 0
+    ops = [
+        __import__("json").loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [o.get("operation") for o in ops] == [
+        "compact", "expire_snapshots", "rewrite_clustered",
+    ]
+
+    rc = cdc_job.main(["inspect", "--table", table_path])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    hist = [__import__("json").loads(l) for l in lines[:-1]]
+    stats = __import__("json").loads(lines[-1])
+    assert hist[-1]["operation"] == "rewrite_clustered"
+    assert stats["total_files"] > 0
+
+    # table still reads correctly after the maintenance chain
+    assert LakeTable.load(spark, table_path).read().count() > 0
