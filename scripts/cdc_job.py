@@ -97,6 +97,14 @@ def main(argv: list[str] | None = None) -> int:
         help="binlog dir is a Debezium ndjson feed instead of parquet segments",
     )
     tl.add_argument("--dead-letters", default=None, help="quarantine dir (debezium)")
+    tl.add_argument(
+        "--view",
+        action="append",
+        default=[],
+        metavar="PATH:GROUP_COL",
+        help="maintain a per-group count/char materialized view in-stream "
+        "(repeatable; refreshed after every applied batch)",
+    )
 
     mt = sub.add_parser(
         "maintain",
@@ -130,6 +138,20 @@ def main(argv: list[str] | None = None) -> int:
     from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline
 
     spark = get_spark(app_name=f"cdc_{args.cmd}")
+
+    views = []
+    for spec in getattr(args, "view", []):
+        from crypto_exchange_etl_spark.lake.matview import MaterializedAggregate
+
+        vpath, _, gcol = spec.rpartition(":")
+        if not vpath:
+            raise SystemExit(f"--view expects PATH:GROUP_COL, got {spec!r}")
+        views.append(
+            MaterializedAggregate(
+                spark, args.table, vpath, group_col=gcol,
+                sums={"n_chars": "length(text)"},
+            )
+        )
 
     if args.cmd in ("maintain", "inspect"):
         import datetime as _dt
@@ -167,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         write_mode=args.mode,
         canonicalize_keys=args.canonicalize,
+        views=views,
     )
     if args.cmd == "replay":
         summary = pipe.replay_all(args.binlog, batch_id=args.batch_id)

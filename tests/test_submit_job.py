@@ -129,3 +129,46 @@ def test_cli_maintain_and_inspect(spark, tmpdir_path, capsys):
 
     # table still reads correctly after the maintenance chain
     assert LakeTable.load(spark, table_path).read().count() > 0
+
+
+def test_cli_tail_with_view(spark, tmpdir_path, capsys):
+    """tail --view PATH:GROUP maintains a materialized view in-stream."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location("cdc_job2", JOB)
+    cdc_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cdc_job)
+
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=2000, n_segments=2, n_urls=150)
+    table_path = os.path.join(tmpdir_path, "pages")
+    view_path = os.path.join(tmpdir_path, "by_lang")
+    rc = cdc_job.main(
+        ["tail", "--binlog", binlog, "--table", table_path,
+         "--checkpoint", os.path.join(tmpdir_path, "ck"), "--buckets", "4",
+         "--view", f"{view_path}:lang", "--timeout-secs", "300"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    from crypto_exchange_etl_spark.lake.matview import MaterializedAggregate
+    from crypto_exchange_etl_spark.lake.table import LakeTable as LT
+
+    view = MaterializedAggregate(
+        spark, table_path, view_path, group_col="lang",
+        sums={"n_chars": "length(text)"},
+    )
+    got = {r["lang"]: (r["n_rows"], r["n_chars"]) for r in view.read().collect()}
+    want = {
+        r["lang"]: (r["n"], r["c"])
+        for r in LT.load(spark, table_path)
+        .read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.expr("length(text)"), F.lit(0))).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
