@@ -1,0 +1,307 @@
+"""Incrementally-maintained MinHash-LSH index over a LakeTable change feed.
+
+The bridge between the CDC engine and the corpus-dedup operators: a
+band-bucket index of the lake's LIVE pages, kept current from
+:meth:`LakeTable.changes_between` so a micro-batch of newly-ingested
+pages can be near-dup-checked against the WHOLE corpus without ever
+re-scanning or re-hashing it. Per refresh the index pays
+O(changed keys + live band rows of their buckets); a probe pays one
+broadcast join against the index scan. Compare the batch path
+(:func:`~..operators.dedup.lsh_candidate_pairs`): re-shingling 100 TB
+per ingest batch is the thing this module exists to avoid.
+
+Index contents: one row per (key, band, band_hash) of every live page —
+the exact output of :func:`~..operators.dedup.lsh_band_rows` over
+:func:`~..operators.dedup.minhash_signature`, so incremental maintenance
+and a from-scratch rebuild are bit-identical (the tests assert it).
+
+Maintenance rule (index form of incremental view maintenance): per
+refresh, resolve each changed key to its LAST image in the consumed
+version span (``max_by(_commit_version)``, preimages dropped); delete →
+remove the key's band rows, insert/update → replace them with rows
+derived from the new text. Replacement = anti-join out every changed
+key, union in rows for keys whose final image is live.
+
+Physical layout mirrors the source table: band rows live in the SAME
+``pmod(xxhash64(key), n_buckets)`` hash buckets as the lake table, so a
+refresh rewrites only the buckets its changed keys fall in (manifest
+file skipping, CoW per bucket) — never O(index). The probe joins on
+(band, band_hash), which hits every bucket by construction; the probe
+side (one micro-batch) is broadcast, so the index scan is shuffle-free.
+
+Durability matches :class:`~.matview.MaterializedAggregate`: per-refresh
+parquet state dirs plus one JSON manifest mapping bucket → data dir and
+holding the consumed source version, committed with a single atomic
+``os.replace``. Crash between data write and manifest replace leaves
+the old manifest; the re-run re-derives identical deltas (the CDF
+between two fixed versions is deterministic), so refresh is idempotent.
+Exposes ``refresh()`` with the same contract as MaterializedAggregate,
+so ``CdcPipeline(views=[index])`` maintains it inside the streaming
+apply loop.
+
+Reference analogue: the reference dedups only on exchange-assigned uids
+(/root/reference/fintick/controllers/base.py:88-99). Content-derived
+near-dup against the full history is the generalization a web-pages
+lake needs, and doing it incrementally is what makes it affordable at
+10^10 events.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import lsh_band_rows, minhash_signature
+from .consumer import ChangeFeedLagError
+from .table import LakeTable
+
+_LIVE_TYPES = ("insert", "update_postimage")
+
+
+class MaterializedLshIndex:
+    """A MinHash-LSH band index maintained from a source table's CDF."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_path: str,
+        view_path: str,
+        text_col: str = "text",
+        k: int = 8,
+        bands: int = 4,
+    ):
+        self.spark = spark
+        self.source_path = source_path
+        self.view_path = os.path.abspath(view_path)
+        self.text_col = text_col
+        self.k = k
+        self.bands = bands
+        os.makedirs(self.view_path, exist_ok=True)
+
+    # ----------------------------------------------------------- manifest
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.view_path, "index.json")
+
+    def _manifest(self) -> dict[str, Any] | None:
+        if not os.path.exists(self._manifest_path):
+            return None
+        with open(self._manifest_path) as fh:
+            return json.load(fh)
+
+    def position(self) -> int | None:
+        """Source version the index reflects (None = never built)."""
+        m = self._manifest()
+        return None if m is None else int(m["source_version"])
+
+    def _schema(self, key: str) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(key, T.StringType(), True),
+                T.StructField("band", T.IntegerType(), False),
+                T.StructField("bh", T.LongType(), True),
+            ]
+        )
+
+    # -------------------------------------------------------------- reads
+
+    def read(self) -> DataFrame:
+        """All live band rows: (key, band, bh)."""
+        m = self._manifest()
+        if m is None:
+            raise FileNotFoundError(
+                f"lsh index at {self.view_path} was never refreshed"
+            )
+        src = LakeTable.load(self.spark, self.source_path)
+        paths = [os.path.join(self.view_path, rel) for rel in m["buckets"].values()]
+        if not paths:
+            return self.spark.createDataFrame([], self._schema(src.key))
+        return self.spark.read.schema(self._schema(src.key)).parquet(*paths)
+
+    def _read_buckets(self, m: dict[str, Any], key: str, bids: list[int]) -> DataFrame:
+        parts = []
+        for b in bids:
+            rel = m["buckets"].get(str(b))
+            if rel is None:
+                continue
+            parts.append(
+                self.spark.read.schema(self._schema(key))
+                .parquet(os.path.join(self.view_path, rel))
+                .withColumn("_ib", F.lit(b))
+            )
+        if not parts:
+            return self.spark.createDataFrame(
+                [], self._schema(key).add("_ib", T.IntegerType(), False)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -------------------------------------------------------------- probe
+
+    def probe(self, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        """(probe_id, index_id) candidate near-dup pairs for a batch of
+        new docs against the indexed corpus.
+
+        The probe side is one micro-batch — broadcast it; the index scan
+        then joins in place with no shuffle (the 100 TB shape: the big
+        side never moves). Pairs where the probe doc IS the indexed doc
+        (same key — an update probing against its own old rows) are
+        excluded. Probe-batch-internal pairs are NOT covered here; run
+        :func:`~..operators.dedup.lsh_candidate_pairs` on the batch
+        itself (it is small) if those matter.
+        """
+        src = LakeTable.load(self.spark, self.source_path)
+        if id_col == src.key:
+            raise ValueError(
+                f"probe id_col {id_col!r} collides with the index key; alias it"
+            )
+        sig = minhash_signature(
+            docs, id_col=id_col, text_col=self.text_col, k=self.k
+        )
+        pb = lsh_band_rows(sig, id_col=id_col, k=self.k, bands=self.bands)
+        return (
+            self.read()
+            .join(F.broadcast(pb), on=["band", "bh"])
+            .where(F.col(id_col) != F.col(src.key))
+            .select(
+                F.col(id_col).alias("probe_id"),
+                F.col(src.key).alias("index_id"),
+            )
+            .distinct()
+        )
+
+    # ------------------------------------------------------------ refresh
+
+    def _band_rows(self, live: DataFrame, key: str) -> DataFrame:
+        sig = minhash_signature(
+            live, id_col=key, text_col=self.text_col, k=self.k
+        )
+        return lsh_band_rows(sig, id_col=key, k=self.k, bands=self.bands)
+
+    def refresh(self) -> dict[str, Any]:
+        """Advance the index to the source's current version.
+
+        First call bootstraps through the CDF from the source's earliest
+        retained snapshot (identical math — inserts only). Raises
+        :class:`ChangeFeedLagError` when ``expire_snapshots`` outran the
+        cursor; :meth:`rebuild` resyncs from a full read.
+        """
+        src = LakeTable.load(self.spark, self.source_path)
+        cur = src.current_version()
+        m = self._manifest()
+        if m is None:
+            pos = min(
+                int(f[1:-5])
+                for f in os.listdir(src.meta_dir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+        else:
+            pos = int(m["source_version"])
+        if cur <= pos:
+            return {"refreshed": False, "source_version": pos}
+        try:
+            src.manifest(pos)
+        except FileNotFoundError:
+            raise ChangeFeedLagError(
+                f"index cursor v{pos} predates earliest retained snapshot of "
+                f"{src.path}; call rebuild() to resync from a full read"
+            ) from None
+
+        key = src.key
+        ch = src.changes_between(pos, cur).where(
+            F.col("_change_type") != "update_preimage"
+        )
+        # last image per key in the span: at most one non-preimage row per
+        # key per commit (the MERGE is LWW-compacted), so max_by over the
+        # commit version is unambiguous.
+        final = ch.groupBy(key).agg(
+            F.max_by(
+                F.struct(
+                    F.col("_change_type").alias("ct"),
+                    F.col(self.text_col).alias("txt"),
+                ),
+                F.col("_commit_version"),
+            ).alias("f")
+        )
+        final = final.select(
+            key,
+            F.col("f.ct").alias("_ct"),
+            F.col("f.txt").alias(self.text_col),
+            src.bucket_expr(key).alias("_ib"),
+        ).localCheckpoint(eager=True)  # reused 3×: touched set, anti-join, live rows
+
+        touched = sorted(
+            r["_ib"] for r in final.select("_ib").distinct().collect()
+        )  # ≤ n_buckets rows — driver-safe by construction
+        live = final.where(F.col("_ct").isin(*_LIVE_TYPES)).select(
+            key, self.text_col
+        )
+        new_rows = self._band_rows(live, key).withColumn(
+            "_ib", src.bucket_expr(key)
+        )
+
+        kept = self._read_buckets(m or {"buckets": {}}, key, touched).join(
+            final.select(key), key, "left_anti"
+        )  # changed-key set is one micro-batch — AQE broadcasts it
+        merged = kept.unionByName(new_rows.select(*kept.columns))
+
+        rel = f"state-{cur}-{str(uuid.uuid4())[:8]}"
+        root = os.path.join(self.view_path, rel)
+        merged.write.partitionBy("_ib").parquet(root)
+
+        buckets = dict((m or {}).get("buckets", {}))
+        for b in touched:
+            sub = os.path.join(rel, f"_ib={b}")
+            if os.path.isdir(os.path.join(self.view_path, sub)):
+                buckets[str(b)] = sub
+            else:  # bucket emptied (all its keys deleted)
+                buckets.pop(str(b), None)
+        self._commit({"source_version": cur, "buckets": buckets})
+        return {
+            "refreshed": True,
+            "source_version": cur,
+            "from_version": pos,
+            "touched_buckets": touched,
+        }
+
+    def rebuild(self) -> dict[str, Any]:
+        """Recompute the index from a full source read (resync path after
+        retention outran the cursor — also the oracle the tests compare
+        incremental maintenance against)."""
+        src = LakeTable.load(self.spark, self.source_path)
+        cur = src.current_version()
+        key = src.key
+        full = src.read(version=cur).select(key, self.text_col)
+        rows = self._band_rows(full, key).withColumn("_ib", src.bucket_expr(key))
+
+        rel = f"state-{cur}-{str(uuid.uuid4())[:8]}"
+        rows.write.partitionBy("_ib").parquet(os.path.join(self.view_path, rel))
+        buckets = {
+            d.split("=", 1)[1]: os.path.join(rel, d)
+            for d in os.listdir(os.path.join(self.view_path, rel))
+            if d.startswith("_ib=")
+        }
+        self._commit({"source_version": cur, "buckets": buckets})
+        return {"rebuilt": True, "source_version": cur}
+
+    # ------------------------------------------------------------- commit
+
+    def _commit(self, manifest: dict[str, Any]) -> None:
+        tmp = f"{self._manifest_path}.tmp-{uuid.uuid4()}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path)  # atomic state+cursor commit
+        referenced = {rel.split(os.sep, 1)[0] for rel in manifest["buckets"].values()}
+        for d in os.listdir(self.view_path):
+            if d.startswith("state-") and d not in referenced:
+                shutil.rmtree(os.path.join(self.view_path, d), ignore_errors=True)

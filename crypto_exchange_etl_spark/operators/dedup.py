@@ -135,17 +135,19 @@ def minhash_signature(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_band_rows(
     sig: DataFrame,
     id_col: str = "doc_id",
     k: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing ≥1 LSH band.
+    """(id, band, bh) rows — the banding step of MinHash-LSH.
 
-    Band hash = portable hash of the ``|``-joined band rows. The self-join
-    key is (band_index, band_hash) so each band is an independent bucket
-    space; AQE skew-split handles pathological buckets (boilerplate pages).
+    Band hash = portable hash of the ``|``-joined band rows; each band is
+    an independent bucket space. Shared by :func:`lsh_candidate_pairs`
+    (self-join form) and the incrementally-maintained
+    :class:`~..lake.lsh_index.MaterializedLshIndex` (probe-join form) —
+    one definition so batch and incremental banding are bit-identical.
     """
     r = k // bands
     band_structs = [
@@ -157,9 +159,24 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    exploded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, "b.band", "b.bh")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 LSH band.
+
+    The self-join key is (band_index, band_hash) so each band is an
+    independent bucket space; AQE skew-split handles pathological buckets
+    (boilerplate pages).
+    """
+    exploded = lsh_band_rows(sig, id_col=id_col, k=k, bands=bands)
     a = exploded.alias("a")
     bb = exploded.alias("b")
     return (
