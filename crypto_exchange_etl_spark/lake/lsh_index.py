@@ -188,8 +188,10 @@ class MaterializedLshIndex:
         )
         return lsh_band_rows(sig, id_col=key, k=self.k, bands=self.bands)
 
-    def refresh(self) -> dict[str, Any]:
-        """Advance the index to the source's current version.
+    def refresh(self, to_version: int | None = None) -> dict[str, Any]:
+        """Advance the index to the source's current version (or to a
+        pinned ``to_version`` — the NearDupMonitor pins it so its probe
+        log and the index can never desync under a concurrent commit).
 
         First call bootstraps through the CDF from the source's earliest
         retained snapshot (identical math — inserts only). Raises
@@ -197,7 +199,7 @@ class MaterializedLshIndex:
         cursor; :meth:`rebuild` resyncs from a full read.
         """
         src = LakeTable.load(self.spark, self.source_path)
-        cur = src.current_version()
+        cur = src.current_version() if to_version is None else int(to_version)
         m = self._manifest()
         if m is None:
             pos = min(
@@ -304,4 +306,192 @@ class MaterializedLshIndex:
         referenced = {rel.split(os.sep, 1)[0] for rel in manifest["buckets"].values()}
         for d in os.listdir(self.view_path):
             if d.startswith("state-") and d not in referenced:
+                shutil.rmtree(os.path.join(self.view_path, d), ignore_errors=True)
+
+
+class NearDupMonitor:
+    """Ingest-time near-dup flagging: probe each consumed span of the
+    change feed against the corpus AS OF the span's start, log the
+    candidate pairs durably, then advance the owned LSH index.
+
+    A CDC engine must not drop near-dups (source fidelity), but a
+    training-data lake wants them FLAGGED at ingest so curation never
+    re-scans the corpus. Per refresh:
+
+    1. final post-images of the span ``(pos, cur]`` (same last-image rule
+       as the index) are probed against the index — still at ``pos``, so
+       matches are strictly new-vs-existing-corpus;
+    2. the pairs land in a span-named parquet dir (rewritten whole on
+       retry — crash-safe);
+    3. the owned index refreshes to ``cur``;
+    4. one atomic manifest replace commits cursor + live span list.
+
+    Pass the monitor (NOT its inner index) in ``CdcPipeline(views=[...])``;
+    the monitor sequences probe-before-index-advance itself, which is the
+    ordering the semantics need. Span-internal pairs (two near-dup pages
+    first seen in the same span) are not flagged here — same caveat as
+    :meth:`MaterializedLshIndex.probe`; run the batch operator on the
+    span itself if those matter.
+
+    Crash recovery: a crash after the index advanced but before the
+    manifest commit replays the span from the already-written log dir
+    (the probe itself can no longer be re-run — the pre-span index state
+    is gone); a crash mid-log-write rewrites the dir. Either way the
+    manifest only ever lists complete spans.
+    """
+
+    _PROBE_ID = "_probe_url"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_path: str,
+        view_path: str,
+        text_col: str = "text",
+        k: int = 8,
+        bands: int = 4,
+    ):
+        self.spark = spark
+        self.source_path = source_path
+        self.view_path = os.path.abspath(view_path)
+        self.text_col = text_col
+        self.index = MaterializedLshIndex(
+            spark,
+            source_path,
+            os.path.join(self.view_path, "index"),
+            text_col=text_col,
+            k=k,
+            bands=bands,
+        )
+        os.makedirs(self.view_path, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.view_path, "monitor.json")
+
+    def _manifest(self) -> dict[str, Any]:
+        if not os.path.exists(self._manifest_path):
+            return {"source_version": None, "spans": []}
+        with open(self._manifest_path) as fh:
+            return json.load(fh)
+
+    def position(self) -> int | None:
+        v = self._manifest()["source_version"]
+        return None if v is None else int(v)
+
+    def _flags_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("url", T.StringType(), True),
+                T.StructField("match_url", T.StringType(), True),
+                T.StructField("from_version", T.IntegerType(), False),
+                T.StructField("to_version", T.IntegerType(), False),
+            ]
+        )
+
+    def flags(self) -> DataFrame:
+        """All logged near-dup candidate pairs: (url, match_url,
+        from_version, to_version) — url is the newly-ingested page,
+        match_url the pre-existing corpus page it collided with."""
+        spans = self._manifest()["spans"]
+        paths = [os.path.join(self.view_path, s) for s in spans]
+        if not paths:
+            return self.spark.createDataFrame([], self._flags_schema())
+        return self.spark.read.schema(self._flags_schema()).parquet(*paths)
+
+    def _cursor(self, src: LakeTable) -> int:
+        v = self._manifest()["source_version"]
+        if v is not None:
+            return int(v)
+        return min(
+            int(f[1:-5])
+            for f in os.listdir(src.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def refresh(self) -> dict[str, Any]:
+        src = LakeTable.load(self.spark, self.source_path)
+        pos = self._cursor(src)
+
+        recovered = False
+        ipos = self.index.position()
+        if ipos is not None and ipos > pos:
+            # Crashed after the index advanced (to the crashed run's
+            # ``cur`` = ipos) but before the manifest commit. The
+            # pre-span probe state is gone; the span log written before
+            # the advance is the only valid record — recover it, then
+            # consume anything newer normally.
+            span = f"span-{pos}-{ipos}"
+            if not os.path.isdir(os.path.join(self.view_path, span)):
+                raise RuntimeError(
+                    f"near-dup monitor at {self.view_path} lost span "
+                    f"({pos}, {ipos}]: index is ahead but no span log "
+                    "exists; the pre-span corpus state is unrecoverable — "
+                    "accept the gap by removing index/ and monitor.json, "
+                    "then refresh (re-bootstraps, future spans are exact)"
+                )
+            self._commit(ipos, self._manifest()["spans"] + [span])
+            pos = ipos
+            recovered = True
+
+        cur = src.current_version()
+        if cur <= pos:
+            return {"refreshed": recovered, "source_version": pos}
+
+        span = f"span-{pos}-{cur}"
+        span_path = os.path.join(self.view_path, span)
+        if self.index.position() is None:
+            # Bootstrap: the index consumes (earliest, cur] in one hop —
+            # by definition nothing pre-existed the first span, so its
+            # log is empty (span-internal pairs are the documented gap).
+            self.index.refresh(to_version=cur)
+            self.spark.createDataFrame(
+                [], self._flags_schema()
+            ).write.mode("overwrite").parquet(span_path)
+        else:
+            key = src.key
+            ch = src.changes_between(pos, cur).where(
+                F.col("_change_type").isin("insert", "update_postimage", "delete")
+            )
+            final = ch.groupBy(key).agg(
+                F.max_by(
+                    F.struct(
+                        F.col("_change_type").alias("ct"),
+                        F.col(self.text_col).alias("txt"),
+                    ),
+                    F.col("_commit_version"),
+                ).alias("f")
+            )
+            live = final.where(
+                F.col("f.ct") != F.lit("delete")
+            ).select(
+                F.col(key).alias(self._PROBE_ID),
+                F.col("f.txt").alias(self.text_col),
+            )
+            pairs = self.index.probe(live, id_col=self._PROBE_ID).select(
+                F.col("probe_id").alias("url"),
+                F.col("index_id").alias("match_url"),
+                F.lit(pos).alias("from_version"),
+                F.lit(cur).alias("to_version"),
+            )
+            pairs.write.mode("overwrite").parquet(span_path)
+            self.index.refresh(to_version=cur)
+
+        n = self.spark.read.schema(self._flags_schema()).parquet(span_path).count()
+        self._commit(cur, self._manifest()["spans"] + [span])
+        return {
+            "refreshed": True,
+            "source_version": cur,
+            "from_version": pos,
+            "n_flags": n,
+        }
+
+    def _commit(self, cur: int, spans: list[str]) -> None:
+        tmp = f"{self._manifest_path}.tmp-{uuid.uuid4()}"
+        with open(tmp, "w") as fh:
+            json.dump({"source_version": cur, "spans": spans}, fh)
+        os.replace(tmp, self._manifest_path)
+        live = set(spans)
+        for d in os.listdir(self.view_path):
+            if d.startswith("span-") and d not in live:
                 shutil.rmtree(os.path.join(self.view_path, d), ignore_errors=True)

@@ -19,7 +19,12 @@ import os
 
 from pyspark.sql import functions as F
 
-from crypto_exchange_etl_spark.lake.lsh_index import MaterializedLshIndex
+import pytest
+
+from crypto_exchange_etl_spark.lake.lsh_index import (
+    MaterializedLshIndex,
+    NearDupMonitor,
+)
 from crypto_exchange_etl_spark.model import CHANGES_SCHEMA
 from crypto_exchange_etl_spark.operators.dedup import (
     lsh_band_rows,
@@ -211,3 +216,127 @@ def test_cursor_restart_and_pipeline_views(spark, tmpdir_path):
     got_inc = sorted(map(tuple, idx2.read().collect()))
     idx2.rebuild()
     assert sorted(map(tuple, idx2.read().collect())) == got_inc
+
+
+# --------------------------------------------------------------- monitor
+
+
+def _page_batch(spark, rows):
+    ts = dt.datetime(2024, 3, 1)
+    return spark.createDataFrame(
+        [(lsn, 0, op, url, ts, html, "en") for lsn, op, url, html in rows],
+        CHANGES_SCHEMA,
+    )
+
+
+def test_monitor_flags_ingest_near_dups(spark, tmpdir_path):
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "pages"), n_buckets=4)
+    pipe.ensure_table()
+    mon = NearDupMonitor(
+        spark, pipe.table_path, os.path.join(tmpdir_path, "mon"), text_col="text"
+    )
+    pipe2 = CdcPipeline(
+        spark, os.path.join(tmpdir_path, "pages"), n_buckets=4, views=[mon]
+    )
+
+    # batch 0: distinct corpus — bootstrap span, zero flags
+    pipe2.apply_batch(
+        _page_batch(
+            spark,
+            [
+                (1, "I", "https://s.example.com/a",
+                 b"<p>the quick brown fox jumps over the lazy dog</p>"),
+                (2, "I", "https://s.example.com/b",
+                 b"<p>pack my box with five dozen liquor jugs</p>"),
+            ],
+        ),
+        0,
+    )
+    assert mon.position() == pipe2.table.current_version()
+    assert mon.flags().count() == 0
+
+    # batch 1: one page duplicating /a's content, one unrelated page
+    pipe2.apply_batch(
+        _page_batch(
+            spark,
+            [
+                (3, "I", "https://mirror.example.com/a-copy",
+                 b"<p>the quick brown fox jumps over the lazy dog</p>"),
+                (4, "I", "https://s.example.com/c",
+                 b"<p>how vexingly quick daft zebras jump today</p>"),
+            ],
+        ),
+        1,
+    )
+    got = {(r["url"], r["match_url"]) for r in mon.flags().collect()}
+    assert ("https://mirror.example.com/a-copy", "https://s.example.com/a") in got
+    assert not any(u == "https://s.example.com/c" for u, _ in got)
+    # flags are strictly new-vs-pre-existing, never self
+    assert all(u != m for u, m in got)
+
+
+def test_monitor_crash_between_index_advance_and_commit(spark, tmpdir_path):
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "pages"), n_buckets=4)
+    pipe.ensure_table()
+    mon = NearDupMonitor(
+        spark, pipe.table_path, os.path.join(tmpdir_path, "mon"), text_col="text"
+    )
+    pipe.apply_batch(
+        _page_batch(
+            spark,
+            [(1, "I", "https://s.example.com/a",
+              b"<p>the quick brown fox jumps over the lazy dog</p>")],
+        ),
+        0,
+    )
+    mon.refresh()
+    pos = mon.position()
+
+    pipe.apply_batch(
+        _page_batch(
+            spark,
+            [(2, "I", "https://mirror.example.com/a2",
+              b"<p>the quick brown fox jumps over the lazy dog</p>")],
+        ),
+        1,
+    )
+    # crash simulation: span log written, index advanced, manifest NOT
+    real_commit = mon._commit
+    calls = {"n": 0}
+
+    def boom(cur, spans):
+        calls["n"] += 1
+        raise OSError("simulated crash before manifest commit")
+
+    mon._commit = boom
+    with pytest.raises(OSError):
+        mon.refresh()
+    mon._commit = real_commit
+    assert mon.position() == pos  # cursor did not move
+    assert mon.index.position() > pos  # but the index did
+
+    out = mon.refresh()  # recovery: replay the span from its log
+    assert out["refreshed"] and mon.position() == mon.index.position()
+    got = {(r["url"], r["match_url"]) for r in mon.flags().collect()}
+    assert got == {("https://mirror.example.com/a2", "https://s.example.com/a")}
+
+    # losing the span log in that state is detected, not papered over
+    pipe.apply_batch(
+        _page_batch(
+            spark,
+            [(3, "I", "https://s.example.com/d",
+              b"<p>entirely new and unrelated page content here</p>")],
+        ),
+        2,
+    )
+    mon._commit = boom
+    with pytest.raises(OSError):
+        mon.refresh()
+    mon._commit = real_commit
+    import shutil as _sh
+
+    for d in os.listdir(mon.view_path):
+        if d.startswith(f"span-{mon.position()}-"):
+            _sh.rmtree(os.path.join(mon.view_path, d))
+    with pytest.raises(RuntimeError, match="lost span"):
+        mon.refresh()
