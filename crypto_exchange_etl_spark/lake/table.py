@@ -715,6 +715,10 @@ class LakeTable:
             },
             "committed_at_unix": now,
         }
+        if m.get("blooms"):
+            # bloom side table carries forward: rewritten buckets' new
+            # files simply have no bloom row until the next build_blooms
+            new_manifest["blooms"] = m["blooms"]
         if publish:
             self._write_manifest(new_manifest)
         else:
@@ -1034,6 +1038,163 @@ class LakeTable:
         )
         self._write_manifest(nm)
         return nm["summary"]
+
+    # --------------------------------------------------------- key blooms
+
+    #: double-hash family salt for the second bloom hash (K-M, same
+    #: construction as the MinHash family in operators/dedup.py)
+    _BLOOM_SALT = "cee-bloom-h2"
+
+    def _bloom_hashes(self, key: str):
+        """The two Spark-side hash expressions the bloom is built from.
+        Build (executor pandas) and probe (driver) MUST derive bit
+        positions from these same two values."""
+        return (
+            F.xxhash64(F.col(key)).alias("_h1"),
+            F.xxhash64(F.lit(self._BLOOM_SALT), F.col(key)).alias("_h2"),
+        )
+
+    @staticmethod
+    def _bloom_positions(h1: int, h2: int, n_hashes: int, n_bits: int):
+        """Kirsch-Mitzenmacher positions from two signed-int64 hashes.
+        Pure-python unsigned-mod arithmetic — identical on the build and
+        probe side by construction."""
+        u1, u2 = h1 & 0xFFFFFFFFFFFFFFFF, h2 & 0xFFFFFFFFFFFFFFFF
+        return [((u1 + i * u2) % (1 << 64)) % n_bits for i in range(n_hashes)]
+
+    def build_blooms(
+        self, bits_per_key: int = 10, n_hashes: int = 7
+    ) -> dict[str, Any]:
+        """Per-file key Bloom filters (Iceberg puffin-blob analogue) for
+        point-lookup file skipping.
+
+        Motivation: the manifest's min/max key stats prune string-keyed
+        lookups weakly — url ranges inside one hash bucket are wide, so a
+        bucket with many files (merge-on-read deltas, straddling
+        compactions) opens most of them for a single key. A 10-bits/key
+        7-hash bloom answers "key definitely absent" at ~0.8% false
+        positives, so a lookup opens ~1 file regardless of file count.
+
+        Build is fully distributed: one narrow pass over the CURRENT
+        files' key column (column-pruned scan), two JVM-side xxhash64
+        values per row, then one Arrow-batched ``applyInPandas`` group per
+        file folds them into a bitset — the shuffle carries two longs per
+        row, the result one row per file. Blooms land in a parquet side
+        table referenced by the manifest; a new snapshot version commits
+        the reference atomically.
+
+        Blooms are built from the PHYSICAL rows, tombstones included — a
+        delta file whose tombstone were bloom-invisible would let a
+        lookup resurrect the deleted base row (tested). Files written by
+        later merges simply have no bloom row and are never pruned by
+        this tier (safe degradation); rebuild on a maintenance cadence,
+        e.g. with file compaction. The superseded bloom dir is deleted at
+        commit — bloom pointers in older snapshots degrade gracefully
+        (lookup falls back to stats-only pruning).
+        """
+        import pandas as pd
+
+        m = self.manifest()
+        key, bpk, k = m["key"], int(bits_per_key), int(n_hashes)
+        if not m["files"]:
+            return {"operation": "build_blooms", "files": 0}
+        schema = self._physical_schema(m)
+        paths = [os.path.join(self.path, f["path"]) for f in m["files"]]
+        table_root = self.path
+
+        def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            n_bits = max(64, ((len(pdf) * bpk + 7) // 8) * 8)
+            bits = np.zeros(n_bits // 8, dtype=np.uint8)
+            u1 = pdf["_h1"].to_numpy().astype(np.uint64)
+            u2 = pdf["_h2"].to_numpy().astype(np.uint64)
+            for i in range(k):
+                # uint64 arithmetic wraps mod 2^64 — same rule as the
+                # probe side's ((u1 + i*u2) % 2^64) % n_bits
+                pos = (u1 + np.uint64(i) * u2) % np.uint64(n_bits)
+                np.bitwise_or.at(bits, (pos // 8).astype(np.int64),
+                                 np.left_shift(1, (pos % 8).astype(np.uint8),
+                                               dtype=np.uint8))
+            uri = pdf["_file"].iloc[0]
+            local = uri[len("file:"):] if uri.startswith("file:") else uri
+            rel = os.path.relpath(local, table_root)
+            return pd.DataFrame(
+                {"path": [rel], "n_bits": [n_bits], "bloom": [bits.tobytes()]}
+            )
+
+        hashed = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .select(F.input_file_name().alias("_file"), *self._bloom_hashes(key))
+        )
+        rel_out = f"blooms/bloom-{str(uuid.uuid4())[:8]}"
+        (
+            hashed.groupBy("_file")
+            .applyInPandas(_fold, schema="path string, n_bits long, bloom binary")
+            .write.parquet(os.path.join(self.path, rel_out))
+        )
+
+        old = (m.get("blooms") or {}).get("dir")
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            blooms={"dir": rel_out, "bits_per_key": bpk, "n_hashes": k},
+            summary={"operation": "build_blooms", "files": len(m["files"]),
+                     "bits_per_key": bpk, "n_hashes": k},
+            committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        if old:
+            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+        return nm["summary"]
+
+    def _bloom_prune(
+        self, m: dict[str, Any], value: Any, candidates: list[dict[str, Any]]
+    ) -> list[dict[str, Any]]:
+        """Drop candidate files whose bloom proves the key absent. Files
+        without a bloom row (written after the last build, or the bloom
+        dir was superseded) are kept — this tier only ever removes work."""
+        bl = m.get("blooms")
+        if not bl or not candidates:
+            return candidates
+        bloom_path = os.path.join(self.path, bl["dir"])
+        if not os.path.isdir(bloom_path):
+            return candidates  # superseded by a later build — stats only
+        key = m["key"]
+        key_field = next(
+            f for f in self._physical_schema(m).fields if f.name == key
+        )
+        r = (
+            self.spark.createDataFrame([(value,)], T.StructType([key_field]))
+            .select(*self._bloom_hashes(key))
+            .collect()[0]
+        )
+        rels = {f["path"] for f in candidates}
+        rows = {
+            row["path"]: row
+            for row in self.spark.read.parquet(bloom_path)
+            .where(F.col("path").isin(*rels))
+            .collect()
+        }
+        kept = []
+        for f in candidates:
+            row = rows.get(f["path"])
+            if row is None:
+                kept.append(f)
+                continue
+            bits = row["bloom"]
+            hit = all(
+                bits[p // 8] & (1 << (p % 8))
+                for p in self._bloom_positions(
+                    r["_h1"], r["_h2"], bl["n_hashes"], row["n_bits"]
+                )
+            )
+            if hit:
+                kept.append(f)
+        return kept
 
     def expire_rows(
         self,
@@ -1588,7 +1749,13 @@ class LakeTable:
         skipping; reference analogue: LIMIT-1 ledger lookups, operator T4,
         /root/reference/fintick/fscache/fscache.py:60-71).
 
-        Files that survive both prunes are read with the key predicate
+        A third tier applies when :meth:`build_blooms` has run: candidate
+        files with a bloom row are dropped on a definite bloom miss
+        (~0.8% false positives at the defaults), which is what keeps
+        string-keyed lookups at ~1 file opened when min/max url ranges
+        inside a bucket are wide.
+
+        Files that survive the prunes are read with the key predicate
         (pushed to the scan ⇒ row-group skipping on the same stats),
         LWW-folded in case base+delta both hold the key, and tombstones
         hidden — semantically ``read(version).where(key = value)``.
@@ -1634,6 +1801,7 @@ class LakeTable:
                     break
             if contains:
                 candidates.append(f)
+        candidates = self._bloom_prune(m, value, candidates)
         if not candidates:
             return self.spark.createDataFrame(
                 [], T.StructType([f for f in schema.fields if f.name in set(public)])

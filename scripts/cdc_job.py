@@ -121,6 +121,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="re-sort buckets by COLUMN and roll files")
     mt.add_argument("--rebucket", type=int, default=None, metavar="N",
                     help="rewrite into N hash buckets")
+    mt.add_argument("--build-blooms", action="store_true",
+                    help="(re)build per-file key bloom filters for "
+                    "point-lookup file skipping")
 
     ins = sub.add_parser("inspect", help="print table history and health stats")
     ins.add_argument("--table", required=True)
@@ -178,6 +181,8 @@ def main(argv: list[str] | None = None) -> int:
             did.append(table.rewrite_clustered(by=args.rewrite_clustered))
         if args.rebucket is not None:
             did.append(table.rebucket(args.rebucket))
+        if args.build_blooms:
+            did.append(table.build_blooms())
         for d in did:
             print(_json.dumps(d))
         if not did:

@@ -108,7 +108,8 @@ def test_cli_maintain_and_inspect(spark, tmpdir_path, capsys):
 
     rc = cdc_job.main(
         ["maintain", "--table", table_path, "--compact-files",
-         "--rewrite-clustered", "warc_ts", "--expire-snapshots", "2"]
+         "--rewrite-clustered", "warc_ts", "--expire-snapshots", "2",
+         "--build-blooms"]
     )
     assert rc == 0
     ops = [
@@ -116,7 +117,7 @@ def test_cli_maintain_and_inspect(spark, tmpdir_path, capsys):
         for line in capsys.readouterr().out.strip().splitlines()
     ]
     assert [o.get("operation") for o in ops] == [
-        "compact", "expire_snapshots", "rewrite_clustered",
+        "compact", "expire_snapshots", "rewrite_clustered", "build_blooms",
     ]
 
     rc = cdc_job.main(["inspect", "--table", table_path])
@@ -124,7 +125,7 @@ def test_cli_maintain_and_inspect(spark, tmpdir_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     hist = [__import__("json").loads(l) for l in lines[:-1]]
     stats = __import__("json").loads(lines[-1])
-    assert hist[-1]["operation"] == "rewrite_clustered"
+    assert hist[-1]["operation"] == "build_blooms"
     assert stats["total_files"] > 0
 
     # table still reads correctly after the maintenance chain
