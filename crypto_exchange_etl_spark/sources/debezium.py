@@ -161,3 +161,61 @@ def read_debezium_json_stream(
             path
         )
     )
+
+
+#: engine op → Debezium op (inverse of _OP_MAP's c/u/d; 'r' also maps to
+#: I on read, so serialize→parse is the identity while parse→serialize
+#: canonicalizes snapshot reads into creates — documented, not lossy).
+_OP_MAP_OUT = {"I": "c", "U": "u", "D": "d"}
+
+
+def changes_to_debezium_lines(changes: DataFrame) -> DataFrame:
+    """Serialize CHANGES_SCHEMA envelopes to Debezium ndjson ``value``
+    lines — the exact inverse of :func:`debezium_to_changes`
+    (``debezium_to_changes(changes_to_debezium_lines(c)) ≡ c``, tested
+    bit-exactly including html bytes).
+
+    This is the sink side of the connector: with it the engine can
+    re-emit any slice of a binlog (or a change feed conformed to the
+    envelope) as a standard Debezium topic for downstream consumers,
+    closing the CDC loop. All expressions are JVM-side (``to_json``,
+    ``base64``, ``date_format``) and identical under batch and
+    streaming, like the parser.
+
+    Timestamps serialize as ``yyyy-MM-dd HH:mm:ss.SSSSSS`` in the
+    session timezone (the engine pins UTC), which ``try_to_timestamp``
+    re-parses to the same micros; deletes carry the image in ``before``
+    with ``after`` absent, everything else in ``after`` — matching what
+    the parser's ``when(op=='d', before).otherwise(after)`` expects.
+    """
+    op = F.col("op")
+    dbz_op = F.lit(None).cast("string")
+    for ours, dbz in reversed(_OP_MAP_OUT.items()):
+        dbz_op = F.when(op == ours, dbz).otherwise(dbz_op)
+    img = F.struct(
+        F.col("url").alias("url"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts"),
+        # base64 may MIME-chunk (\r\n every 76 chars) depending on
+        # spark.sql.legacy.chunkBase64String.enabled — strip to canonical
+        # RFC-4648 so the parser's strict regex (and any non-MIME
+        # consumer) accepts the feed
+        F.regexp_replace(F.base64(F.col("html")), r"[\r\n]", "").alias("html"),
+        F.col("lang").alias("lang"),
+    )
+    payload = F.struct(
+        dbz_op.alias("op"),
+        F.when(op == "D", img).alias("before"),
+        F.when(op != "D", img).alias("after"),
+        F.struct(F.col("lsn").alias("lsn"), F.col("partition").alias("partition")).alias("source"),
+        F.unix_millis(F.col("warc_ts")).alias("ts_ms"),
+    )
+    return changes.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias("value")
+    )
+
+
+def write_debezium_json(changes: DataFrame, path: str) -> None:
+    """Land a batch of envelopes as an ndjson Debezium feed directory
+    (one text file per partition — the shape :func:`read_debezium_json`
+    and the streaming tail consume)."""
+    changes_to_debezium_lines(changes).write.mode("append").text(path)
