@@ -1402,6 +1402,71 @@ class LakeTable:
                     shutil.rmtree(root, ignore_errors=True)
         return removed
 
+    def remove_orphans(
+        self, older_than_secs: float = 3 * 24 * 3600, dry_run: bool = False
+    ) -> dict[str, Any]:
+        """Delete data/ledger parquet files referenced by NO retained
+        snapshot (Iceberg ``remove_orphan_files`` analogue). Orphans come
+        from crashes between data write and manifest rename, from
+        optimistic-concurrency losers (``CommitConflictError``), and from
+        abandoned write-audit-publish stages — none are reachable by any
+        reader, but they accumulate storage.
+
+        Unlike :meth:`expire_snapshots` (which GCs as a side effect of
+        dropping history) this keeps EVERY retained version readable and
+        applies an age threshold: a file younger than ``older_than_secs``
+        (default 3 days, Iceberg's default) is never touched, because an
+        unreferenced-but-recent file may be a concurrent writer's
+        in-flight commit that simply hasn't renamed its manifest yet —
+        deleting it would corrupt that commit at the moment it wins.
+        Staged (WAP) snapshots are counted as referenced regardless of
+        age: they are live pending commits by design.
+
+        Metadata-only scan: O(retained manifests) JSON reads + one
+        filesystem walk; no Spark job. Returns removal/skip counts and
+        the removed paths (relative); ``dry_run`` reports without
+        deleting.
+        """
+        cur = self.current_version()
+        if cur is None:
+            return {"removed": 0, "skipped_recent": 0, "paths": []}
+        referenced: set[str] = set()
+        for f in os.listdir(self.meta_dir):
+            m = re.fullmatch(r"v(\d+)\.json", f)
+            if not m:
+                continue
+            mv = self.manifest(int(m.group(1)))
+            referenced |= {fl["path"] for fl in mv["files"]}
+            referenced |= set(mv["ledger_files"])
+        for tok in self.list_staged():
+            mv = self.manifest(tok)
+            referenced |= {fl["path"] for fl in mv["files"]}
+            referenced |= set(mv["ledger_files"])
+        cutoff = time.time() - older_than_secs
+        removed: list[str] = []
+        skipped = 0
+        for sub in ("data", "ledger"):
+            base = os.path.join(self.path, sub)
+            for root, _d, files in os.walk(base, topdown=False):
+                for fn in files:
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, self.path)
+                    if not fn.endswith(".parquet") or rel in referenced:
+                        continue
+                    if os.path.getmtime(full) > cutoff:
+                        skipped += 1
+                        continue
+                    removed.append(rel)
+                    if not dry_run:
+                        os.remove(full)
+                if not dry_run and root != base and not os.listdir(root):
+                    shutil.rmtree(root, ignore_errors=True)
+        return {
+            "removed": len(removed),
+            "skipped_recent": skipped,
+            "paths": sorted(removed),
+        }
+
     def rebucket(self, n_buckets: int) -> dict[str, Any]:
         """Bucket-layout evolution: rewrite the table into ``n_buckets``
         hash buckets. The bucket count is the table's parallelism knob

@@ -124,6 +124,10 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--build-blooms", action="store_true",
                     help="(re)build per-file key bloom filters for "
                     "point-lookup file skipping")
+    mt.add_argument("--remove-orphans", type=float, default=None,
+                    metavar="OLDER_THAN_SECS",
+                    help="delete unreferenced data/ledger files older than "
+                    "this many seconds (staged WAP snapshots always kept)")
 
     ins = sub.add_parser("inspect", help="print table history and health stats")
     ins.add_argument("--table", required=True)
@@ -183,6 +187,9 @@ def main(argv: list[str] | None = None) -> int:
             did.append(table.rebucket(args.rebucket))
         if args.build_blooms:
             did.append(table.build_blooms())
+        if args.remove_orphans is not None:
+            did.append({"operation": "remove_orphans",
+                        **table.remove_orphans(args.remove_orphans)})
         for d in did:
             print(_json.dumps(d))
         if not did:

@@ -330,3 +330,66 @@ def test_changes_between_across_rollback(spark, tmpdir_path):
             exp.add((k, "update_preimage", v_rb))
             exp.add((k, "update_postimage", v_rb))
     assert got == exp
+
+
+def test_remove_orphans(spark, tmpdir_path):
+    """Age-gated orphan GC: unreferenced files older than the threshold
+    are deleted, recent ones and staged (WAP) snapshots survive, every
+    retained version stays readable, and dry_run touches nothing."""
+    table = _build(spark, os.path.join(tmpdir_path, "t"))
+    states = {
+        v: sorted(_live_state(table, v).items())
+        for v in range(table.current_version() + 1)
+    }
+
+    # plant orphans: a crashed write (plain parquet under data/) and an
+    # optimistic-concurrency loser shape (file in an existing bucket dir)
+    crash_dir = os.path.join(table.path, "data", "merge-deadbeef", "bucket=0")
+    os.makedirs(crash_dir)
+    orphan_a = os.path.join(crash_dir, "part-crash.parquet")
+    bucket_dirs = [
+        os.path.join(r, d)
+        for r, ds, _f in os.walk(os.path.join(table.path, "data"))
+        for d in ds if d.startswith("bucket=")
+    ]
+    orphan_b = os.path.join(bucket_dirs[0], "part-loser.parquet")
+    for p in (orphan_a, orphan_b):
+        with open(p, "wb") as fh:
+            fh.write(b"PAR1 not really parquet PAR1")
+
+    # a staged WAP snapshot's files are unreferenced by the version chain
+    # but must survive orphan GC at any age
+    changes = generate_changes(spark, 300, n_urls=60, seed=77)
+    out = table.merge_apply(changes, batch_id=99, publish=False)
+    staged_files = {
+        f["path"] for f in table.manifest(out["staged_token"])["files"]
+    }
+    old = 0.0  # epoch — older than any threshold
+    for rel in staged_files:
+        os.utime(os.path.join(table.path, rel), (old, old))
+
+    # young orphans are skipped (in-flight-commit safety)...
+    rep = table.remove_orphans(older_than_secs=3600)
+    assert rep["removed"] == 0 and rep["skipped_recent"] == 2
+    # ...then age them and dry-run: reported but not deleted
+    for p in (orphan_a, orphan_b):
+        os.utime(p, (old, old))
+    rep = table.remove_orphans(older_than_secs=3600, dry_run=True)
+    assert rep["removed"] == 2 and all(
+        os.path.exists(p) for p in (orphan_a, orphan_b)
+    )
+    # real run deletes exactly the two orphans, never the staged files
+    rep = table.remove_orphans(older_than_secs=3600)
+    assert rep["removed"] == 2 and not any(
+        os.path.exists(p) for p in (orphan_a, orphan_b)
+    )
+    assert all(
+        os.path.exists(os.path.join(table.path, rel)) for rel in staged_files
+    )
+
+    # every retained version still reads back byte-identically, and the
+    # staged snapshot still publishes
+    for v, want in states.items():
+        assert sorted(_live_state(table, v).items()) == want
+    table.publish(out["staged_token"])
+    assert table.manifest()["summary"]["operation"] == "merge"
