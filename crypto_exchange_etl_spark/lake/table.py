@@ -1520,8 +1520,9 @@ class LakeTable:
 
     def rewrite_clustered(
         self,
-        by: str = "warc_ts",
+        by: str | list[str] = "warc_ts",
         max_rows_per_file: int = 100_000,
+        zorder: bool = False,
     ) -> dict[str, Any]:
         """Cluster each bucket's data by ``by`` (default event time) into
         rolled files — the Iceberg sort-order rewrite. Merges write
@@ -1538,6 +1539,21 @@ class LakeTable:
         bucket restores key order for that bucket — clustering is a
         read-optimization pass, not an invariant.
 
+        ``zorder=True`` with ``by`` a list of 2-4 columns removes the
+        trade-off's sharp edge: each column maps to a 16-bit dimension
+        code (strings → top bits of ``xxhash64``; timestamps/numerics →
+        min-max linear scale) and rows sort by the Morton interleave of
+        the codes, so every rolled file covers a small RECTANGLE of the
+        key×time space instead of a stripe — both point lookups and
+        time-range scans prune to ~sqrt(files) within a bucket (the
+        Iceberg/Delta z-order rewrite). Because hash order has nothing to
+        do with lexicographic order, the manifest additionally records
+        per-file min/max of ``xxhash64(key)`` (reserved stats entry
+        ``__key_hash__``, one column-pruned pass over the just-written
+        files) and :meth:`lookup` prunes on the probe key's hash against
+        those bounds. All dimension codes are deterministic JVM
+        expressions — no Python in the rewrite.
+
         One shuffle keyed by bucket (same exchange shape as a merge),
         deltas folded in, tombstones kept — replay semantics survive.
         """
@@ -1545,10 +1561,25 @@ class LakeTable:
         df = self.read_physical(fold=True)
         snap = str(uuid.uuid4())[:8]
         rel_out = f"data/cluster-{snap}"
+        if zorder:
+            cols = [by] if isinstance(by, str) else list(by)
+            if not 2 <= len(cols) <= 4:
+                raise ValueError(
+                    f"zorder needs 2-4 columns, got {cols!r}"
+                )
+            order = [self._morton_code(df, cols).alias("_zorder")]
+            by_label = "+".join(cols)
+        else:
+            if not isinstance(by, str):
+                raise ValueError("plain clustering takes a single column")
+            order = [F.col(by), F.col(m["key"])]
+            by_label = by
         (
             df.withColumn("bucket", self._bucket(m["key"], m["n_buckets"]))
             .repartition(m["n_buckets"], F.col("bucket"))
-            .sortWithinPartitions(by, m["key"])
+            .withColumn("_ord0", order[0])
+            .sortWithinPartitions("_ord0", *order[1:])
+            .drop("_ord0")
             .write.option("maxRecordsPerFile", max_rows_per_file)
             .partitionBy("bucket")
             .mode("overwrite")
@@ -1557,6 +1588,8 @@ class LakeTable:
         new_files = self._scan_files(
             rel_out, stat_cols=(m["key"], *self._STAT_COLS)
         )
+        if zorder:
+            self._attach_key_hash_stats(new_files, rel_out, m["key"])
         nm = dict(m)
         nm.update(
             version=m["version"] + 1,
@@ -1565,13 +1598,103 @@ class LakeTable:
             files=new_files,
             summary={
                 "operation": "rewrite_clustered",
-                "cluster_by": by,
+                "cluster_by": by_label,
+                "zorder": zorder,
                 "files_after": len(new_files),
             },
             committed_at_unix=time.time(),
         )
         self._write_manifest(nm)
         return nm["summary"]
+
+    _Z_BITS = 16  # per-dimension resolution; 4 dims still fit a long
+
+    def _morton_code(self, df: DataFrame, cols: list[str]) -> F.Column:
+        """Morton (bit-interleaved) sort key over ``cols``. Each column
+        becomes a ``_Z_BITS``-bit code: strings via the top bits of
+        ``xxhash64`` (uniform regardless of skew — urls share long
+        prefixes, so Iceberg's first-8-bytes mapping would collapse),
+        timestamps/numerics via min-max linear scaling (bounds from one
+        tiny agg; nulls sort first). Pure Catalyst expressions —
+        constant-folded literals + bit ops inside whole-stage codegen."""
+        dtypes = dict(df.dtypes)
+        codes: list[F.Column] = []
+        numeric: list[str] = []
+        for c in cols:
+            if c not in dtypes:
+                raise ValueError(f"zorder column {c!r} not in table")
+            if dtypes[c] == "string":
+                codes.append(
+                    F.shiftrightunsigned(F.xxhash64(F.col(c)), 64 - self._Z_BITS)
+                )
+            else:
+                numeric.append(c)
+                codes.append(None)  # filled after bounds are known
+        if numeric:
+            aggs = []
+            for c in numeric:
+                v = (
+                    F.unix_micros(F.col(c))
+                    if dtypes[c].startswith("timestamp")
+                    else F.col(c).cast("long")
+                )
+                aggs += [F.min(v).alias(f"lo_{c}"), F.max(v).alias(f"hi_{c}")]
+            bounds = df.agg(*aggs).first()
+            top = (1 << self._Z_BITS) - 1
+            for i, c in enumerate(cols):
+                if codes[i] is not None:
+                    continue
+                lo = bounds[f"lo_{c}"] or 0
+                span = max((bounds[f"hi_{c}"] or 0) - lo, 1)
+                v = (
+                    F.unix_micros(F.col(c))
+                    if dtypes[c].startswith("timestamp")
+                    else F.col(c).cast("long")
+                )
+                codes[i] = F.coalesce(
+                    (
+                        (v - F.lit(lo)).cast("double") * F.lit(top) / F.lit(span)
+                    ).cast("long"),
+                    F.lit(0),
+                )
+        k = len(codes)
+        z: F.Column | None = None
+        for bit in range(self._Z_BITS - 1, -1, -1):
+            for j, code in enumerate(codes):
+                piece = F.shiftleft(
+                    F.shiftright(code, bit).bitwiseAND(F.lit(1)),
+                    bit * k + (k - 1 - j),
+                )
+                z = piece if z is None else z.bitwiseOR(piece)
+        return z
+
+    def _attach_key_hash_stats(
+        self, files: list[dict[str, Any]], rel_dir: str, key: str
+    ) -> None:
+        """Record per-file min/max of ``xxhash64(key)`` (reserved stats
+        name ``__key_hash__``) for just-written z-ordered files. Parquet
+        footers can't provide these (the hash is not a physical column),
+        so it's one column-pruned scan of files still hot in page cache;
+        O(files) rows reach the driver."""
+        rows = (
+            self.spark.read.parquet(os.path.join(self.path, rel_dir))
+            .select(
+                F.input_file_name().alias("f"),
+                F.xxhash64(F.col(key)).alias("h"),
+            )
+            .groupBy("f")
+            .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+            .collect()
+        )
+        by_rel = {}
+        for r in rows:
+            p = r["f"]
+            p = p[len("file:"):] if p.startswith("file:") else p
+            by_rel[os.path.relpath(p, self.path)] = [r["lo"], r["hi"]]
+        for f in files:
+            b = by_rel.get(f["path"])
+            if b is not None:
+                f.setdefault("stats", {})["__key_hash__"] = b
 
     def stats(self, read_footers: bool = False) -> dict[str, Any]:
         """Table health snapshot from METADATA only (no Spark job): size,
@@ -1831,11 +1954,15 @@ class LakeTable:
         key, n_buckets = m["key"], m["n_buckets"]
         schema = self._physical_schema(m)
         key_field = next(f for f in schema.fields if f.name == key)
-        b = int(
+        probe = (
             self.spark.createDataFrame([(value,)], T.StructType([key_field]))
-            .select(self._bucket(key, n_buckets).alias("b"))
-            .collect()[0]["b"]
+            .select(
+                self._bucket(key, n_buckets).alias("b"),
+                F.xxhash64(F.col(key)).alias("h"),
+            )
+            .collect()[0]
         )
+        b, hv = int(probe["b"]), int(probe["h"])
         public = [
             f.name
             for f in T.StructType.fromJson(m["schema"]).fields
@@ -1844,6 +1971,12 @@ class LakeTable:
         candidates = []
         for f in m["files"]:
             if f["bucket"] != b:
+                continue
+            # z-ordered files carry xxhash64(key) bounds — hash order is
+            # what they're sorted by, so these are the TIGHT ranges there
+            # (the lexicographic key min/max below is ~full-bucket)
+            hst = (f.get("stats") or {}).get("__key_hash__")
+            if hst is not None and not (hst[0] <= hv <= hst[1]):
                 continue
             mst = (f.get("stats") or {}).get(key)
             if mst is not None:

@@ -119,6 +119,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="row-level TTL cutoff (settled rows only)")
     mt.add_argument("--rewrite-clustered", default=None, metavar="COLUMN",
                     help="re-sort buckets by COLUMN and roll files")
+    mt.add_argument("--zorder", default=None, metavar="COL1,COL2[,..]",
+                    help="Morton-interleaved multi-column clustering "
+                    "(prunes on every listed dimension)")
     mt.add_argument("--rebucket", type=int, default=None, metavar="N",
                     help="rewrite into N hash buckets")
     mt.add_argument("--build-blooms", action="store_true",
@@ -183,6 +186,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.rewrite_clustered:
             did.append(table.rewrite_clustered(by=args.rewrite_clustered))
+        if args.zorder:
+            did.append(
+                table.rewrite_clustered(by=args.zorder.split(","), zorder=True)
+            )
         if args.rebucket is not None:
             did.append(table.rebucket(args.rebucket))
         if args.build_blooms:

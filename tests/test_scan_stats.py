@@ -246,3 +246,83 @@ def test_scan_fuzz_random_ranges(spark, tmpdir_path):
             assert got == want, (lo, hi)
     finally:
         full.unpersist()
+
+
+def test_zorder_rewrite_prunes_both_dimensions(spark, tmpdir_path):
+    """Z-order clustering: after a Morton rewrite over (url, warc_ts),
+    BOTH a narrow time-range scan and a point lookup prune files within
+    a bucket — vs plain time clustering, where lookups read the whole
+    bucket. State stays byte-identical and every read stays exact."""
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(
+        spark, binlog, n_events=20000, n_segments=2, n_urls=12000, seed=13
+    )
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "pages"), n_buckets=2)
+    pipe.replay_all(binlog)
+    table = pipe.table
+    before = table.read().orderBy("url").collect()
+
+    # z-order pruning power ~ sqrt(files/bucket): roll small files so each
+    # covers a small Morton rectangle of the key×time space
+    out = table.rewrite_clustered(
+        by=["url", "warc_ts"], zorder=True, max_rows_per_file=100
+    )
+    assert out["zorder"] and out["cluster_by"] == "url+warc_ts"
+    m = table.manifest()
+    n_files = len(m["files"])
+    assert out["files_after"] == n_files > 40
+    # every z-ordered file carries hash bounds
+    assert all("__key_hash__" in (f.get("stats") or {}) for f in m["files"])
+
+    # state identity
+    assert table.read().orderBy("url").collect() == before
+
+    # time dimension: a narrow tail range prunes within buckets and the
+    # scan stays exact
+    lo = TS("2024-01-01 05:10:00")  # last ~7% of the 5.5h event span
+    plan = table.scan_file_plan(lo, None)
+    assert plan["n_chosen"] < plan["n_candidates"]
+    got = table.scan(lo, None).orderBy("url").collect()
+    want = (
+        table.read().where(F.col("warc_ts") >= F.lit(lo)).orderBy("url").collect()
+    )
+    assert got == want
+
+    # key dimension: lookups open strictly fewer files than the bucket
+    # holds (plain time clustering reads them all), and stay correct
+    per_bucket = {}
+    for f in m["files"]:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    urls = [r["url"] for r in table.read().select("url").limit(8).collect()]
+    pruned_any = False
+    for u in urls:
+        df = table.lookup(u)
+        rows = df.collect()
+        assert [r["url"] for r in rows] == [u]
+        opened = len(df.inputFiles())
+        assert opened <= max(per_bucket.values())
+        if opened < min(per_bucket.values()):
+            pruned_any = True
+    assert pruned_any
+
+    # a later merge into the z-ordered table keeps working (new files
+    # simply lack hash bounds and are never hash-pruned)
+    extra = generate_changes(spark, 500, n_urls=5000, seed=99)
+    pipe.apply_batch(extra, batch_id=77)
+    u = extra.where(F.col("op") != "D").select("url").first()["url"]
+    assert (
+        table.lookup(u).count()
+        == table.read().where(F.col("url") == u).count()
+    )
+
+
+def test_zorder_rejects_bad_specs(spark, tmpdir_path):
+    table = _mk_cow(spark, tmpdir_path)
+    import pytest
+
+    with pytest.raises(ValueError):
+        table.rewrite_clustered(by=["warc_ts"], zorder=True)
+    with pytest.raises(ValueError):
+        table.rewrite_clustered(by=["url", "nope"], zorder=True)
+    with pytest.raises(ValueError):
+        table.rewrite_clustered(by=["a", "b", "c", "d", "e"], zorder=True)
