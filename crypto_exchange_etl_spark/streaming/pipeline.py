@@ -50,6 +50,7 @@ class CdcPipeline:
         canonicalize_keys: bool = False,
         audit=None,
         views=None,
+        metrics_dir: str | None = None,
     ):
         """``write_mode="mor"`` switches the lake table to merge-on-read:
         each micro-batch appends O(batch) delta files and the pipeline
@@ -85,7 +86,18 @@ class CdcPipeline:
         from the change feed before the next micro-batch starts. View
         refresh is idempotent with its own durable cursor, so a crash
         between table commit and view refresh self-heals on the next
-        refresh (the view just consumes a two-version range)."""
+        refresh (the view just consumes a two-version range).
+
+        ``metrics_dir`` lands one JSON document per applied micro-batch
+        (batch id, event/insert/update/delete/dedup counts, committed
+        version, wall seconds, events/sec) — the job's durable
+        observability feed, queryable with :func:`read_metrics`. One file
+        per batch id, written atomically, so a crash-replayed batch
+        overwrites its own entry instead of duplicating it; a batch
+        skipped by the exactly-once guard only writes an entry if none
+        exists (the original apply's record is never clobbered). The
+        reference's analogue is the Firestore doc count fields written
+        after each load (/root/reference/fintick/controllers/base.py:258-267)."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -95,6 +107,7 @@ class CdcPipeline:
         self.canonicalize_keys = canonicalize_keys
         self.audit = audit
         self.views = list(views or [])
+        self.metrics_dir = metrics_dir
 
     def ensure_table(self) -> LakeTable:
         return LakeTable.create(
@@ -126,6 +139,9 @@ class CdcPipeline:
         merge recomputes against the new current snapshot, and because
         LWW merges commute the retried batch converges to the same state
         it would have produced without the race."""
+        import time as _time
+
+        t_start = _time.time()
         table = self.ensure_table()
         if self.canonicalize_keys:
             from pyspark.sql import functions as F
@@ -175,7 +191,39 @@ class CdcPipeline:
         if not out.get("skipped"):
             for v in self.views:
                 v.refresh()
+        if self.metrics_dir is not None:
+            self._record_metrics(table, batch_id, out, _time.time() - t_start)
         return out
+
+    def _record_metrics(
+        self, table: LakeTable, batch_id: int, out: dict, wall_sec: float
+    ) -> None:
+        import json
+        import time as _time
+        import uuid as _uuid
+
+        os.makedirs(self.metrics_dir, exist_ok=True)
+        path = os.path.join(self.metrics_dir, f"batch-{batch_id:012d}.json")
+        if out.get("skipped") and os.path.exists(path):
+            return  # keep the original apply's record
+        doc = {
+            "batch_id": batch_id,
+            "skipped": bool(out.get("skipped")),
+            "version": table.current_version(),
+            "wall_sec": round(wall_sec, 4),
+            "recorded_at_unix": _time.time(),
+        }
+        if not out.get("skipped"):
+            for k in ("n_events", "n_insert", "n_update", "n_delete", "n_dedup"):
+                doc[k] = out.get(k)
+            doc["events_per_sec"] = (
+                round(out["n_events"] / wall_sec, 2) if wall_sec > 0 else None
+            )
+            doc["schema_changes"] = len(out.get("schema_changes") or [])
+        tmp = os.path.join(self.metrics_dir, f".tmp-{_uuid.uuid4()}.json")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, path)
 
     # ---------------------------------------------------------- streaming
 
@@ -284,3 +332,12 @@ class CdcPipeline:
         """Full-replay in a single batch (the oracle path for equivalence
         tests: stream-applied state must equal single-shot replay state)."""
         return self.apply_batch(read_binlog(self.spark, binlog_dir), batch_id=batch_id)
+
+
+def read_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
+    """The pipeline's per-batch metrics feed as a DataFrame (one row per
+    batch id — throughput trend, dedup ratio, schema-change audit). Reads
+    the JSON documents written by ``CdcPipeline(metrics_dir=...)``."""
+    return spark.read.option("multiLine", True).json(
+        os.path.join(metrics_dir, "batch-*.json")
+    )

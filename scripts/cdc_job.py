@@ -68,6 +68,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         action="store_true",
         help="canonicalize merge-key urls before every merge (table-birth choice)",
     )
+    p.add_argument(
+        "--metrics-dir",
+        default=None,
+        help="land one JSON metrics doc per applied micro-batch here "
+        "(durable observability feed; query with read_metrics)",
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -209,6 +215,7 @@ def main(argv: list[str] | None = None) -> int:
         write_mode=args.mode,
         canonicalize_keys=args.canonicalize,
         views=views,
+        metrics_dir=args.metrics_dir,
     )
     if args.cmd == "replay":
         summary = pipe.replay_all(args.binlog, batch_id=args.batch_id)

@@ -391,3 +391,46 @@ def test_bootstrap_deferred_enrich_matches_pre_exchange_placement(
     assert da.count() == db.count() > 0
     assert da.select(*cols).exceptAll(db.select(*cols)).count() == 0
     assert db.select(*cols).exceptAll(da.select(*cols)).count() == 0
+
+
+def test_metrics_feed_records_batches_and_survives_skip(spark, tmpdir_path):
+    """Per-batch metrics feed: one JSON doc per applied batch with counts
+    and throughput; an exactly-once-skipped re-apply must NOT clobber the
+    original record (reference analogue: the Firestore doc counts written
+    after each load, /root/reference/fintick/controllers/base.py:258-267)."""
+    import json
+
+    from crypto_exchange_etl_spark.streaming.pipeline import read_metrics
+
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=2000, n_segments=2, n_urls=200)
+    mdir = os.path.join(tmpdir_path, "metrics")
+    pipe = CdcPipeline(
+        spark, os.path.join(tmpdir_path, "t"), n_buckets=4, metrics_dir=mdir
+    )
+    segs = sorted(
+        os.path.join(binlog, f) for f in os.listdir(binlog) if f.startswith("seg=")
+    )
+    for i, seg in enumerate(segs):
+        pipe.apply_batch(read_binlog(spark, seg), batch_id=i)
+
+    files = sorted(f for f in os.listdir(mdir) if f.startswith("batch-"))
+    assert len(files) == len(segs)
+    with open(os.path.join(mdir, files[0])) as fh:
+        doc0 = json.load(fh)
+    assert doc0["batch_id"] == 0 and not doc0["skipped"]
+    assert doc0["n_events"] > 0 and doc0["events_per_sec"] > 0
+    orig_recorded_at = doc0["recorded_at_unix"]
+
+    # exactly-once skip: re-apply batch 0 — record must be preserved
+    out = pipe.apply_batch(read_binlog(spark, segs[0]), batch_id=0)
+    assert out.get("skipped")
+    with open(os.path.join(mdir, files[0])) as fh:
+        doc0b = json.load(fh)
+    assert doc0b["recorded_at_unix"] == orig_recorded_at and not doc0b["skipped"]
+
+    # DataFrame view over the feed
+    m = read_metrics(spark, mdir)
+    rows = {r.batch_id: r for r in m.collect()}
+    assert set(rows) == set(range(len(segs)))
+    assert sum(r.n_events for r in rows.values()) == 2000

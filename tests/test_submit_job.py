@@ -145,13 +145,22 @@ def test_cli_tail_with_view(spark, tmpdir_path, capsys):
     write_binlog_segments(spark, binlog, n_events=2000, n_segments=2, n_urls=150)
     table_path = os.path.join(tmpdir_path, "pages")
     view_path = os.path.join(tmpdir_path, "by_lang")
+    metrics_dir = os.path.join(tmpdir_path, "metrics")
     rc = cdc_job.main(
         ["tail", "--binlog", binlog, "--table", table_path,
          "--checkpoint", os.path.join(tmpdir_path, "ck"), "--buckets", "4",
-         "--view", f"{view_path}:lang", "--timeout-secs", "300"]
+         "--view", f"{view_path}:lang", "--metrics-dir", metrics_dir,
+         "--timeout-secs", "300"]
     )
     assert rc == 0
     capsys.readouterr()
+
+    # --metrics-dir landed one doc per applied micro-batch
+    mfiles = sorted(f for f in os.listdir(metrics_dir) if f.startswith("batch-"))
+    assert len(mfiles) > 0
+    with open(os.path.join(metrics_dir, mfiles[0])) as fh:
+        mdoc = json.load(fh)
+    assert mdoc["n_events"] > 0 and mdoc["version"] >= 1
 
     from crypto_exchange_etl_spark.lake.matview import MaterializedAggregate
     from crypto_exchange_etl_spark.lake.table import LakeTable as LT
