@@ -199,9 +199,17 @@ class LakeTable:
         return max(versions) if versions else None
 
     def manifest(self, version: int | str | None = None) -> dict[str, Any]:
-        # a str version is a STAGED token (write-audit-publish): the
-        # snapshot exists on disk but is not part of the committed chain
+        # a str version is a REF NAME (tag/branch — Iceberg named refs) or
+        # a STAGED token (write-audit-publish). Refs resolve first: a tag
+        # points at a committed version, a branch at its head snapshot
+        # (last staged token, or its base version when freshly created).
         if isinstance(version, str):
+            ref = self._load_ref(version, missing_ok=True)
+            if ref is not None:
+                if ref["type"] == "tag":
+                    return self.manifest(ref["version"])
+                head = ref["tokens"][-1] if ref["tokens"] else ref["base_version"]
+                return self.manifest(head)
             p = os.path.join(self.meta_dir, f"staged-{version}.json")
             if not os.path.exists(p):
                 raise FileNotFoundError(f"no staged snapshot {version!r} at {self.path}")
@@ -418,7 +426,12 @@ class LakeTable:
     # --------------------------------------------------------------- MERGE
 
     def merge_apply(
-        self, changes: DataFrame, batch_id: int, enrich=None, publish: bool = True
+        self,
+        changes: DataFrame,
+        batch_id: int,
+        enrich=None,
+        publish: bool = True,
+        branch: str | None = None,
     ) -> dict[str, Any]:
         """Apply one micro-batch of change events as a key-partitioned MERGE.
 
@@ -438,8 +451,24 @@ class LakeTable:
         ``enrich`` must be a pure per-row transform (a projection adding
         derived columns) — purity is what makes post-compaction placement
         equivalent to pre-compaction and the output replay-stable.
+
+        ``branch`` merges against that branch's HEAD snapshot instead of
+        the committed table and lands the result as the branch's next
+        staged snapshot (never touching main) — Iceberg branch writes,
+        generalizing write-audit-publish from one staged snapshot to a
+        chain. The exactly-once guard is per-branch (the head manifest's
+        ``applied_batches``); :meth:`fast_forward` later publishes the
+        whole chain onto main atomically-per-snapshot. Single writer per
+        branch is assumed (same discipline as the table itself).
         """
-        m = self.manifest()
+        base_ref: int | str | None = None
+        if branch is not None:
+            ref = self._load_ref(branch)
+            if ref["type"] != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            base_ref = ref["tokens"][-1] if ref["tokens"] else ref["base_version"]
+            publish = False
+        m = self.manifest(base_ref)
         if batch_id in set(m["applied_batches"]):
             return {"skipped": True, "batch_id": batch_id}
 
@@ -521,7 +550,7 @@ class LakeTable:
             }
         else:
             cur_live = (
-                self.read_physical(buckets=affected)
+                self.read_physical(buckets=affected, version=base_ref)
                 .where(~F.col("is_deleted"))
                 .select(key)
             )
@@ -625,7 +654,8 @@ class LakeTable:
             keep = list(m["files"])  # nothing superseded by an append
         else:
             current = conform(
-                self.read_physical(buckets=affected, fold=False), phys_plus
+                self.read_physical(buckets=affected, fold=False, version=base_ref),
+                phys_plus,
             )
             # -- 5+6 (copy-on-write): single bucket-aligned MERGE shuffle +
             # write. The union of (current bucket rows ∪ batch winners) is
@@ -737,6 +767,12 @@ class LakeTable:
                 json.dump(new_manifest, fh)
             os.replace(tmp, os.path.join(self.meta_dir, f"staged-{snap}.json"))
             new_manifest["summary"]["staged_token"] = snap
+            if branch is not None:
+                ref = self._load_ref(branch)
+                ref["tokens"].append(snap)
+                ref["updated_at_unix"] = time.time()
+                self._write_ref(ref)
+                new_manifest["summary"]["branch"] = branch
         if os.environ.get("SPARK_CDC_TIMING"):
             new_manifest["summary"]["timing"] = _timing
         return new_manifest["summary"]
@@ -789,6 +825,160 @@ class LakeTable:
             except FileNotFoundError:
                 pass
         os.unlink(os.path.join(self.meta_dir, f"staged-{token}.json"))
+
+    # ------------------------------------------------------- refs (tags/branches)
+    #
+    # Iceberg-style named refs over the snapshot chain. A TAG is an
+    # immutable pointer to a committed version ("the snapshot the eval set
+    # was built from") — expire_snapshots keeps tagged versions readable
+    # until the tag is dropped. A BRANCH is a mutable head over a chain of
+    # STAGED snapshots rooted at a committed base version: merge_apply(
+    # branch=...) advances it without touching main, fast_forward()
+    # publishes the chain onto main (the WAP machinery generalized from
+    # one staged snapshot to many). The reference has no snapshot model at
+    # all (BigQuery WRITE_TRUNCATE clobbers in place,
+    # /root/reference/fintick/bqloader/base.py:79-112) — refs are part of
+    # what the lake format adds over it.
+
+    _REF_NAME = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}")
+
+    def _ref_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, f"ref-{name}.json")
+
+    def _load_ref(self, name: str, missing_ok: bool = False) -> dict[str, Any] | None:
+        try:
+            with open(self._ref_path(name)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            if missing_ok:
+                return None
+            raise FileNotFoundError(f"no ref {name!r} at {self.path}") from None
+
+    def _write_ref(self, ref: dict[str, Any], exclusive: bool = False) -> None:
+        """Atomic ref write; ``exclusive`` uses the same create-exclusive
+        ``os.link`` CAS as version commits, so two concurrent creators of
+        the same ref name cannot silently clobber each other. Branch
+        ADVANCES use plain replace — single writer per branch is the
+        documented discipline (same as the table's own single-streaming-
+        writer assumption)."""
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4()}.json")
+        with open(tmp, "w") as fh:
+            json.dump(ref, fh)
+        final = self._ref_path(ref["name"])
+        if exclusive:
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                raise FileExistsError(
+                    f"ref {ref['name']!r} already exists at {self.path}"
+                ) from None
+            finally:
+                os.unlink(tmp)
+        else:
+            os.replace(tmp, final)
+
+    def _check_ref_name(self, name: str) -> None:
+        if not self._REF_NAME.fullmatch(name):
+            raise ValueError(
+                f"invalid ref name {name!r} (want [A-Za-z0-9][A-Za-z0-9._-]*, ≤64 chars)"
+            )
+
+    def refs(self) -> dict[str, dict[str, Any]]:
+        """All named refs: ``{name: {"type": "tag"|"branch", ...}}``."""
+        out: dict[str, dict[str, Any]] = {}
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("ref-") and f.endswith(".json"):
+                with open(os.path.join(self.meta_dir, f)) as fh:
+                    ref = json.load(fh)
+                out[ref["name"]] = ref
+        return out
+
+    def create_tag(
+        self, name: str, version: int | None = None, message: str | None = None
+    ) -> dict[str, Any]:
+        """Pin a committed snapshot under an immutable name. ``read(name)``
+        / ``lookup(..., version=name)`` / ``rollback(name)`` resolve it;
+        :meth:`expire_snapshots` retains the tagged version (manifest AND
+        data files) until :meth:`drop_ref`."""
+        self._check_ref_name(name)
+        v = self.current_version() if version is None else int(version)
+        self.manifest(v)  # raises if the target snapshot does not exist
+        ref = {
+            "name": name,
+            "type": "tag",
+            "version": v,
+            "message": message,
+            "created_at_unix": time.time(),
+        }
+        self._write_ref(ref, exclusive=True)
+        return ref
+
+    def create_branch(self, name: str, from_version: int | None = None) -> dict[str, Any]:
+        """Open a mutable branch rooted at a committed version (default:
+        current). Writes land via ``merge_apply(..., branch=name)``."""
+        self._check_ref_name(name)
+        v = self.current_version() if from_version is None else int(from_version)
+        self.manifest(v)
+        ref = {
+            "name": name,
+            "type": "branch",
+            "base_version": v,
+            "tokens": [],
+            "created_at_unix": time.time(),
+            "updated_at_unix": time.time(),
+        }
+        self._write_ref(ref, exclusive=True)
+        return ref
+
+    def drop_ref(self, name: str) -> None:
+        """Delete a ref. Dropping a branch discards its staged snapshot
+        chain (data + ledger + staged manifests) — main was never touched,
+        so this is the branch-scoped ``discard_staged``. Dropping a tag
+        releases the version for :meth:`expire_snapshots` but deletes
+        nothing itself."""
+        ref = self._load_ref(name)
+        if ref["type"] == "branch":
+            for tok in reversed(ref["tokens"]):
+                try:
+                    self.discard_staged(tok)
+                except FileNotFoundError:  # already published/discarded
+                    pass
+        os.unlink(self._ref_path(name))
+
+    def fast_forward(self, name: str) -> dict[str, Any]:
+        """Publish a branch's staged chain onto main, oldest first, then
+        drop the ref (Iceberg ``fast_forward`` analogue). Requires main to
+        still be at the branch's base version — if any other commit
+        advanced main, the first publish raises
+        :class:`CommitConflictError` (the branch's rewrites are stale) and
+        the branch is left intact for the caller to rebase or drop.
+        Each snapshot in the chain publishes with the same CAS as any
+        commit, so a crash mid-forward leaves a prefix published and the
+        ref pointing at the unpublished suffix — re-running fast_forward
+        resumes exactly where it stopped."""
+        ref = self._load_ref(name)
+        if ref["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag, not a branch")
+        published = []
+        while ref["tokens"]:
+            tok = ref["tokens"][0]
+            try:
+                summary = self.publish(tok)  # CommitConflictError if main moved
+            except FileNotFoundError:
+                # crash between a previous publish and the ref advance:
+                # the token is already on main — just advance the ref
+                summary = {"already_published": True}
+            published.append({"token": tok, "summary": summary})
+            ref["tokens"] = ref["tokens"][1:]
+            ref["base_version"] = self.current_version()
+            self._write_ref(ref)
+        os.unlink(self._ref_path(name))
+        return {
+            "operation": "fast_forward",
+            "branch": name,
+            "published": published,
+            "head_version": self.current_version(),
+        }
 
     def _write_ledger_file(self, rows: list[dict[str, Any]], rel_path: str) -> None:
         """Driver-side pyarrow write of the per-batch ledger parquet
@@ -1375,6 +1565,13 @@ class LakeTable:
         if cur is None:
             return 0
         keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        # named refs pin snapshots: a tag's version stays readable until
+        # the tag is dropped; a branch's base version stays so its staged
+        # chain can still publish/diff against it
+        for ref in self.refs().values():
+            pinned = ref["version"] if ref["type"] == "tag" else ref["base_version"]
+            if pinned <= cur:  # never resurrect a number above the head
+                keep_versions.add(pinned)
         referenced: set[str] = set()
         # staged (write-audit-publish) snapshots are live pending commits:
         # their files must survive expiry even though no version references
@@ -1771,7 +1968,7 @@ class LakeTable:
             )
         return out
 
-    def rollback(self, version: int) -> dict[str, Any]:
+    def rollback(self, version: int | str) -> dict[str, Any]:
         """Restore the table to an older snapshot as a NEW commit (Iceberg
         ``rollback_to_snapshot`` analogue). Nothing is rewritten: the new
         manifest points back at the target version's file list, schema,
@@ -1783,6 +1980,10 @@ class LakeTable:
         linear: the rollback commit's parent is the current version, so
         time travel across the rollback still works until
         :meth:`expire_snapshots` prunes it."""
+        if isinstance(version, str):  # tag name → pinned version number
+            ref = self._load_ref(version, missing_ok=True)
+            if ref is not None and ref["type"] == "tag":
+                version = ref["version"]
         target = self.manifest(version)  # raises if expired
         cur = self.manifest()
         nm = dict(target)

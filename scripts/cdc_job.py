@@ -137,6 +137,17 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="OLDER_THAN_SECS",
                     help="delete unreferenced data/ledger files older than "
                     "this many seconds (staged WAP snapshots always kept)")
+    mt.add_argument("--create-tag", default=None, metavar="NAME[:VERSION]",
+                    help="pin a snapshot under an immutable name "
+                    "(default: current version); tagged snapshots survive "
+                    "--expire-snapshots until the tag is dropped")
+    mt.add_argument("--drop-ref", default=None, metavar="NAME",
+                    help="drop a tag (releases its snapshot for expiry) or "
+                    "a branch (discards its staged chain)")
+    mt.add_argument("--fast-forward", default=None, metavar="BRANCH",
+                    help="publish a branch's staged snapshot chain onto main")
+    mt.add_argument("--list-refs", action="store_true",
+                    help="print all named refs (tags and branches)")
 
     ins = sub.add_parser("inspect", help="print table history and health stats")
     ins.add_argument("--table", required=True)
@@ -203,6 +214,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.remove_orphans is not None:
             did.append({"operation": "remove_orphans",
                         **table.remove_orphans(args.remove_orphans)})
+        if args.create_tag:
+            name, _, ver = args.create_tag.partition(":")
+            did.append(table.create_tag(name, int(ver) if ver else None))
+        if args.drop_ref:
+            table.drop_ref(args.drop_ref)
+            did.append({"operation": "drop_ref", "name": args.drop_ref})
+        if args.fast_forward:
+            did.append(table.fast_forward(args.fast_forward))
+        if args.list_refs:
+            did.append({"operation": "refs", "refs": table.refs()})
         for d in did:
             print(_json.dumps(d))
         if not did:
