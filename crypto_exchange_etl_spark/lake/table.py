@@ -276,10 +276,18 @@ class LakeTable:
         buckets: list[int] | None = None,
         version: int | str | None = None,
         fold: bool = True,
+        files: list[dict[str, Any]] | None = None,
     ) -> DataFrame:
         """Read physical rows (incl. tombstones + lineage cols), pruning
         data files to the requested buckets via the manifest — the
         Iceberg-style partition pruning this format exists to provide.
+
+        ``buckets`` are CURRENT-spec bucket ids; files written under an
+        older spec are included whenever their own bucket class could
+        intersect (exact for multiple/divisor spec pairs, conservative
+        otherwise — see :meth:`evolve_bucket_spec`). ``files`` bypasses
+        bucket pruning with an explicit manifest-entry list (internal
+        callers that already computed an exact per-spec prune).
 
         In merge-on-read mode, ``fold=True`` (default) applies the LWW
         rule across base+delta rows so callers see one row per key — the
@@ -288,10 +296,15 @@ class LakeTable:
         snapshot with no delta files folds for free (no-op branch).
         ``fold=False`` exposes raw versions (compaction internals)."""
         m = self.manifest(version)
-        files = m["files"]
-        if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
+        if files is None:
+            files = m["files"]
+            if buckets is not None:
+                bset = set(buckets)
+                cur_nb = self._specs(m)[self._current_spec(m)]
+                files = [
+                    f for f in files
+                    if self._file_overlaps_buckets(m, f, cur_nb, bset)
+                ]
         schema = self._physical_schema(m)
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -355,11 +368,24 @@ class LakeTable:
             return (st[0], st[1]) if st else (None, None)
 
         files = m["files"]
-        mor_buckets = {f["bucket"] for f in files if f.get("delta")}
+        specs = self._specs(m)
+        deltas = [(specs[self._file_spec(f)], f["bucket"]) for f in files
+                  if f.get("delta")]
+
+        def _mor_affected(f: dict[str, Any]) -> bool:
+            # spec-aware: a base file folds with any delta whose bucket
+            # class could share keys with it (conservative across
+            # incompatible specs — fold safety beats pruning)
+            nb_f = specs[self._file_spec(f)]
+            return any(
+                self._buckets_intersect(nb_f, f["bucket"], nb_d, b_d)
+                for nb_d, b_d in deltas
+            )
+
         chosen = []
         for f in files:
             fmin, fmax = bounds(f)
-            if f["bucket"] in mor_buckets:
+            if deltas and _mor_affected(f):
                 if lo is not None and fmax is not None and fmax < lo:
                     continue
             else:
@@ -518,12 +544,40 @@ class LakeTable:
             .collect()
         )
         n_events = sum(int(r["n_events"]) for r in part_rows)
-        affected = sorted(
-            int(r["b"])
-            for r in ka.select(self._bucket(key, n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        )
+        # Affected buckets under EVERY live spec (exact cross-spec file
+        # pruning: the batch's keys are hashed under each spec a live
+        # file was written with, so a key's old-spec file is always
+        # found and never guessed at). Single-spec tables — the common
+        # case — keep the original one-column distinct.
+        specs = self._specs(m)
+        cur_spec = self._current_spec(m)
+        live_specs = sorted({self._file_spec(f) for f in m["files"]} | {cur_spec})
+        if len(live_specs) == 1:
+            s0 = live_specs[0]
+            affected_rows = [
+                (s0, int(r["b"]))
+                for r in ka.select(self._bucket(key, specs[s0]).alias("b"))
+                .distinct()
+                .collect()
+            ]
+        else:
+            sb = F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        self._bucket(key, specs[s]).alias("b"),
+                    )
+                    for s in live_specs
+                ])
+            ).alias("sb")
+            affected_rows = [
+                (int(r["s"]), int(r["b"]))
+                for r in ka.select(sb).select("sb.s", "sb.b").distinct().collect()
+            ]
+        affected_map: dict[int, set[int]] = {}
+        for s, b in affected_rows:
+            affected_map.setdefault(s, set()).add(b)
+        affected = sorted(affected_map.get(cur_spec, set()))
         _mark("narrow_aggs")
 
         # Upsert metrics come from the same narrow world: winners joined
@@ -533,8 +587,11 @@ class LakeTable:
         # construction, so every non-delete winner is an insert. Measured
         # ~1.0 s of a 10.5 s 20M-event replay.
         wk = lww_unpack(ka, key=key)
-        affected_set = set(affected)
-        bootstrap = not any(f["bucket"] in affected_set for f in m["files"])
+        touched_files = [
+            f for f in m["files"]
+            if f["bucket"] in affected_map.get(self._file_spec(f), ())
+        ]
+        bootstrap = not touched_files
         is_del = F.col("op") == "D"
         if bootstrap:
             winners_only = wk.agg(
@@ -550,7 +607,7 @@ class LakeTable:
             }
         else:
             cur_live = (
-                self.read_physical(buckets=affected, version=base_ref)
+                self.read_physical(files=touched_files, version=base_ref)
                 .where(~F.col("is_deleted"))
                 .select(key)
             )
@@ -654,7 +711,7 @@ class LakeTable:
             keep = list(m["files"])  # nothing superseded by an append
         else:
             current = conform(
-                self.read_physical(buckets=affected, fold=False, version=base_ref),
+                self.read_physical(files=touched_files, fold=False, version=base_ref),
                 phys_plus,
             )
             # -- 5+6 (copy-on-write): single bucket-aligned MERGE shuffle +
@@ -682,14 +739,16 @@ class LakeTable:
                 merged = enrich(merged)
             merged = merged.select(*phys_cols, "bucket")
             rel_out = f"data/snap-{snap}"
-            keep = [f for f in m["files"] if f["bucket"] not in affected_set]
+            touched_paths = {f["path"] for f in touched_files}
+            keep = [f for f in m["files"] if f["path"] not in touched_paths]
 
         out_dir = os.path.join(self.path, rel_out)
         merged.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         _mark("merge_write")
         ka.unpersist()
         new_files = self._scan_files(
-            rel_out, delta=(mode == "mor"), stat_cols=(key, *self._STAT_COLS)
+            rel_out, delta=(mode == "mor"), stat_cols=(key, *self._STAT_COLS),
+            spec=cur_spec,
         )
         _mark("scan_files")
 
@@ -730,6 +789,10 @@ class LakeTable:
             "write_mode": mode,
             "schema": json.loads(new_schema.json()),
             "files": keep + new_files,
+            **(
+                {"bucket_specs": m["bucket_specs"], "current_spec": cur_spec}
+                if m.get("bucket_specs") else {}
+            ),
             "ledger_files": m["ledger_files"] + [rel_ledger],
             "applied_batches": m["applied_batches"] + [batch_id],
             "watermarks": wm,
@@ -1009,6 +1072,63 @@ class LakeTable:
     def _bucket(self, key: str, n_buckets: int) -> F.Column:
         return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
+    # ---------------------------------------------- partition specs
+    #
+    # Lazy bucket-layout evolution (Iceberg partition evolution analogue):
+    # the manifest carries an append-only ``bucket_specs`` map
+    # {spec_id: n_buckets} plus ``current_spec``; every data file records
+    # the spec it was written under (absent = spec 0). Writes always use
+    # the current spec; old files migrate lazily — a CoW merge rewrites
+    # every file it touches under the current spec, and a full rewrite op
+    # (compact_files / rebucket / rewrite_clustered) finishes the
+    # migration in one pass. ``n_buckets`` in the manifest is kept equal
+    # to the CURRENT spec's count so all write paths stay unchanged.
+
+    @staticmethod
+    def _file_spec(f: dict[str, Any]) -> int:
+        return int(f.get("spec", 0))
+
+    @staticmethod
+    def _specs(m: dict[str, Any]) -> dict[int, int]:
+        raw = m.get("bucket_specs")
+        if raw is None:
+            return {0: int(m["n_buckets"])}
+        return {int(k): int(v) for k, v in raw.items()}
+
+    @staticmethod
+    def _current_spec(m: dict[str, Any]) -> int:
+        return int(m.get("current_spec", 0))
+
+    @staticmethod
+    def _buckets_intersect(nb_a: int, b_a: int, nb_b: int, b_b: int) -> bool:
+        """Could bucket ``b_a`` (of an ``nb_a``-bucket spec) and bucket
+        ``b_b`` (of ``nb_b``) share any key? Exact when one count divides
+        the other (``pmod(h, q·n) % n == pmod(h, n)``), conservatively
+        True for incompatible counts — pruning may only ever skip
+        provably-disjoint files."""
+        if nb_a == nb_b:
+            return b_a == b_b
+        if nb_b % nb_a == 0:  # a coarser: b's bucket refines a's
+            return b_b % nb_a == b_a
+        if nb_a % nb_b == 0:  # a finer
+            return b_a % nb_b == b_b
+        return True
+
+    def _file_overlaps_buckets(
+        self,
+        m: dict[str, Any],
+        f: dict[str, Any],
+        target_nb: int,
+        target_buckets: set[int],
+    ) -> bool:
+        """Does file ``f`` (under its own spec) possibly hold keys of any
+        of ``target_buckets`` under a ``target_nb``-bucket spec?"""
+        nb_f = self._specs(m)[self._file_spec(f)]
+        return any(
+            self._buckets_intersect(nb_f, f["bucket"], target_nb, b)
+            for b in target_buckets
+        )
+
     #: columns whose min/max land in every manifest file entry (Iceberg
     #: column-stats analogue): the merge key (point-lookup pruning), the
     #: event-time column (time-range scan + retention pruning), and lsn
@@ -1033,6 +1153,7 @@ class LakeTable:
         rel_dir: str,
         delta: bool = False,
         stat_cols: tuple[str, ...] | None = None,
+        spec: int = 0,
     ) -> list[dict[str, Any]]:
         """Inventory just-written data files. With ``stat_cols`` the
         parquet footers (hot in page cache — written moments ago) are read
@@ -1061,6 +1182,8 @@ class LakeTable:
                 entry = {"path": rel, "bucket": bucket, "bytes": os.path.getsize(full)}
                 if delta:
                     entry["delta"] = True
+                if spec:
+                    entry["spec"] = spec
                 if stat_cols:
                     md = pq.ParquetFile(full).metadata
                     idx = {
@@ -1121,11 +1244,14 @@ class LakeTable:
         gc_wm = self._applied_lsn_watermark(m)
         return df.where(~(F.col("is_deleted") & (F.col("lsn") <= F.lit(gc_wm))))
 
-    def delta_file_counts(self) -> dict[int, int]:
-        counts: dict[int, int] = {}
+    def delta_file_counts(self) -> dict[tuple[int, int], int]:
+        """Outstanding delta files per (spec_id, bucket) group — the
+        merge-on-read read-amplification gauge minor compaction drains."""
+        counts: dict[tuple[int, int], int] = {}
         for f in self.manifest()["files"]:
             if f.get("delta"):
-                counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+                k = (self._file_spec(f), f["bucket"])
+                counts[k] = counts.get(k, 0) + 1
         return counts
 
     def minor_compact(
@@ -1144,39 +1270,81 @@ class LakeTable:
         across buckets. ``gc_tombstones=True`` (maintenance contexts only
         — see :meth:`_gc_tombstones` for the delivery-order precondition)
         additionally drops tombstones at/below the applied-LSN
-        watermark."""
+        watermark.
+
+        Spec evolution: delta groups are (spec, bucket); folding a group
+        must see EVERY version of every key it holds, so the input set is
+        the transitive INTERSECTION CLOSURE of the selected groups over
+        bucket classes (a coarser old-spec file pulls in the rest of its
+        class). The whole closure rewrites under the CURRENT spec —
+        minor compaction doubles as lazy migration, same as merges."""
         m = self.manifest()
+        specs = self._specs(m)
+        cur_spec = self._current_spec(m)
+        counts = self.delta_file_counts()
         if buckets is None:
-            buckets = [
-                b for b, c in self.delta_file_counts().items() if c >= max_deltas
-            ]
-        if not buckets:
+            groups = {k for k, c in counts.items() if c >= max_deltas}
+        else:
+            # explicit buckets are CURRENT-spec ids: select delta groups
+            # whose key space intersects any of them
+            bset = set(buckets)
+            groups = {
+                k for k in counts
+                if any(
+                    self._buckets_intersect(specs[k[0]], k[1], specs[cur_spec], b)
+                    for b in bset
+                )
+            }
+        if not groups:
             return {"operation": "minor_compact", "buckets": []}
-        bset = set(buckets)
-        df = self.read_physical(buckets=buckets, fold=True)
+        # intersection closure over ALL files (base + delta): fold safety
+        # requires that for every key in the input, every file that could
+        # hold a version of it is also in the input — otherwise the
+        # folded winner would coexist with an unfolded older version
+        sel: set[tuple[int, int]] = set(groups)
+        grew = True
+        while grew:
+            grew = False
+            for f in m["files"]:
+                kf = (self._file_spec(f), f["bucket"])
+                if kf in sel:
+                    continue
+                if any(
+                    self._buckets_intersect(specs[kf[0]], kf[1], specs[s], b)
+                    for s, b in sel
+                ):
+                    sel.add(kf)
+                    grew = True
+        in_files = [
+            f for f in m["files"] if (self._file_spec(f), f["bucket"]) in sel
+        ]
+        df = self.read_physical(files=in_files, fold=True)
         if gc_tombstones:
             df = self._gc_tombstones(df, m)
         snap = str(uuid.uuid4())[:8]
         rel_out = f"data/minor-{snap}"
         (
             df.withColumn("bucket", self._bucket(m["key"], m["n_buckets"]))
-            .repartition(len(buckets), F.col("bucket"))
+            .repartition(min(m["n_buckets"], max(1, len(sel))), F.col("bucket"))
             .sortWithinPartitions(m["key"])
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(os.path.join(self.path, rel_out))
         )
         new_files = self._scan_files(
-            rel_out, stat_cols=(m["key"], *self._STAT_COLS)
+            rel_out, stat_cols=(m["key"], *self._STAT_COLS), spec=cur_spec
         )
-        keep = [f for f in m["files"] if f["bucket"] not in bset]
+        in_paths = {f["path"] for f in in_files}
+        keep = [f for f in m["files"] if f["path"] not in in_paths]
         nm = dict(m)
         nm.update(
             version=m["version"] + 1,
             snapshot_id=str(uuid.uuid4()),
             parent_version=m["version"],
             files=keep + new_files,
-            summary={"operation": "minor_compact", "buckets": sorted(bset),
+            summary={"operation": "minor_compact",
+                     "buckets": sorted(b for _s, b in sel),
+                     "groups": sorted([s, b] for s, b in sel),
                      "files_folded": len(m["files"]) - len(keep),
                      "files_after": len(new_files)},
             committed_at_unix=time.time(),
@@ -1214,7 +1382,8 @@ class LakeTable:
             .parquet(os.path.join(self.path, rel_out))
         )
         new_files = self._scan_files(
-            rel_out, stat_cols=(m["key"], *self._STAT_COLS)
+            rel_out, stat_cols=(m["key"], *self._STAT_COLS),
+            spec=self._current_spec(m),
         )
         nm = dict(m)
         nm.update(
@@ -1512,7 +1681,8 @@ class LakeTable:
             )
             new_files.extend(
                 self._scan_files(
-                    rel_out, delta=flag, stat_cols=(m["key"], *self._STAT_COLS)
+                    rel_out, delta=flag, stat_cols=(m["key"], *self._STAT_COLS),
+                    spec=self._current_spec(m),
                 )
             )
 
@@ -1664,6 +1834,62 @@ class LakeTable:
             "paths": sorted(removed),
         }
 
+    def evolve_bucket_spec(self, n_buckets: int) -> dict[str, Any]:
+        """LAZY bucket-layout evolution — a METADATA-ONLY commit (Iceberg
+        partition evolution analogue; contrast :meth:`rebucket`, the eager
+        O(table) rewrite). Appends a new spec ``{spec_id: n_buckets}`` and
+        makes it current; no data file is read, written, or dropped.
+
+        From the next merge on:
+
+        - new files are written under the new spec;
+        - file pruning stays EXACT: a merge hashes its batch keys under
+          every spec still present in the file list, so an old-spec file
+          is touched iff it can hold a batch key — and a touched file is
+          rewritten entirely under the CURRENT spec, migrating lazily at
+          zero extra cost (the rewrite was happening anyway);
+        - point lookups hash the probe key under each file's own spec;
+        - read-side bucket pruning and MoR fold-grouping use bucket-class
+          intersection — exact when the new count is a multiple or
+          divisor of the old (``pmod(h, q·n) % n == pmod(h, n)``),
+          conservative (no pruning between those two specs) otherwise.
+          Prefer doubling/halving chains at scale.
+
+        ``compact_files`` / ``rewrite_clustered`` / ``rebucket`` finish
+        the migration in one pass when wanted. At 100 TB this op is the
+        difference between growing the merge-stage width in O(1) and
+        scheduling a 100 TB rewrite before the table can scale out.
+
+        Reference analogue: none — the reference recreates tables by hand
+        (/root/reference/fintick/bqloader/base.py:60-77)."""
+        m = self.manifest()
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        specs = self._specs(m)
+        cur = self._current_spec(m)
+        if n_buckets == specs[cur]:
+            return {"operation": "evolve_bucket_spec", "n_buckets": n_buckets,
+                    "skipped": True}
+        new_id = max(specs) + 1
+        specs[new_id] = n_buckets
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            n_buckets=n_buckets,
+            bucket_specs={str(k): v for k, v in specs.items()},
+            current_spec=new_id,
+            summary={"operation": "evolve_bucket_spec",
+                     "spec_id": new_id,
+                     "n_buckets_before": specs[cur],
+                     "n_buckets": n_buckets,
+                     "live_files_on_old_specs": len(m["files"])},
+            committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm["summary"]
+
     def rebucket(self, n_buckets: int) -> dict[str, Any]:
         """Bucket-layout evolution: rewrite the table into ``n_buckets``
         hash buckets. The bucket count is the table's parallelism knob
@@ -1696,8 +1922,21 @@ class LakeTable:
             .mode("overwrite")
             .parquet(os.path.join(self.path, rel_out))
         )
+        # spec bookkeeping: on an evolved table the eager rewrite lands
+        # everything on one fresh spec (the chain stays append-only); a
+        # never-evolved table keeps the implicit spec-0 model
+        spec_extra: dict[str, Any] = {}
+        new_spec = 0
+        if m.get("bucket_specs"):
+            specs = self._specs(m)
+            new_spec = max(specs) + 1
+            specs[new_spec] = n_buckets
+            spec_extra = {
+                "bucket_specs": {str(k): v for k, v in specs.items()},
+                "current_spec": new_spec,
+            }
         new_files = self._scan_files(
-            rel_out, stat_cols=(m["key"], *self._STAT_COLS)
+            rel_out, stat_cols=(m["key"], *self._STAT_COLS), spec=new_spec
         )
         nm = dict(m)
         nm.update(
@@ -1706,6 +1945,7 @@ class LakeTable:
             parent_version=m["version"],
             n_buckets=n_buckets,
             files=new_files,
+            **spec_extra,
             summary={"operation": "rebucket",
                      "n_buckets_before": m["n_buckets"],
                      "n_buckets": n_buckets,
@@ -1783,7 +2023,8 @@ class LakeTable:
             .parquet(os.path.join(self.path, rel_out))
         )
         new_files = self._scan_files(
-            rel_out, stat_cols=(m["key"], *self._STAT_COLS)
+            rel_out, stat_cols=(m["key"], *self._STAT_COLS),
+            spec=self._current_spec(m),
         )
         if zorder:
             self._attach_key_hash_stats(new_files, rel_out, m["key"])
@@ -1902,10 +2143,17 @@ class LakeTable:
         ``read_footers=True`` additionally sums parquet-footer row counts
         (driver-side, O(files) footer opens, still no data read)."""
         m = self.manifest()
-        per_bucket: dict[int, dict[str, int]] = {}
+        multi_spec = len(self._specs(m)) > 1
+        per_bucket: dict[Any, dict[str, int]] = {}
         for f in m["files"]:
+            # post-evolution, bucket ids alias across specs — key by
+            # "spec:bucket" then so the skew signal stays per-class
+            bk = (
+                f"{self._file_spec(f)}:{f['bucket']}" if multi_spec
+                else f["bucket"]
+            )
             b = per_bucket.setdefault(
-                f["bucket"], {"files": 0, "bytes": 0, "delta_files": 0}
+                bk, {"files": 0, "bytes": 0, "delta_files": 0}
             )
             b["files"] += 1
             b["bytes"] += f["bytes"]
@@ -1917,6 +2165,11 @@ class LakeTable:
             "version": m["version"],
             "write_mode": m.get("write_mode", "cow"),
             "n_buckets": m["n_buckets"],
+            **(
+                {"bucket_specs": {str(k): v for k, v in self._specs(m).items()},
+                 "current_spec": self._current_spec(m)}
+                if multi_spec else {}
+            ),
             "buckets_with_data": len(per_bucket),
             "total_files": len(m["files"]),
             "total_bytes": sum(sizes),
@@ -2046,21 +2299,42 @@ class LakeTable:
             ]
             old_paths = {f["path"] for f in m_old["files"]}
             new_paths = {f["path"] for f in m_new["files"]}
-            changed = sorted(
-                {f["bucket"] for f in m_old["files"] if f["path"] not in new_paths}
-                | {f["bucket"] for f in m_new["files"] if f["path"] not in old_paths}
+            specs_old, specs_new = self._specs(m_old), self._specs(m_new)
+            # changed bucket CLASSES as (spec_n_buckets, bucket) pairs —
+            # spec evolution makes bare bucket ids ambiguous across files
+            changed = (
+                {(specs_old[self._file_spec(f)], f["bucket"])
+                 for f in m_old["files"] if f["path"] not in new_paths}
+                | {(specs_new[self._file_spec(f)], f["bucket"])
+                   for f in m_new["files"] if f["path"] not in old_paths}
             )
             if not changed:  # metadata-only commit (e.g. rollback no-op)
                 continue
+
+            def _touched(mm: dict[str, Any], sp: dict[int, int]):
+                # include every file whose class could share keys with a
+                # changed class; symmetric inclusion on both sides keeps
+                # extra unchanged keys out of the diff (equal lsn ⇒ no row)
+                return [
+                    f for f in mm["files"]
+                    if any(
+                        self._buckets_intersect(
+                            sp[self._file_spec(f)], f["bucket"], nb, b
+                        )
+                        for nb, b in changed
+                    )
+                ]
+
             key = m_new["key"]
             phys = self._physical_schema(m_new)
             # old side conformed to the NEW physical schema: added columns
             # read as null, widened types promoted — the diff is expressed
             # in the newer schema, like Iceberg CDF after evolution.
             o = conform(
-                self.read_physical(buckets=changed, version=v - 1), phys
+                self.read_physical(files=_touched(m_old, specs_old), version=v - 1),
+                phys,
             )
-            n = self.read_physical(buckets=changed, version=v)
+            n = self.read_physical(files=_touched(m_new, specs_new), version=v)
             o_side = o.select(
                 F.col(key).alias("_k"),
                 F.col("lsn").alias("_olsn"),
@@ -2152,18 +2426,19 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         m = self.manifest(version)
-        key, n_buckets = m["key"], m["n_buckets"]
+        key = m["key"]
         schema = self._physical_schema(m)
         key_field = next(f for f in schema.fields if f.name == key)
         probe = (
             self.spark.createDataFrame([(value,)], T.StructType([key_field]))
-            .select(
-                self._bucket(key, n_buckets).alias("b"),
-                F.xxhash64(F.col(key)).alias("h"),
-            )
+            .select(F.xxhash64(F.col(key)).alias("h"))
             .collect()[0]
         )
-        b, hv = int(probe["b"]), int(probe["h"])
+        hv = int(probe["h"])
+        # per-spec bucket of the probe key (python floored % == pmod for
+        # positive modulus): pruning stays EXACT across spec evolution —
+        # each file is matched against the key's bucket under ITS OWN spec
+        b_for = {sid: hv % nb for sid, nb in self._specs(m).items()}
         public = [
             f.name
             for f in T.StructType.fromJson(m["schema"]).fields
@@ -2171,7 +2446,7 @@ class LakeTable:
         ]
         candidates = []
         for f in m["files"]:
-            if f["bucket"] != b:
+            if f["bucket"] != b_for[self._file_spec(f)]:
                 continue
             # z-ordered files carry xxhash64(key) bounds — hash order is
             # what they're sorted by, so these are the TIGHT ranges there

@@ -137,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="OLDER_THAN_SECS",
                     help="delete unreferenced data/ledger files older than "
                     "this many seconds (staged WAP snapshots always kept)")
+    mt.add_argument("--evolve-buckets", type=int, default=None, metavar="N",
+                    help="lazy partition-spec evolution: future writes use "
+                    "N buckets, existing files migrate as merges touch them "
+                    "(metadata-only commit; contrast --rebucket's full "
+                    "rewrite)")
     mt.add_argument("--create-tag", default=None, metavar="NAME[:VERSION]",
                     help="pin a snapshot under an immutable name "
                     "(default: current version); tagged snapshots survive "
@@ -209,6 +214,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.rebucket is not None:
             did.append(table.rebucket(args.rebucket))
+        if args.evolve_buckets is not None:
+            did.append(table.evolve_bucket_spec(args.evolve_buckets))
         if args.build_blooms:
             did.append(table.build_blooms())
         if args.remove_orphans is not None:
