@@ -198,6 +198,35 @@ class LakeTable:
         ]
         return max(versions) if versions else None
 
+    def version_as_of(self, ts: "_dt.datetime | float") -> int:
+        """Latest RETAINED version committed at or before ``ts`` (Iceberg
+        ``timestamp_ms`` time travel analogue). ``ts`` is a datetime
+        (naive = UTC, matching the manifest's unix commit stamps) or a
+        unix-seconds float. O(retained versions) JSON reads, no Spark
+        job. Raises if the table's earliest retained commit is younger
+        than ``ts`` — ``expire_snapshots`` bounds how far back this sees,
+        exactly like Iceberg."""
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            cutoff = ts.timestamp()
+        else:
+            cutoff = float(ts)
+        best = None
+        for h in self.history():
+            at = h.get("committed_at_unix")
+            if at is not None and at <= cutoff:
+                best = h["version"]  # history is oldest→newest
+        if best is None:
+            raise FileNotFoundError(
+                f"no snapshot at or before {cutoff} is retained at {self.path}"
+            )
+        return best
+
+    def read_as_of(self, ts: "_dt.datetime | float") -> DataFrame:
+        """Timestamp time travel: :meth:`read` at :meth:`version_as_of`."""
+        return self.read(version=self.version_as_of(ts))
+
     def manifest(self, version: int | str | None = None) -> dict[str, Any]:
         # a str version is a REF NAME (tag/branch — Iceberg named refs) or
         # a STAGED token (write-audit-publish). Refs resolve first: a tag

@@ -393,3 +393,49 @@ def test_remove_orphans(spark, tmpdir_path):
         assert sorted(_live_state(table, v).items()) == want
     table.publish(out["staged_token"])
     assert table.manifest()["summary"]["operation"] == "merge"
+
+
+def test_version_as_of_timestamp_travel(spark, tmpdir_path):
+    """Timestamp time travel resolves the latest commit at-or-before ts,
+    in every accepted form (float, naive-UTC datetime, aware datetime),
+    respects snapshot expiry, and read_as_of equals read(version)."""
+    table = _build(spark, os.path.join(tmpdir_path, "pages"), n_batches=3)
+    hist = table.history()
+    assert len(hist) >= 3
+    # at / just-before every commit stamp: latest version whose stamp <= ts
+    def expect(cutoff):
+        vs = [h["version"] for h in hist if h["committed_at_unix"] <= cutoff]
+        return max(vs) if vs else None
+
+    for h in hist:
+        for cutoff in (h["committed_at_unix"], h["committed_at_unix"] - 1e-4):
+            want_v = expect(cutoff)
+            if want_v is None:
+                continue
+            assert table.version_as_of(cutoff) == want_v
+    # far future -> current; datetime forms agree with the float form
+    last = hist[-1]
+    assert table.version_as_of(last["committed_at_unix"] + 10) == last["version"]
+    ts = dt.datetime.fromtimestamp(last["committed_at_unix"] + 1, tz=UTC)
+    assert table.version_as_of(ts) == last["version"]
+    naive = ts.astimezone(UTC).replace(tzinfo=None)
+    assert table.version_as_of(naive) == last["version"]
+
+    # read_as_of ≡ read(version) at an intermediate commit
+    mid = hist[1]
+    want = sorted(
+        table.read(version=mid["version"]).select("url", "text").collect()
+    )
+    got = sorted(
+        table.read_as_of(mid["committed_at_unix"]).select("url", "text").collect()
+    )
+    assert got == want
+
+    # before the first retained commit -> error; expiry narrows the window
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        table.version_as_of(hist[0]["committed_at_unix"] - 5)
+    table.expire_snapshots(keep_last=1)
+    with _pytest.raises(FileNotFoundError):
+        table.version_as_of(hist[0]["committed_at_unix"])
