@@ -56,6 +56,16 @@ from .schema_evolution import conform, resolve_schema
 
 _INTERNAL_COLS = [f.name for f in PAGES_INTERNAL_FIELDS]  # lsn, is_deleted
 
+#: resolved file lists per committed (table_path, version) — version files
+#: are immutable once CAS-committed, so this never invalidates; bounded LRU.
+_FILES_CACHE: "dict[tuple[str, int], list[dict[str, Any]]]" = {}
+_FILES_CACHE_MAX = 64
+
+#: a delta chain longer than this is checkpointed with a full file list —
+#: bounds manifest-resolution depth the same way Iceberg's manifest lists
+#: bound metadata reads.
+_DELTA_CHECKPOINT_DEPTH = 32
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed this manifest version first (optimistic
@@ -243,12 +253,83 @@ class LakeTable:
             if not os.path.exists(p):
                 raise FileNotFoundError(f"no staged snapshot {version!r} at {self.path}")
             with open(p) as fh:
-                return json.load(fh)
+                return self._resolve_files(json.load(fh))
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no lake table at {self.path}")
         with open(os.path.join(self.meta_dir, _fmt_version(v))) as fh:
-            return json.load(fh)
+            return self._resolve_files(json.load(fh))
+
+    def _resolve_files(self, m: dict[str, Any]) -> dict[str, Any]:
+        """Materialize ``m["files"]`` from an incremental (delta) manifest.
+
+        Commits whose file-set change is small relative to the table store
+        only ``files_delta = {base, added, removed, depth}`` — per-commit
+        metadata is then O(touched files), not O(table files) (the
+        Iceberg manifest-list property; at 10^5 files and hourly commits
+        this is KBs per commit instead of tens of MBs). Resolution walks
+        the base chain (bounded by ``_DELTA_CHECKPOINT_DEPTH``) through a
+        process-wide cache of immutable committed versions."""
+        if "files" in m:
+            return m
+        d = m["files_delta"]
+        # key carries the base version file's identity (mtime_ns, size) so
+        # a table recreated at the same path, or a manifest materialized
+        # in place by expire_snapshots, never hits a stale entry
+        st = os.stat(os.path.join(self.meta_dir, _fmt_version(int(d["base"]))))
+        ck = (self.path, int(d["base"]), st.st_mtime_ns, st.st_size)
+        base = _FILES_CACHE.get(ck)
+        if base is None:
+            base = self.manifest(d["base"])["files"]
+            if len(_FILES_CACHE) >= _FILES_CACHE_MAX:
+                _FILES_CACHE.pop(next(iter(_FILES_CACHE)))
+            _FILES_CACHE[ck] = base
+        removed = set(d["removed"])
+        m["files"] = [f for f in base if f["path"] not in removed] + d["added"]
+        return m
+
+    def _deltify(self, nm: dict[str, Any]) -> dict[str, Any]:
+        """Choose the on-disk representation for a commit's file list:
+        an incremental delta against the parent when that is smaller,
+        else (create, big rewrites, every ``_DELTA_CHECKPOINT_DEPTH``-th
+        link) the full list. Returns a write-copy; ``nm`` keeps its
+        resolved ``files`` for the caller."""
+        pv = nm.get("parent_version")
+        if pv is None or "files" not in nm:
+            w = dict(nm)
+            w.pop("files_delta", None)  # stale key from a dict(m) writer
+            return w
+        try:
+            pm = self.manifest(pv)
+        except FileNotFoundError:
+            w = dict(nm)
+            w.pop("files_delta", None)
+            return w
+        depth = int((pm.get("files_delta") or {}).get("depth", 0)) + 1
+        if depth >= _DELTA_CHECKPOINT_DEPTH:
+            w = dict(nm)
+            w.pop("files_delta", None)
+            return w
+        base_by_path = {f["path"]: f for f in pm["files"]}
+        new_files = nm["files"]
+        new_paths = {f["path"] for f in new_files}
+        added = [f for f in new_files if base_by_path.get(f["path"]) != f]
+        removed = [p for p in base_by_path if p not in new_paths] + [
+            f["path"] for f in added if f["path"] in base_by_path
+        ]
+        if len(added) + len(removed) >= max(1, len(new_files)):
+            w = dict(nm)
+            w.pop("files_delta", None)
+            return w
+        w = dict(nm)
+        w.pop("files")
+        w["files_delta"] = {
+            "base": pv,
+            "added": added,
+            "removed": removed,
+            "depth": depth,
+        }
+        return w
 
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
         """Atomic commit point with optimistic-concurrency CAS: the
@@ -258,7 +339,7 @@ class LakeTable:
         silent last-writer-clobber a plain ``rename`` would allow."""
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4()}.json")
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(self._deltify(manifest), fh)
         final = os.path.join(self.meta_dir, _fmt_version(manifest["version"]))
         try:
             os.link(tmp, final)  # atomic; fails iff version already exists
@@ -300,6 +381,106 @@ class LakeTable:
         extra = [f for f in PAGES_INTERNAL_FIELDS if f.name not in names]
         return T.StructType(list(base.fields) + extra)
 
+    # ---------------------------------------- field-id schema evolution
+
+    def _ensure_field_ids(self, m: dict[str, Any]) -> None:
+        """Materialize field-id tracking on a manifest (in place).
+
+        Lazy materialization is safe: before the first rename/drop every
+        data file was written under the CURRENT names, so one epoch-0
+        mapping of the current schema covers all existing files (column
+        *adds* are name-stable — a file older than an added column simply
+        lacks the physical column and reads as null, epoch or not).
+        """
+        if "field_ids" in m:
+            return
+        names = [f["name"] for f in m["schema"]["fields"]]
+        m["field_ids"] = {n: i + 1 for i, n in enumerate(names)}
+        m["next_field_id"] = len(names) + 1
+        m["schema_epochs"] = [{str(i + 1): n for i, n in enumerate(names)}]
+
+    def _current_epoch(self, m: dict[str, Any]) -> int:
+        eps = m.get("schema_epochs")
+        return len(eps) - 1 if eps else 0
+
+    @staticmethod
+    def _file_epoch(f: dict[str, Any]) -> int:
+        return int(f.get("epoch", 0))
+
+    def _name_at_epoch(self, m: dict[str, Any], f: dict[str, Any], col: str) -> str | None:
+        """Physical column name of CURRENT column ``col`` inside file
+        ``f``, resolved by field id through the file's write-time schema
+        epoch; ``None`` if the column did not exist then. Untracked
+        columns (internal lineage, ``__key_hash__``) are name-stable."""
+        eps = m.get("schema_epochs")
+        if not eps:
+            return col
+        fid = (m.get("field_ids") or {}).get(col)
+        if fid is None:
+            return col
+        e = min(self._file_epoch(f), len(eps) - 1)
+        return eps[e].get(str(fid))
+
+    def _file_stat(self, m: dict[str, Any], f: dict[str, Any], col: str):
+        """Manifest min/max stats for current column ``col`` in file
+        ``f`` — stats were captured under the file's write-time names, so
+        look them up via the field-id epoch mapping."""
+        name = self._name_at_epoch(m, f, col)
+        return (f.get("stats") or {}).get(name) if name is not None else None
+
+    def _read_raw(self, m: dict[str, Any], files: list[dict[str, Any]]) -> DataFrame:
+        """Physical read of manifest file entries → DataFrame with CURRENT
+        column names, resolving renamed/dropped/re-added columns by FIELD
+        ID per file epoch (the Iceberg name-mapping read path; reference
+        analogue: static schema splicing between table generations,
+        /root/reference/fintick/bqloader/schema.py:23-47).
+
+        Single-epoch snapshots — the overwhelmingly common case — take the
+        direct one-scan path: the plan is identical to a plain schema'd
+        parquet read (no projection node, no union). Multi-epoch
+        snapshots read one column-pruned scan PER DISTINCT EPOCH (a
+        handful at most — epochs are DDL events, not writes) and union;
+        filter/column pushdown passes through the per-epoch alias
+        projections, so at 100 TB the cost over a plain read is one extra
+        scan-node per rename/drop generation, not a data rewrite."""
+        schema = self._physical_schema(m)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        eps = m.get("schema_epochs")
+        cur = self._current_epoch(m)
+        groups: dict[int, list[dict[str, Any]]] = {}
+        for f in files:
+            groups.setdefault(min(self._file_epoch(f), cur), []).append(f)
+        if eps is None or set(groups) == {cur}:
+            paths = [os.path.join(self.path, f["path"]) for f in files]
+            # explicit schema => old files read with added-cols-as-null and
+            # widened numeric types (schema evolution without history rewrite)
+            return self.spark.read.schema(schema).parquet(*paths)
+        fids = m["field_ids"]
+        parts = []
+        for e, grp in sorted(groups.items()):
+            emap = eps[e]  # str(field id) -> name at that epoch
+            read_fields: list[T.StructField] = []
+            sel = []
+            for fld in schema.fields:
+                fid = fids.get(fld.name)
+                old = emap.get(str(fid)) if fid is not None else fld.name
+                if old is None:  # column added after this epoch
+                    sel.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+                else:
+                    read_fields.append(T.StructField(old, fld.dataType, True))
+                    sel.append(F.col(old).alias(fld.name))
+            paths = [os.path.join(self.path, f["path"]) for f in grp]
+            parts.append(
+                self.spark.read.schema(T.StructType(read_fields))
+                .parquet(*paths)
+                .select(*sel)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     def read_physical(
         self,
         buckets: list[int] | None = None,
@@ -334,13 +515,7 @@ class LakeTable:
                     f for f in files
                     if self._file_overlaps_buckets(m, f, cur_nb, bset)
                 ]
-        schema = self._physical_schema(m)
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f["path"]) for f in files]
-        # explicit schema => old files read with added-cols-as-null and
-        # widened numeric types (schema evolution without history rewrite)
-        df = self.spark.read.schema(schema).parquet(*paths)
+        df = self._read_raw(m, files)
         if fold and any(f.get("delta") for f in files):
             df = lww_compact(df, key=m["key"], order_cols=ORDER_COLS)
         return df
@@ -393,7 +568,7 @@ class LakeTable:
         hi = self._to_micros(ts_to) if ts_to is not None else None
 
         def bounds(f: dict[str, Any]):
-            st = (f.get("stats") or {}).get(ts_col)
+            st = self._file_stat(m, f, ts_col)
             return (st[0], st[1]) if st else (None, None)
 
         files = m["files"]
@@ -455,9 +630,7 @@ class LakeTable:
             return self.spark.createDataFrame(
                 [], T.StructType([f for f in schema.fields if f.name in set(public)])
             ).select(*public)
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.path, f["path"]) for f in plan["files"]]
-        )
+        df = self._read_raw(m, plan["files"])
         if any(f.get("delta") for f in plan["files"]):
             df = lww_compact(df, key=m["key"], order_cols=ORDER_COLS)
         pred = ~F.col("is_deleted")
@@ -709,6 +882,30 @@ class LakeTable:
         res = resolve_schema(table_schema, payload)
         new_schema = res.schema
 
+        # field-id bookkeeping (present once rename/drop has ever run on
+        # this table): added columns get fresh ids and open a new schema
+        # epoch, so files written before the add are never confused with
+        # a later re-add of the same name after a drop. Renames/drops
+        # themselves are DDL-only (rename_column / drop_column).
+        fid_state: dict[str, Any] = {}
+        new_epoch = 0
+        if m.get("field_ids"):
+            fids = dict(m["field_ids"])
+            nxt = int(m["next_field_id"])
+            eps = [dict(e) for e in m["schema_epochs"]]
+            added = [c.column for c in res.changes if c.kind == "add"]
+            if added:
+                for c in added:
+                    fids[c] = nxt
+                    nxt += 1
+                eps.append({str(i): n for n, i in fids.items()})
+            fid_state = {
+                "field_ids": fids,
+                "next_field_id": nxt,
+                "schema_epochs": eps,
+            }
+            new_epoch = len(eps) - 1
+
         phys_schema = T.StructType(
             [f for f in new_schema.fields if f.name not in _INTERNAL_COLS]
         )
@@ -777,7 +974,7 @@ class LakeTable:
         ka.unpersist()
         new_files = self._scan_files(
             rel_out, delta=(mode == "mor"), stat_cols=(key, *self._STAT_COLS),
-            spec=cur_spec,
+            spec=cur_spec, epoch=new_epoch,
         )
         _mark("scan_files")
 
@@ -817,6 +1014,7 @@ class LakeTable:
             "n_buckets": n_buckets,
             "write_mode": mode,
             "schema": json.loads(new_schema.json()),
+            **fid_state,
             "files": keep + new_files,
             **(
                 {"bucket_specs": m["bucket_specs"], "current_spec": cur_spec}
@@ -1183,6 +1381,7 @@ class LakeTable:
         delta: bool = False,
         stat_cols: tuple[str, ...] | None = None,
         spec: int = 0,
+        epoch: int = 0,
     ) -> list[dict[str, Any]]:
         """Inventory just-written data files. With ``stat_cols`` the
         parquet footers (hot in page cache — written moments ago) are read
@@ -1213,6 +1412,8 @@ class LakeTable:
                     entry["delta"] = True
                 if spec:
                     entry["spec"] = spec
+                if epoch:
+                    entry["epoch"] = epoch
                 if stat_cols:
                     md = pq.ParquetFile(full).metadata
                     idx = {
@@ -1361,7 +1562,8 @@ class LakeTable:
             .parquet(os.path.join(self.path, rel_out))
         )
         new_files = self._scan_files(
-            rel_out, stat_cols=(m["key"], *self._STAT_COLS), spec=cur_spec
+            rel_out, stat_cols=(m["key"], *self._STAT_COLS), spec=cur_spec,
+            epoch=self._current_epoch(m),
         )
         in_paths = {f["path"] for f in in_files}
         keep = [f for f in m["files"] if f["path"] not in in_paths]
@@ -1412,7 +1614,7 @@ class LakeTable:
         )
         new_files = self._scan_files(
             rel_out, stat_cols=(m["key"], *self._STAT_COLS),
-            spec=self._current_spec(m),
+            spec=self._current_spec(m), epoch=self._current_epoch(m),
         )
         nm = dict(m)
         nm.update(
@@ -1486,8 +1688,6 @@ class LakeTable:
         key, bpk, k = m["key"], int(bits_per_key), int(n_hashes)
         if not m["files"]:
             return {"operation": "build_blooms", "files": 0}
-        schema = self._physical_schema(m)
-        paths = [os.path.join(self.path, f["path"]) for f in m["files"]]
         table_root = self.path
 
         def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1511,10 +1711,8 @@ class LakeTable:
                 {"path": [rel], "n_bits": [n_bits], "bloom": [bits.tobytes()]}
             )
 
-        hashed = (
-            self.spark.read.schema(schema)
-            .parquet(*paths)
-            .select(F.input_file_name().alias("_file"), *self._bloom_hashes(key))
+        hashed = self._read_raw(m, m["files"]).select(
+            F.input_file_name().alias("_file"), *self._bloom_hashes(key)
         )
         rel_out = f"blooms/bloom-{str(uuid.uuid4())[:8]}"
         (
@@ -1644,16 +1842,24 @@ class LakeTable:
             """(ts_min, ts_max, lsn_max, n_rows) — manifest stats when the
             entry carries them (zero I/O), else one footer open."""
             mst = f.get("stats") or {}
-            if ts_col in mst and "rows" in f:
-                ts_lo = epoch + _dt.timedelta(microseconds=mst[ts_col][0])
-                ts_hi = epoch + _dt.timedelta(microseconds=mst[ts_col][1])
+            ts_stat = self._file_stat(m, f, ts_col)
+            if ts_stat is not None and "rows" in f:
+                ts_lo = epoch + _dt.timedelta(microseconds=ts_stat[0])
+                ts_hi = epoch + _dt.timedelta(microseconds=ts_stat[1])
                 lmax = mst["lsn"][1] if "lsn" in mst else None
                 return ts_lo, ts_hi, lmax, f["rows"]
+            phys_ts = self._name_at_epoch(m, f, ts_col)
             md = pq.ParquetFile(os.path.join(self.path, f["path"])).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if phys_ts is None or phys_ts not in idx:
+                # column physically absent from this file (added after it
+                # was written, or dropped-and-readded) — reads as all
+                # nulls, which never satisfy ts < cutoff: report bounds at
+                # the cutoff so the caller KEEPS the file untouched
+                return cutoff, cutoff, None, md.num_rows
             mins, maxs, lsn_max = [], [], []
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[ts_col]).statistics
+                st = md.row_group(rg).column(idx[phys_ts]).statistics
                 if st is None or not st.has_min_max:
                     return None, None, None, md.num_rows
                 mins.append(_naive(st.min)); maxs.append(_naive(st.max))
@@ -1687,14 +1893,11 @@ class LakeTable:
         new_files: list[dict[str, Any]] = []
         rewritten_expired = 0
         snap = str(uuid.uuid4())[:8]
-        schema = self._physical_schema(m)
         for flag in (False, True):  # base files, then delta files
             group = [f for f in rewrite if bool(f.get("delta")) == flag]
             if not group:
                 continue
-            src = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, f["path"]) for f in group]
-            )
+            src = self._read_raw(m, group)
             rewritten_expired += src.where(expired_pred).count()
             rel_out = f"data/expire-{snap}-{'delta' if flag else 'base'}"
             (
@@ -1711,7 +1914,7 @@ class LakeTable:
             new_files.extend(
                 self._scan_files(
                     rel_out, delta=flag, stat_cols=(m["key"], *self._STAT_COLS),
-                    spec=self._current_spec(m),
+                    spec=self._current_spec(m), epoch=self._current_epoch(m),
                 )
             )
 
@@ -1780,6 +1983,23 @@ class LakeTable:
             referenced |= {f["path"] for f in mv["files"]}
             referenced |= set(mv["ledger_files"])
         removed = 0
+        # materialize any SURVIVING incremental manifest whose delta base
+        # is being expired — its chain link would dangle. Ascending order
+        # makes one pass transitive (a kept base was already fixed).
+        for v in sorted(keep_versions):
+            p = os.path.join(self.meta_dir, _fmt_version(v))
+            if not os.path.exists(p):
+                continue
+            with open(p) as fh:
+                raw = json.load(fh)
+            if "files" in raw or raw["files_delta"]["base"] in keep_versions:
+                continue
+            raw["files"] = self.manifest(v)["files"]  # chain still intact
+            raw.pop("files_delta", None)
+            tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4()}.json")
+            with open(tmp, "w") as fh:
+                json.dump(raw, fh)
+            os.replace(tmp, p)  # content-equivalent rewrite, still atomic
         # drop old manifests
         for f in list(os.listdir(self.meta_dir)):
             if f.startswith("v") and f.endswith(".json") and int(f[1:-5]) not in keep_versions:
@@ -1862,6 +2082,107 @@ class LakeTable:
             "skipped_recent": skipped,
             "paths": sorted(removed),
         }
+
+    # ------------------------------------------------- column DDL (field ids)
+
+    def _structural_cols(self, m: dict[str, Any]) -> set[str]:
+        """Columns the engine's merge/fold/lineage machinery addresses by
+        name: the merge key, the LWW order columns, internal lineage.
+        Rename/drop is refused for these — the Iceberg rule that columns
+        referenced by the partition spec or sort order cannot be dropped
+        until the spec is evolved away from them."""
+        return {m["key"], *ORDER_COLS, *_INTERNAL_COLS}
+
+    def rename_column(self, old: str, new: str) -> dict[str, Any]:
+        """Metadata-only column rename (Iceberg ``renameColumn``).
+
+        No data file is touched: files written under the old name are
+        resolved by FIELD ID at read time (:meth:`_read_raw` groups files
+        by write-time schema epoch and aliases per group), so the rename
+        is O(1) regardless of table size — at 100 TB this is one JSON
+        commit, not a rewrite. Incoming merge batches bind by CURRENT
+        name (Iceberg write semantics): after the rename a batch still
+        carrying the old name evolves a NEW column of that name with a
+        fresh field id, and old files' values do not leak into it.
+        """
+        m = self.manifest()
+        self._ensure_field_ids(m)
+        sch = T.StructType.fromJson(m["schema"])
+        names = {f.name for f in sch.fields}
+        if old not in names:
+            raise ValueError(f"no column {old!r} to rename (have {sorted(names)})")
+        if new in names or new in _INTERNAL_COLS:
+            raise ValueError(f"column {new!r} already exists")
+        if old in self._structural_cols(m):
+            raise ValueError(
+                f"column {old!r} is structural (merge key / LWW order / "
+                "lineage) and cannot be renamed"
+            )
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in sch.fields
+        ]
+        fids = dict(m["field_ids"])
+        fids[new] = fids.pop(old)
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            schema=json.loads(T.StructType(fields).json()),
+            field_ids=fids,
+            schema_epochs=list(m["schema_epochs"])
+            + [{str(i): n for n, i in fids.items()}],
+            summary={
+                "operation": "rename_column",
+                "from": old,
+                "to": new,
+                "field_id": fids[new],
+            },
+            committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm["summary"]
+
+    def drop_column(self, name: str) -> dict[str, Any]:
+        """Metadata-only column drop (Iceberg ``deleteColumn``): the
+        column disappears from the current schema; data files keep the
+        physical bytes (older snapshots still time-travel to it) and the
+        read path simply never projects it. Re-adding the same name later
+        (explicitly or via merge-batch schema evolution) creates a NEW
+        field id, so pre-drop values never resurrect — the classic
+        field-id correctness property this machinery exists for."""
+        m = self.manifest()
+        self._ensure_field_ids(m)
+        sch = T.StructType.fromJson(m["schema"])
+        if name not in {f.name for f in sch.fields}:
+            raise ValueError(f"no column {name!r} to drop")
+        if name in self._structural_cols(m):
+            raise ValueError(
+                f"column {name!r} is structural (merge key / LWW order / "
+                "lineage) and cannot be dropped"
+            )
+        fields = [f for f in sch.fields if f.name != name]
+        fids = dict(m["field_ids"])
+        dropped_id = fids.pop(name)
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            schema=json.loads(T.StructType(fields).json()),
+            field_ids=fids,
+            schema_epochs=list(m["schema_epochs"])
+            + [{str(i): n for n, i in fids.items()}],
+            summary={
+                "operation": "drop_column",
+                "column": name,
+                "field_id": dropped_id,
+            },
+            committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm["summary"]
 
     def evolve_bucket_spec(self, n_buckets: int) -> dict[str, Any]:
         """LAZY bucket-layout evolution — a METADATA-ONLY commit (Iceberg
@@ -1965,7 +2286,8 @@ class LakeTable:
                 "current_spec": new_spec,
             }
         new_files = self._scan_files(
-            rel_out, stat_cols=(m["key"], *self._STAT_COLS), spec=new_spec
+            rel_out, stat_cols=(m["key"], *self._STAT_COLS), spec=new_spec,
+            epoch=self._current_epoch(m),
         )
         nm = dict(m)
         nm.update(
@@ -2053,7 +2375,7 @@ class LakeTable:
         )
         new_files = self._scan_files(
             rel_out, stat_cols=(m["key"], *self._STAT_COLS),
-            spec=self._current_spec(m),
+            spec=self._current_spec(m), epoch=self._current_epoch(m),
         )
         if zorder:
             self._attach_key_hash_stats(new_files, rel_out, m["key"])
@@ -2359,10 +2681,20 @@ class LakeTable:
             # old side conformed to the NEW physical schema: added columns
             # read as null, widened types promoted — the diff is expressed
             # in the newer schema, like Iceberg CDF after evolution.
-            o = conform(
-                self.read_physical(files=_touched(m_old, specs_old), version=v - 1),
-                phys,
-            )
+            o = self.read_physical(files=_touched(m_old, specs_old), version=v - 1)
+            if m_old.get("field_ids") and m_new.get("field_ids"):
+                # conform binds by name; across a rename boundary map the
+                # old side's names to the new side's BY FIELD ID first so
+                # the renamed column diffs against itself, not a null.
+                old_by_id = {fid: n for n, fid in m_old["field_ids"].items()}
+                ren = {
+                    old_by_id[fid]: n
+                    for n, fid in m_new["field_ids"].items()
+                    if fid in old_by_id and old_by_id[fid] != n
+                }
+                if ren:
+                    o = o.withColumnsRenamed(ren)
+            o = conform(o, phys)
             n = self.read_physical(files=_touched(m_new, specs_new), version=v)
             o_side = o.select(
                 F.col(key).alias("_k"),
@@ -2509,10 +2841,6 @@ class LakeTable:
             return self.spark.createDataFrame(
                 [], T.StructType([f for f in schema.fields if f.name in set(public)])
             ).select(*public)
-        df = (
-            self.spark.read.schema(schema)
-            .parquet(*[os.path.join(self.path, f["path"]) for f in candidates])
-            .where(F.col(key) == F.lit(value))
-        )
+        df = self._read_raw(m, candidates).where(F.col(key) == F.lit(value))
         df = lww_compact(df, key=key, order_cols=ORDER_COLS)
         return df.where(~F.col("is_deleted")).select(*public)

@@ -1,0 +1,215 @@
+"""Field-id schema evolution: rename/drop columns as metadata-only DDL.
+
+Iceberg-style: every column carries a FIELD ID; data files record the
+schema epoch they were written under, and the read path resolves physical
+names per epoch by id (``LakeTable._read_raw``). Reference analogue: the
+static schema-family splicing between table generations
+(/root/reference/fintick/bqloader/schema.py:23-47) — here made dynamic
+with ids so renames/drops never rewrite history and re-added names never
+resurrect dropped values.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from crypto_exchange_etl_spark.model import CHANGES_SCHEMA
+from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline
+
+UTC = dt.timezone.utc
+TS = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+
+def _batch(spark, rows, extra_fields=()):
+    schema = T.StructType(list(CHANGES_SCHEMA.fields) + list(extra_fields))
+    return spark.createDataFrame(rows, schema)
+
+
+def _seed(spark, path, write_mode="cow", n=3):
+    pipe = CdcPipeline(spark, path, n_buckets=2, write_mode=write_mode)
+    rows = [
+        (i + 1, 0, "I", f"u{i}", TS + dt.timedelta(hours=i), f"<p>{i}</p>".encode(), "en")
+        for i in range(n)
+    ]
+    pipe.apply_batch(_batch(spark, rows), batch_id=0)
+    return pipe
+
+
+def test_rename_is_metadata_only(spark, tmpdir_path):
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"))
+    t = pipe.table
+    files_before = [f["path"] for f in t.manifest()["files"]]
+    s = t.rename_column("lang", "language")
+    assert s["operation"] == "rename_column" and s["field_id"] == s["field_id"]
+
+    m = t.manifest()
+    # no data file touched or re-stamped
+    assert [f["path"] for f in m["files"]] == files_before
+    assert all("epoch" not in f for f in m["files"])  # still epoch 0
+    assert len(m["schema_epochs"]) == 2
+
+    out = {r.url: r.language for r in t.read().collect()}
+    assert out == {"u0": "en", "u1": "en", "u2": "en"}
+    assert "lang" not in t.read().columns
+
+
+def test_merge_after_rename_binds_by_current_name(spark, tmpdir_path):
+    """After lang→language, a batch still carrying 'lang' evolves a NEW
+    column 'lang' (fresh field id) — old values never leak into it, and
+    the renamed column survives for untouched rows."""
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"))
+    t = pipe.table
+    t.rename_column("lang", "language")
+    pipe.apply_batch(
+        _batch(spark, [(10, 0, "U", "u0", TS + dt.timedelta(days=1), b"<p>x</p>", "fr")]),
+        batch_id=1,
+    )
+    t = pipe.table
+    rows = {r.url: (r.language, r.lang) for r in t.read().collect()}
+    # updated row: incoming batch bound 'lang' (new id), 'language' null
+    assert rows["u0"] == (None, "fr")
+    # untouched rows keep the renamed value; new 'lang' is null (no leak)
+    assert rows["u1"] == ("en", None)
+    assert rows["u2"] == ("en", None)
+    # ids: 'lang' was re-minted, not reused
+    m = t.manifest()
+    assert m["field_ids"]["lang"] != m["field_ids"]["language"]
+    assert len(m["schema_epochs"]) == 3  # create, rename, add
+
+
+def test_drop_then_readd_never_resurrects(spark, tmpdir_path):
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"))
+    t = pipe.table
+    # add content_type via batch evolution
+    pipe.apply_batch(
+        _batch(
+            spark,
+            [(10, 0, "U", "u0", TS + dt.timedelta(days=1), b"<p>a</p>", "en", "text/html")],
+            extra_fields=[T.StructField("content_type", T.StringType(), True)],
+        ),
+        batch_id=1,
+    )
+    t = pipe.table
+    assert {r.url: r.content_type for r in t.read().collect()}["u0"] == "text/html"
+
+    t.drop_column("content_type")
+    assert "content_type" not in t.read().columns
+
+    # re-add the same name: fresh field id ⇒ pre-drop bytes stay invisible
+    pipe.apply_batch(
+        _batch(
+            spark,
+            [(20, 0, "U", "u1", TS + dt.timedelta(days=2), b"<p>b</p>", "en", "app/json")],
+            extra_fields=[T.StructField("content_type", T.StringType(), True)],
+        ),
+        batch_id=2,
+    )
+    t = pipe.table
+    rows = {r.url: r.content_type for r in t.read().collect()}
+    assert rows["u1"] == "app/json"
+    assert rows["u0"] is None  # NOT "text/html" — no resurrection
+    assert rows["u2"] is None
+
+
+def test_structural_columns_are_protected(spark, tmpdir_path):
+    t = _seed(spark, os.path.join(tmpdir_path, "t")).table
+    for col in ("url", "warc_ts"):
+        with pytest.raises(ValueError, match="structural"):
+            t.rename_column(col, "x")
+        with pytest.raises(ValueError, match="structural"):
+            t.drop_column(col)
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("lang", "text")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("nope")
+
+
+def test_time_travel_sees_pre_ddl_schema(spark, tmpdir_path):
+    t = _seed(spark, os.path.join(tmpdir_path, "t")).table
+    v0 = t.current_version()
+    t.rename_column("lang", "language")
+    t.drop_column("html")
+    cur = t.read()
+    assert "language" in cur.columns and "html" not in cur.columns
+    old = t.read(version=v0)
+    assert "lang" in old.columns and "html" in old.columns
+    assert {r.url: r.lang for r in old.collect()} == {"u0": "en", "u1": "en", "u2": "en"}
+
+
+def test_mor_delta_folds_across_epochs(spark, tmpdir_path):
+    """Merge-on-read: base files at epoch 0, a rename, then delta files at
+    epoch 2 — the LWW fold runs over the union of both epochs with the
+    renamed column resolved by id."""
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"), write_mode="mor")
+    t = pipe.table
+    t.rename_column("lang", "language")
+    pipe.apply_batch(
+        _batch(spark, [(10, 0, "U", "u0", TS + dt.timedelta(days=1), b"<p>x</p>", "de")]),
+        batch_id=1,
+    )
+    t = pipe.table
+    m = t.manifest()
+    assert any(f.get("delta") and f.get("epoch") == 2 for f in m["files"])
+    rows = {r.url: (r.language, r.lang) for r in t.read().collect()}
+    assert rows["u0"] == (None, "de")  # delta winner, name-bound 'lang'
+    assert rows["u1"] == ("en", None)
+
+    # point lookup goes through the same epoch-aware read
+    assert t.lookup("u1").collect()[0].language == "en"
+
+    # compaction rewrites everything at the CURRENT epoch; the fast
+    # single-scan path applies again afterwards
+    t.compact_files(target_file_bytes=1 << 30)
+    t = pipe.table
+    m = t.manifest()
+    cur = len(m["schema_epochs"]) - 1
+    assert all(f.get("epoch", 0) == cur for f in m["files"])
+    rows2 = {r.url: (r.language, r.lang) for r in t.read().collect()}
+    assert rows2 == rows
+
+
+def test_scan_prunes_with_renamed_stats(spark, tmpdir_path):
+    """Manifest ts stats were recorded under write-time names; pruning and
+    range scans must keep working across epochs (warc_ts itself is
+    structural, so this exercises the epoch-stat lookup path staying
+    consistent for unrenamed columns after OTHER columns changed)."""
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"))
+    t = pipe.table
+    t.rename_column("lang", "language")
+    pipe.apply_batch(
+        _batch(spark, [(10, 0, "I", "u9", TS + dt.timedelta(days=30), b"<p>9</p>", "fr")]),
+        batch_id=1,
+    )
+    t = pipe.table
+    plan = t.scan_file_plan(ts_from=TS + dt.timedelta(days=29))
+    assert plan["n_chosen"] < plan["n_candidates"]
+    got = t.scan(ts_from=TS + dt.timedelta(days=29)).collect()
+    assert [r.url for r in got] == ["u9"]
+
+
+def test_changes_between_across_rename(spark, tmpdir_path):
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"))
+    t = pipe.table
+    t.rename_column("lang", "language")
+    v_ddl = t.current_version()
+    # DDL touches no data: the change feed for that version is empty
+    assert t.changes_between(v_ddl - 1, v_ddl).count() == 0
+    pipe.apply_batch(
+        _batch(spark, [(10, 0, "U", "u0", TS + dt.timedelta(days=1), b"<p>x</p>", "fr")]),
+        batch_id=1,
+    )
+    t = pipe.table
+    cdf = t.changes_between(v_ddl, t.current_version())
+    chg = {(r.url, r._change_type) for r in cdf.collect()}
+    assert ("u0", "update_postimage") in chg or ("u0", "insert") in chg
+    # the old side's renamed column mapped by id — u0's preimage carries
+    # language='en', not null
+    pre = [r for r in cdf.collect() if r._change_type == "update_preimage"]
+    if pre:
+        assert pre[0].language == "en"
