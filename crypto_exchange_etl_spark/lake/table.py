@@ -1484,6 +1484,70 @@ class LakeTable:
                 counts[k] = counts.get(k, 0) + 1
         return counts
 
+    def _commit_file_swap(
+        self,
+        nm: dict[str, Any],
+        removed_paths: set[str],
+        added_files: list[dict[str, Any]],
+        ledger_add: list[str] | None = None,
+        overlay: dict[str, Any] | None = None,
+        max_retries: int = 5,
+    ) -> dict[str, Any]:
+        """Commit a maintenance snapshot with Iceberg-style validation +
+        REBASE instead of recompute.
+
+        A maintenance rewrite (compaction, retention, bloom build) races
+        merges for the version CAS. Losing the CAS does not invalidate
+        the expensive work: the op's effect is "swap these input files
+        for those output files". On conflict, reload the head and — if
+        every input file is still present (nobody rewrote or dropped it)
+        — re-point the same swap at the new head, carrying the
+        concurrent commit's files, watermarks, schema and specs forward,
+        and retry. LWW-fold commutativity makes this safe even when the
+        concurrent commit APPENDED delta files to a compacted bucket:
+        the kept delta still folds correctly against the new base. Only
+        when an input file disappeared (a concurrent CoW rewrite) does
+        the caller truly need to recompute — surfaced as
+        :class:`CommitConflictError` after validation, exactly Iceberg's
+        ``ValidationException`` model. Output files were stamped with the
+        spec/epoch ids of the snapshot they were computed from; both are
+        append-only registries, so a rebased commit never mislabels them.
+        """
+        summary = nm["summary"]
+        for attempt in range(max_retries):
+            try:
+                self._write_manifest(nm)
+                return nm["summary"]
+            except CommitConflictError:
+                cur = self.manifest()
+                cur_paths = {f["path"] for f in cur["files"]}
+                missing = removed_paths - cur_paths
+                if missing:
+                    raise CommitConflictError(
+                        f"{summary.get('operation')} inputs were rewritten "
+                        f"by a concurrent commit ({len(missing)} file(s) "
+                        "gone); recompute against the new snapshot"
+                    ) from None
+                nm = dict(cur)
+                nm.update(
+                    version=cur["version"] + 1,
+                    snapshot_id=str(uuid.uuid4()),
+                    parent_version=cur["version"],
+                    files=[
+                        f for f in cur["files"] if f["path"] not in removed_paths
+                    ] + added_files,
+                    summary={**summary, "rebased_onto": cur["version"]},
+                    committed_at_unix=time.time(),
+                )
+                if ledger_add:
+                    nm["ledger_files"] = cur["ledger_files"] + ledger_add
+                if overlay:
+                    nm.update(overlay)
+        raise CommitConflictError(
+            f"{summary.get('operation')} lost the version CAS "
+            f"{max_retries} times; table is under heavy concurrent commits"
+        )
+
     def minor_compact(
         self,
         max_deltas: int = 8,
@@ -1580,8 +1644,7 @@ class LakeTable:
                      "files_after": len(new_files)},
             committed_at_unix=time.time(),
         )
-        self._write_manifest(nm)
-        return nm["summary"]
+        return self._commit_file_swap(nm, in_paths, new_files)
 
     def compact_files(
         self,
@@ -1626,8 +1689,12 @@ class LakeTable:
                      "files_after": len(new_files)},
             committed_at_unix=time.time(),
         )
-        self._write_manifest(nm)
-        return nm["summary"]
+        # full-table rewrite: every current file is an input, so a rebase
+        # can only succeed against metadata-only concurrent commits —
+        # anything that touched data invalidates the inputs (validated)
+        return self._commit_file_swap(
+            nm, {f["path"] for f in m["files"]}, new_files
+        )
 
     # --------------------------------------------------------- key blooms
 
@@ -1732,10 +1799,16 @@ class LakeTable:
                      "bits_per_key": bpk, "n_hashes": k},
             committed_at_unix=time.time(),
         )
-        self._write_manifest(nm)
+        # rebase-safe against ANY concurrent commit: files added since we
+        # scanned simply lack a bloom row (never pruned — safe), files
+        # removed since leave harmless dead bloom rows
+        summary = self._commit_file_swap(
+            nm, set(), [],
+            overlay={"blooms": nm["blooms"]},
+        )
         if old:
             shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
-        return nm["summary"]
+        return summary
 
     def _bloom_prune(
         self, m: dict[str, Any], value: Any, candidates: list[dict[str, Any]]
@@ -1955,8 +2028,12 @@ class LakeTable:
             },
             committed_at_unix=now,
         )
-        self._write_manifest(nm)
-        return nm["summary"]
+        return self._commit_file_swap(
+            nm,
+            {f["path"] for f in (*drop, *rewrite)},
+            new_files,
+            ledger_add=[ledger_rel],
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Delete manifests older than the last ``keep_last`` and any data
