@@ -985,7 +985,11 @@ class LakeTable:
         now = time.time()
         for r in part_rows:
             p = int(r["partition"])
-            wm[str(p)] = max(int(r["max_lsn"]), wm.get(str(p), -1))
+            if p >= 0:  # negative = maintenance lineage (delete_where /
+                # update_where): ledger row yes, feed watermark no — a
+                # one-shot synthetic partition must not cap the min-over-
+                # partitions applied-LSN watermark forever
+                wm[str(p)] = max(int(r["max_lsn"]), wm.get(str(p), -1))
             ledger_rows.append(
                 {
                     "partition": p,
@@ -1854,6 +1858,106 @@ class LakeTable:
             if hit:
                 kept.append(f)
         return kept
+
+    # ------------------------------------------------------ row-level DML
+
+    def _max_lsn(self, m: dict[str, Any]) -> int:
+        """Highest lsn in the table — from manifest stats when every file
+        carries them (zero I/O), else one column-pruned scan."""
+        maxes = [
+            (f.get("stats") or {}).get("lsn", [None, None])[1] for f in m["files"]
+        ]
+        if maxes and all(v is not None for v in maxes):
+            return int(max(maxes))
+        if not m["files"]:
+            return -1
+        row = self.read_physical(fold=False).agg(F.max("lsn").alias("m")).collect()[0]
+        return int(row["m"]) if row["m"] is not None else -1
+
+    def _dml_changes(self, m: dict[str, Any], condition, op: str):
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        public = [
+            f.name
+            for f in T.StructType.fromJson(m["schema"]).fields
+            if f.name not in _INTERNAL_COLS
+        ]
+        live = self.read_physical(fold=True).where(~F.col("is_deleted")).where(cond)
+        lsn = self._max_lsn(m) + 1
+        schema = T.StructType.fromJson(m["schema"])
+        structural = {m["key"], *ORDER_COLS}
+
+        def payload_col(c: str):
+            if op == "D" and c not in structural:
+                # tombstones carry no payload bytes (feed-delete contract)
+                return F.lit(None).cast(schema[c].dataType).alias(c)
+            return F.col(c)
+
+        # keep each row's own warc_ts: the synthetic event ranks equal on
+        # ts and above on lsn, so it beats the live row — and any LATER
+        # feed event for the key still beats it (normal LWW)
+        return live.select(
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(-1).cast("int").alias("partition"),
+            F.lit(op).alias("op"),
+            *[payload_col(c) for c in public],
+        )
+
+    def delete_where(
+        self, condition, batch_id: int | None = None
+    ) -> dict[str, Any]:
+        """Row-level ``DELETE ... WHERE`` (Iceberg/Delta DELETE analogue):
+        live rows matching ``condition`` become LWW tombstones through the
+        SAME merge path as feed deletes — bucket-pruned, atomically
+        committed with a ledger row (``partition=-1`` maintenance
+        lineage), idempotent under replay via the exactly-once guard.
+        Cost is one pruned scan + a merge of O(matching keys); nothing is
+        physically erased (older snapshots still time-travel) until
+        compaction folds and ``expire_snapshots`` drops the bytes.
+        Reference analogue: the unconditional partition drops of the
+        hot-window reload (/root/reference/fintick/bqloader/base.py:91-112)
+        — here row-granular and replay-safe."""
+        m = self.manifest()
+        changes = self._dml_changes(m, condition, "D")
+        if changes.isEmpty():
+            return {"operation": "delete_where", "n_events": 0, "skipped": True}
+        bid = batch_id if batch_id is not None else -int(time.time() * 1000)
+        s = self.merge_apply(changes, batch_id=bid)
+        s["operation"] = "delete_where"
+        return s
+
+    def update_where(
+        self,
+        condition,
+        assignments: dict[str, Any],
+        batch_id: int | None = None,
+    ) -> dict[str, Any]:
+        """Row-level ``UPDATE ... SET ... WHERE``: live rows matching
+        ``condition`` re-enter the merge as higher-lsn update events with
+        ``assignments`` applied (column -> Column or SQL expression string,
+        evaluated against the matched row). Same cost/lineage contract as
+        :meth:`delete_where`. Derived columns are NOT recomputed (an
+        update of ``html`` does not re-extract ``text`` — run the
+        pipeline's enrich explicitly if needed)."""
+        m = self.manifest()
+        bad = set(assignments) & {m["key"], *ORDER_COLS, *_INTERNAL_COLS}
+        if bad:
+            raise ValueError(
+                f"cannot update structural column(s) {sorted(bad)} — the "
+                "merge key and LWW order columns define row identity"
+            )
+        unknown = set(assignments) - {f["name"] for f in m["schema"]["fields"]}
+        if unknown:
+            raise ValueError(f"unknown column(s) {sorted(unknown)}")
+        changes = self._dml_changes(m, condition, "U")
+        for col, val in assignments.items():
+            expr = F.expr(val) if isinstance(val, str) else val
+            changes = changes.withColumn(col, expr)
+        if changes.isEmpty():
+            return {"operation": "update_where", "n_events": 0, "skipped": True}
+        bid = batch_id if batch_id is not None else -int(time.time() * 1000)
+        s = self.merge_apply(changes, batch_id=bid)
+        s["operation"] = "update_where"
+        return s
 
     def expire_rows(
         self,
