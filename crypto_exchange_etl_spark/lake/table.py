@@ -1920,7 +1920,7 @@ class LakeTable:
         changes = self._dml_changes(m, condition, "D")
         if changes.isEmpty():
             return {"operation": "delete_where", "n_events": 0, "skipped": True}
-        bid = batch_id if batch_id is not None else -int(time.time() * 1000)
+        bid = batch_id if batch_id is not None else -(uuid.uuid4().int >> 66)
         s = self.merge_apply(changes, batch_id=bid)
         s["operation"] = "delete_where"
         return s
@@ -1954,7 +1954,7 @@ class LakeTable:
             changes = changes.withColumn(col, expr)
         if changes.isEmpty():
             return {"operation": "update_where", "n_events": 0, "skipped": True}
-        bid = batch_id if batch_id is not None else -int(time.time() * 1000)
+        bid = batch_id if batch_id is not None else -(uuid.uuid4().int >> 66)
         s = self.merge_apply(changes, batch_id=bid)
         s["operation"] = "update_where"
         return s

@@ -151,6 +151,15 @@ def main(argv: list[str] | None = None) -> int:
                     "a branch (discards its staged chain)")
     mt.add_argument("--fast-forward", default=None, metavar="BRANCH",
                     help="publish a branch's staged snapshot chain onto main")
+    mt.add_argument("--rename-column", default=None, metavar="OLD:NEW",
+                    help="metadata-only column rename (field-id DDL)")
+    mt.add_argument("--drop-column", default=None, metavar="NAME",
+                    help="metadata-only column drop (field-id DDL)")
+    mt.add_argument("--delete-where", default=None, metavar="SQL_PREDICATE",
+                    help="row-level DELETE via the LWW merge path")
+    mt.add_argument("--update-where", default=None,
+                    metavar="SQL_PREDICATE::COL=EXPR[,COL=EXPR..]",
+                    help="row-level UPDATE via the LWW merge path")
     mt.add_argument("--list-refs", action="store_true",
                     help="print all named refs (tags and branches)")
 
@@ -229,6 +238,22 @@ def main(argv: list[str] | None = None) -> int:
             did.append({"operation": "drop_ref", "name": args.drop_ref})
         if args.fast_forward:
             did.append(table.fast_forward(args.fast_forward))
+        if args.rename_column:
+            old, _, new = args.rename_column.partition(":")
+            did.append(table.rename_column(old, new))
+        if args.drop_column:
+            did.append(table.drop_column(args.drop_column))
+        if args.delete_where:
+            did.append(table.delete_where(args.delete_where))
+        if args.update_where:
+            pred, sep, sets = args.update_where.partition("::")
+            if not sep:
+                raise SystemExit("--update-where expects PREDICATE::COL=EXPR[,..]")
+            assignments = {}
+            for kv in sets.split(","):
+                col, _, expr = kv.partition("=")
+                assignments[col.strip()] = expr.strip()
+            did.append(table.update_where(pred, assignments))
         if args.list_refs:
             did.append({"operation": "refs", "refs": table.refs()})
         for d in did:

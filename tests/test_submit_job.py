@@ -182,3 +182,43 @@ def test_cli_tail_with_view(spark, tmpdir_path, capsys):
         .collect()
     }
     assert got == want
+
+
+def test_cli_ddl_and_dml(spark, tmpdir_path, capsys):
+    """The field-id DDL and row-level DML flags drive the table from the
+    job CLI (in-process session reuse)."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location("cdc_job", JOB)
+    cdc_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cdc_job)
+
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=2000, n_segments=2, n_urls=150)
+    table_path = os.path.join(tmpdir_path, "pages")
+    CdcPipeline(spark, table_path, n_buckets=4).replay_all(binlog)
+    n0 = LakeTable.load(spark, table_path).read().count()
+
+    rc = cdc_job.main(
+        ["maintain", "--table", table_path,
+         "--rename-column", "lang:language",
+         "--delete-where", "pmod(xxhash64(url), 4) = 0",
+         "--update-where", "length(text) >= 0::language='xx'"]
+    )
+    assert rc == 0
+    ops = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [o.get("operation") for o in ops] == [
+        "rename_column", "delete_where", "update_where",
+    ]
+    t = LakeTable.load(spark, table_path)
+    df = t.read()
+    assert "language" in df.columns and "lang" not in df.columns
+    assert df.count() == n0 - ops[1]["n_delete"]
+    assert df.where("language = 'xx'").count() == df.count()
+
+    rc = cdc_job.main(
+        ["maintain", "--table", table_path, "--drop-column", "language"]
+    )
+    assert rc == 0
+    assert "language" not in LakeTable.load(spark, table_path).read().columns
