@@ -1859,6 +1859,69 @@ class LakeTable:
                 kept.append(f)
         return kept
 
+    # ------------------------------------------------------------- clone
+
+    def clone_to(
+        self, target_path: str, version: int | str | None = None
+    ) -> "LakeTable":
+        """Clone a snapshot into an independent table (Delta ``CLONE``
+        analogue). Data files are ``os.link``-hardlinked when the target
+        shares a filesystem — a ZERO-COPY deep clone at any table size —
+        falling back to byte copies across devices. The clone starts its
+        own version chain at v0 (with this table's schema, specs, field
+        ids, watermarks and applied-batch guard carried over), so
+        replay/merges against the clone converge exactly as they would
+        have on the source: the dev/staging-fork workflow (experiment on
+        a fork of production, then throw it away) with no storage bill.
+        Because both tables' manifests reference their OWN paths,
+        retention on either side never breaks the other — hardlinked
+        bytes live until the last referent unlinks (the same contract
+        Iceberg gets from object-store refcounts)."""
+        m = self.manifest(version)
+        t = LakeTable(self.spark, target_path)
+        if os.path.exists(t.meta_dir) and os.listdir(t.meta_dir):
+            raise FileExistsError(f"table already exists at {target_path}")
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.ledger_dir, exist_ok=True)
+
+        def _link(rel: str) -> None:
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(t.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device: fall back to a copy
+                shutil.copy2(src, dst)
+
+        for f in m["files"]:
+            _link(f["path"])
+        for rel in m["ledger_files"]:
+            _link(rel)
+        bl = m.get("blooms")
+        if bl and os.path.isdir(os.path.join(self.path, bl["dir"])):
+            for root, _d, files in os.walk(os.path.join(self.path, bl["dir"])):
+                for fn in files:
+                    _link(os.path.relpath(os.path.join(root, fn), self.path))
+
+        nm = dict(m)
+        nm.pop("files_delta", None)
+        nm.pop("staged", None)
+        nm.update(
+            version=0,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=None,
+            summary={
+                "operation": "clone",
+                "source": self.path,
+                "source_version": m["version"],
+                "total_rows": m.get("summary", {}).get("total_rows"),
+            },
+            committed_at_unix=time.time(),
+        )
+        t._write_manifest(nm)
+        return t
+
     # ------------------------------------------------------ row-level DML
 
     def _max_lsn(self, m: dict[str, Any]) -> int:
