@@ -162,6 +162,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="row-level UPDATE via the LWW merge path")
     mt.add_argument("--list-refs", action="store_true",
                     help="print all named refs (tags and branches)")
+    mt.add_argument("--auto", action="store_true",
+                    help="policy-driven maintenance: measure table health "
+                    "and run whichever of compaction / bloom rebuild / "
+                    "retention is due (lake/maintenance.py)")
+    mt.add_argument("--auto-plan", action="store_true",
+                    help="like --auto but print the plan without executing "
+                    "(metadata-only, safe on a live table)")
+    mt.add_argument("--auto-policy", default=None,
+                    metavar="KEY=VALUE[,KEY=VALUE..]",
+                    help="override MaintenancePolicy fields, e.g. "
+                    "keep_snapshots=5,minor_compact_max_deltas=4,"
+                    "row_ttl_days=6")
 
     ins = sub.add_parser("inspect", help="print table history and health stats")
     ins.add_argument("--table", required=True)
@@ -256,6 +268,32 @@ def main(argv: list[str] | None = None) -> int:
             did.append(table.update_where(pred, assignments))
         if args.list_refs:
             did.append({"operation": "refs", "refs": table.refs()})
+        if args.auto or args.auto_plan:
+            from crypto_exchange_etl_spark.lake.maintenance import (
+                MaintenancePolicy,
+                plan_maintenance,
+                run_maintenance,
+            )
+
+            overrides: dict = {}
+            for kv in (args.auto_policy or "").split(","):
+                if not kv:
+                    continue
+                k, _, v = kv.partition("=")
+                k = k.strip()
+                if k == "row_ttl_days":
+                    overrides["row_ttl"] = _dt.timedelta(days=float(v))
+                elif k in ("bloom_stale_frac", "orphan_age_secs"):
+                    overrides[k] = float(v)
+                else:
+                    overrides[k] = int(v)
+            pol = MaintenancePolicy(**overrides)
+            if args.auto_plan:
+                did.append({"operation": "maintenance_plan",
+                            "plan": plan_maintenance(table, pol)})
+            else:
+                did.append({"operation": "auto_maintenance",
+                            **run_maintenance(table, pol)})
         for d in did:
             print(_json.dumps(d))
         if not did:

@@ -1,0 +1,200 @@
+"""Policy-driven auto-maintenance: plan correctness, safe execution
+order, one-pass convergence, and state preservation."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from crypto_exchange_etl_spark.lake.maintenance import (
+    MaintenancePolicy,
+    plan_maintenance,
+    run_maintenance,
+)
+from crypto_exchange_etl_spark.lake.table import LakeTable
+from crypto_exchange_etl_spark.model import CHANGES_SCHEMA
+from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline
+
+UTC = dt.timezone.utc
+TS = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+
+def _apply(spark, pipe, batch_id, rows):
+    pipe.apply_batch(spark.createDataFrame(rows, CHANGES_SCHEMA), batch_id=batch_id)
+
+
+def _mor_table(spark, path, n_batches=4, rows_per=6):
+    """A merge-on-read table with one delta layer per batch (max_deltas
+    high enough that the pipeline itself never compacts)."""
+    pipe = CdcPipeline(spark, path, n_buckets=2, write_mode="mor",
+                       max_deltas=1000)
+    lsn = 0
+    for b in range(n_batches):
+        rows = []
+        for i in range(rows_per):
+            rows.append((lsn, 0, "I" if b == 0 else "U", f"u{i}",
+                         TS + dt.timedelta(days=b), f"<p>{b}:{i}</p>".encode(),
+                         "en"))
+            lsn += 1
+        _apply(spark, pipe, b, rows)
+    return pipe.table
+
+
+def _state(table):
+    return sorted(
+        (r.url, r.text, str(r.warc_ts)) for r in table.read().collect()
+    )
+
+
+def test_healthy_table_plans_nothing(spark, tmpdir_path):
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=2)
+    plan = plan_maintenance(t, MaintenancePolicy(orphan_age_secs=None))
+    assert plan == []
+
+
+def test_backlog_plans_minor_compact_and_converges(spark, tmpdir_path):
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=5)
+    before = _state(t)
+    pol = MaintenancePolicy(
+        minor_compact_max_deltas=3, small_files_per_bucket=None,
+        bloom_stale_frac=None, orphan_age_secs=None,
+    )
+    plan = plan_maintenance(t, pol)
+    assert [s["action"] for s in plan] == ["minor_compact"]
+    rep = run_maintenance(t, pol, plan=plan)
+    assert [e["action"] for e in rep["executed"]] == ["minor_compact"]
+    assert rep["replan"] == []
+    t2 = LakeTable.load(spark, t.path)
+    assert t2.delta_file_counts() == {}
+    assert _state(t2) == before
+
+
+def test_small_files_prefer_binpack_over_backlog_drain(spark, tmpdir_path):
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=5)
+    before = _state(t)
+    pol = MaintenancePolicy(
+        minor_compact_max_deltas=3, small_files_per_bucket=3,
+        bloom_stale_frac=None, orphan_age_secs=None,
+    )
+    plan = plan_maintenance(t, pol)
+    acts = [s["action"] for s in plan]
+    assert acts == ["compact_files"]  # bin-pack folds the backlog too
+    assert "drains" in plan[0]["reason"]
+    rep = run_maintenance(t, pol, plan=plan)
+    assert rep["replan"] == []
+    t2 = LakeTable.load(spark, t.path)
+    assert t2.delta_file_counts() == {}
+    assert _state(t2) == before
+
+
+def test_stale_blooms_replanned(spark, tmpdir_path):
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=2)
+    t.build_blooms()
+    t = LakeTable.load(spark, t.path)
+    pol = MaintenancePolicy(
+        minor_compact_max_deltas=None, small_files_per_bucket=None,
+        bloom_stale_frac=0.3, orphan_age_secs=None,
+    )
+    assert plan_maintenance(t, pol) == []  # fresh build: full coverage
+    pipe = CdcPipeline(spark, t.path, n_buckets=2, write_mode="mor",
+                       max_deltas=1000)
+    for b in range(2, 6):  # new deltas have no bloom rows
+        _apply(spark, pipe, b, [
+            (100 * b + i, 0, "U", f"u{i}", TS + dt.timedelta(days=b),
+             f"<p>x{b}:{i}</p>".encode(), "en")
+            for i in range(6)
+        ])
+    t = LakeTable.load(spark, t.path)
+    plan = plan_maintenance(t, pol)
+    assert [s["action"] for s in plan] == ["build_blooms"]
+    rep = run_maintenance(t, pol, plan=plan)
+    assert rep["replan"] == []
+    t2 = LakeTable.load(spark, t.path)
+    assert [r.text for r in t2.lookup("u3").collect()] == ["x5:3"]
+
+
+def test_rewrite_pass_rebuilds_blooms_same_pass(spark, tmpdir_path):
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=4)
+    t.build_blooms()
+    t = LakeTable.load(spark, t.path)
+    pol = MaintenancePolicy(
+        minor_compact_max_deltas=2, small_files_per_bucket=None,
+        bloom_stale_frac=0.99,  # coverage alone would never trigger
+        orphan_age_secs=None,
+    )
+    plan = plan_maintenance(t, pol)
+    assert [s["action"] for s in plan] == ["minor_compact", "build_blooms"]
+    assert "supersedes" in plan[1]["reason"]
+    rep = run_maintenance(t, pol, plan=plan)
+    assert rep["replan"] == []
+
+
+def test_snapshot_expiry_and_orphans(spark, tmpdir_path):
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=4)
+    orphan = os.path.join(t.path, "data", "bucket=0", "junk-orphan.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    os.utime(orphan, (1, 1))  # ancient
+    pol = MaintenancePolicy(
+        minor_compact_max_deltas=None, small_files_per_bucket=None,
+        bloom_stale_frac=None, keep_snapshots=2, orphan_age_secs=3600.0,
+    )
+    plan = plan_maintenance(t, pol)
+    assert [s["action"] for s in plan] == ["expire_snapshots", "remove_orphans"]
+    rep = run_maintenance(t, pol, plan=plan)
+    assert not os.path.exists(orphan)
+    t2 = LakeTable.load(spark, t.path)
+    assert len(t2.history()) == 2
+    assert rep["replan"] == []
+    assert t2.read().count() == 6
+
+
+def test_row_ttl(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = CdcPipeline(spark, path, n_buckets=2, write_mode="cow")
+    _apply(spark, pipe, 0, [
+        (i, 0, "I", f"old{i}", TS, b"<p>o</p>", "en") for i in range(4)
+    ])
+    _apply(spark, pipe, 1, [
+        (10 + i, 0, "I", f"new{i}", TS + dt.timedelta(days=90), b"<p>n</p>", "en")
+        for i in range(4)
+    ])
+    t = pipe.table
+    pol = MaintenancePolicy(
+        minor_compact_max_deltas=None, small_files_per_bucket=None,
+        bloom_stale_frac=None, orphan_age_secs=None,
+        row_ttl=dt.timedelta(days=30),
+        now=TS + dt.timedelta(days=100),
+    )
+    plan = plan_maintenance(t, pol)
+    assert [s["action"] for s in plan] == ["expire_rows"]
+    rep = run_maintenance(t, pol, plan=plan)
+    t2 = LakeTable.load(spark, path)
+    assert sorted(r.url for r in t2.read().collect()) == [
+        f"new{i}" for i in range(4)
+    ]
+    assert rep["replan"] == []
+
+
+def test_cli_auto_plan_and_run(spark, tmpdir_path):
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "cdc_job_maint", os.path.join(repo, "scripts", "cdc_job.py")
+    )
+    cdc_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cdc_job)
+
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=5)
+    before = _state(t)
+    argv_tail = ["maintain", "--table", t.path, "--auto-policy",
+                 "minor_compact_max_deltas=3,small_files_per_bucket=0"]
+    assert cdc_job.main([*argv_tail[:3], "--auto-plan",
+                         *argv_tail[3:]]) in (0, None)
+    assert LakeTable.load(spark, t.path).delta_file_counts() != {}  # plan only
+    assert cdc_job.main([*argv_tail[:3], "--auto", *argv_tail[3:]]) in (0, None)
+    t2 = LakeTable.load(spark, t.path)
+    assert t2.delta_file_counts() == {}
+    assert _state(t2) == before
