@@ -63,6 +63,8 @@ class MaintenancePolicy:
     #: rebuild blooms when > this fraction of current files lack a row
     #: (only once a build exists — the first build is an explicit choice)
     bloom_stale_frac: float | None = 0.5
+    #: fold per-batch ledger parquets when the list exceeds this
+    ledger_max_files: int | None = 64
     #: keep this many snapshots (None = never expire history)
     keep_snapshots: int | None = None
     #: delete unreferenced files older than this (None = never)
@@ -112,7 +114,8 @@ def plan_maintenance(
        every delta as a side effect, so when both conditions fire only
        the bin-pack runs (the backlog drain would be wasted write);
     3. ``build_blooms`` — after the rewrites, so the new files get rows;
-    4. ``expire_snapshots`` then ``remove_orphans`` — storage release
+    4. ``compact_ledger`` — fold the per-batch lineage parquets;
+    5. ``expire_snapshots`` then ``remove_orphans`` — storage release
        last, against the post-rewrite version chain.
     """
     pol = policy or MaintenancePolicy()
@@ -187,6 +190,17 @@ def plan_maintenance(
                            "n_hashes": bl.get("n_hashes", 7)},
             })
 
+    if (
+        pol.ledger_max_files is not None
+        and len(m["ledger_files"]) > pol.ledger_max_files
+    ):
+        plan.append({
+            "action": "compact_ledger",
+            "reason": f"{len(m['ledger_files'])} per-batch ledger files, "
+                      f"policy folds above {pol.ledger_max_files}",
+            "params": {"max_files": 1},
+        })
+
     if pol.keep_snapshots is not None:
         retained = len(table.history())
         if retained > pol.keep_snapshots:
@@ -254,6 +268,8 @@ def run_maintenance(
             out = table.compact_files(target_file_bytes=p["target_file_bytes"])
         elif a == "minor_compact":
             out = table.minor_compact(max_deltas=p["max_deltas"])
+        elif a == "compact_ledger":
+            out = table.compact_ledger(max_files=p["max_files"])
         elif a == "build_blooms":
             out = table.build_blooms(
                 bits_per_key=p["bits_per_key"], n_hashes=p["n_hashes"]

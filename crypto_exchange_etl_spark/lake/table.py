@@ -1496,6 +1496,7 @@ class LakeTable:
         ledger_add: list[str] | None = None,
         overlay: dict[str, Any] | None = None,
         max_retries: int = 5,
+        ledger_swap: tuple[set[str], list[str]] | None = None,
     ) -> dict[str, Any]:
         """Commit a maintenance snapshot with Iceberg-style validation +
         REBASE instead of recompute.
@@ -1532,6 +1533,12 @@ class LakeTable:
                         f"by a concurrent commit ({len(missing)} file(s) "
                         "gone); recompute against the new snapshot"
                     ) from None
+                if ledger_swap and (ledger_swap[0] - set(cur["ledger_files"])):
+                    raise CommitConflictError(
+                        f"{summary.get('operation')} ledger inputs were "
+                        "rewritten by a concurrent commit; recompute "
+                        "against the new snapshot"
+                    ) from None
                 nm = dict(cur)
                 nm.update(
                     version=cur["version"] + 1,
@@ -1545,6 +1552,13 @@ class LakeTable:
                 )
                 if ledger_add:
                     nm["ledger_files"] = cur["ledger_files"] + ledger_add
+                if ledger_swap:
+                    removed_l, added_l = ledger_swap
+                    # the concurrent commit may have APPENDED ledger files;
+                    # carry them, swap only our inputs for our output
+                    nm["ledger_files"] = [
+                        p for p in cur["ledger_files"] if p not in removed_l
+                    ] + added_l
                 if overlay:
                     nm.update(overlay)
         raise CommitConflictError(
@@ -1698,6 +1712,61 @@ class LakeTable:
         # anything that touched data invalidates the inputs (validated)
         return self._commit_file_swap(
             nm, {f["path"] for f in m["files"]}, new_files
+        )
+
+    def compact_ledger(self, max_files: int = 1) -> dict[str, Any]:
+        """Fold the per-batch ledger parquets into ``max_files`` file(s).
+
+        Every applied micro-batch appends one tiny ledger parquet; at
+        10^5 micro-batches ``ledger()`` opens 10^5 files and every full
+        manifest lists them all. This is the ledger's analogue of data
+        compaction: rows are carried verbatim (the lineage record is
+        immutable history — nothing is aggregated away), only the file
+        layout changes. Older snapshots keep their own ledger lists, so
+        time travel still sees the pre-compaction layout; superseded
+        files are released by ``expire_snapshots``/``remove_orphans``.
+
+        Driver-side pyarrow: ledger rows are ~10 small columns per batch,
+        so even 10^5 batches concat in memory in well under a second —
+        no Spark job. Commits through the rebase path: a concurrent
+        merge APPENDS a new ledger file and rebases cleanly; a concurrent
+        ledger compaction invalidates our inputs and raises."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        m = self.manifest()
+        files = list(m["ledger_files"])
+        max_files = max(1, int(max_files))
+        if len(files) <= max_files:
+            return {"operation": "compact_ledger",
+                    "files_before": len(files), "files_after": len(files)}
+        merged = pa.concat_tables(
+            [pq.read_table(os.path.join(self.path, p)) for p in files]
+        )
+        snap = str(uuid.uuid4())[:8]
+        new_rel: list[str] = []
+        n = merged.num_rows
+        per = -(-n // max_files)  # ceil; max_files=1 → one file
+        for i in range(max_files):
+            chunk = merged.slice(i * per, per)
+            if chunk.num_rows == 0:
+                break
+            rel = f"ledger/compacted-{snap}-{i}.parquet"
+            pq.write_table(chunk, os.path.join(self.path, rel))
+            new_rel.append(rel)
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            ledger_files=new_rel,
+            summary={"operation": "compact_ledger",
+                     "files_before": len(files),
+                     "files_after": len(new_rel), "rows": n},
+            committed_at_unix=time.time(),
+        )
+        return self._commit_file_swap(
+            nm, set(), [], ledger_swap=(set(files), new_rel)
         )
 
     # --------------------------------------------------------- key blooms

@@ -130,6 +130,8 @@ def main(argv: list[str] | None = None) -> int:
                     "(prunes on every listed dimension)")
     mt.add_argument("--rebucket", type=int, default=None, metavar="N",
                     help="rewrite into N hash buckets")
+    mt.add_argument("--compact-ledger", action="store_true",
+                    help="fold per-batch ledger parquets into one file")
     mt.add_argument("--build-blooms", action="store_true",
                     help="(re)build per-file key bloom filters for "
                     "point-lookup file skipping")
@@ -237,6 +239,8 @@ def main(argv: list[str] | None = None) -> int:
             did.append(table.rebucket(args.rebucket))
         if args.evolve_buckets is not None:
             did.append(table.evolve_bucket_spec(args.evolve_buckets))
+        if args.compact_ledger:
+            did.append(table.compact_ledger())
         if args.build_blooms:
             did.append(table.build_blooms())
         if args.remove_orphans is not None:

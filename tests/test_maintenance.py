@@ -177,6 +177,55 @@ def test_row_ttl(spark, tmpdir_path):
     assert rep["replan"] == []
 
 
+def test_compact_ledger(spark, tmpdir_path):
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=5)
+    v_before = t.current_version()
+    rows_before = sorted(
+        (r.batch_id, r.partition, r.max_lsn, r.n_events, str(r.committed_at))
+        for r in t.ledger().collect()
+    )
+    assert len(t.manifest()["ledger_files"]) == 5
+    out = t.compact_ledger()
+    assert (out["files_before"], out["files_after"]) == (5, 1)
+    t = LakeTable.load(spark, t.path)
+    assert len(t.manifest()["ledger_files"]) == 1
+    rows_after = sorted(
+        (r.batch_id, r.partition, r.max_lsn, r.n_events, str(r.committed_at))
+        for r in t.ledger().collect()
+    )
+    assert rows_after == rows_before  # lineage carried verbatim
+    # older snapshots keep the pre-compaction layout (files still on disk)
+    old = t.manifest(v_before)
+    assert len(old["ledger_files"]) == 5
+    assert all(os.path.exists(os.path.join(t.path, p))
+               for p in old["ledger_files"])
+    # idempotent: already folded → metadata no-op, no new version
+    v = t.current_version()
+    again = t.compact_ledger()
+    assert again["files_after"] == 1 and t.current_version() == v
+    # a later merge appends normally alongside the compacted file
+    pipe = CdcPipeline(spark, t.path, n_buckets=2, write_mode="mor",
+                       max_deltas=1000)
+    _apply(spark, pipe, 9, [(999, 0, "U", "u0", TS + dt.timedelta(days=9),
+                             b"<p>z</p>", "en")])
+    t2 = LakeTable.load(spark, t.path)
+    assert len(t2.manifest()["ledger_files"]) == 2
+    assert t2.ledger().count() == len(rows_before) + 1
+
+
+def test_ledger_rule_in_planner(spark, tmpdir_path):
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=5)
+    pol = MaintenancePolicy(
+        minor_compact_max_deltas=None, small_files_per_bucket=None,
+        bloom_stale_frac=None, orphan_age_secs=None, ledger_max_files=3,
+    )
+    plan = plan_maintenance(t, pol)
+    assert [s["action"] for s in plan] == ["compact_ledger"]
+    rep = run_maintenance(t, pol, plan=plan)
+    assert rep["replan"] == []
+    assert len(LakeTable.load(spark, t.path).manifest()["ledger_files"]) == 1
+
+
 def test_cli_auto_plan_and_run(spark, tmpdir_path):
     import importlib.util
 
