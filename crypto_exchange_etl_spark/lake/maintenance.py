@@ -247,6 +247,107 @@ def _expirable_files(
     return n
 
 
+def verify_table(
+    table: "LakeTable", deep: bool = False
+) -> dict[str, Any]:
+    """Integrity audit — the lake's ``fsck``. Checks, per retained
+    version: the manifest (incl. incremental-delta chains) resolves; every
+    referenced data file exists with its recorded byte size; every file's
+    spec id is in the bucket-spec registry and its schema epoch is
+    registered; the applied-batch guard holds no duplicates; the current
+    version's ledger files exist; the bloom pointer (if any) resolves to a
+    directory. ``deep=True`` additionally opens every CURRENT data file's
+    parquet footer and compares row counts against the manifest — the
+    check that catches silent truncation/corruption, at O(files) footer
+    opens.
+
+    Returns ``{"ok": bool, "versions_checked": n, "files_checked": n,
+    "findings": [{"severity", "kind", "detail"}, ...]}``. Read-only:
+    never commits, never repairs — pair with :func:`run_maintenance` /
+    ``remove_orphans`` for the fixes. A finding of kind
+    ``stale_bloom_dir`` is a warning (lookups degrade to stats-only
+    pruning, correctness unaffected); everything else is an error.
+    """
+    findings: list[dict[str, str]] = []
+
+    def err(kind: str, detail: str) -> None:
+        findings.append({"severity": "error", "kind": kind, "detail": detail})
+
+    def warn(kind: str, detail: str) -> None:
+        findings.append({"severity": "warning", "kind": kind, "detail": detail})
+
+    cur = table.current_version()
+    if cur is None:
+        return {"ok": True, "versions_checked": 0, "files_checked": 0,
+                "findings": []}
+
+    import re as _re
+
+    versions = sorted(
+        int(mt.group(1))
+        for f in os.listdir(table.meta_dir)
+        if (mt := _re.fullmatch(r"v(\d+)\.json", f))
+    )
+    files_checked = 0
+    for v in versions:
+        try:
+            m = table.manifest(v)
+        except Exception as e:  # dangling delta chain, corrupt JSON, ...
+            err("unresolvable_manifest", f"v{v}: {e}")
+            continue
+        specs = table._specs(m)
+        n_epochs = len(m.get("schema_epochs") or [None])
+        for f in m["files"]:
+            if table._file_spec(f) not in specs:
+                err("unknown_spec",
+                    f"v{v}: {f['path']} spec {table._file_spec(f)}")
+            if int(f.get("epoch", 0)) >= n_epochs:
+                err("unknown_epoch",
+                    f"v{v}: {f['path']} epoch {f.get('epoch')}")
+            full = os.path.join(table.path, f["path"])
+            if not os.path.exists(full):
+                err("missing_file", f"v{v}: {f['path']}")
+            elif os.path.getsize(full) != f["bytes"]:
+                err("size_mismatch",
+                    f"v{v}: {f['path']} manifest={f['bytes']} "
+                    f"disk={os.path.getsize(full)}")
+            files_checked += 1
+        batches = m["applied_batches"]
+        if len(batches) != len(set(batches)):
+            err("duplicate_batch_ids", f"v{v}: applied_batches has dups")
+        if v == cur:
+            for rel in m["ledger_files"]:
+                if not os.path.exists(os.path.join(table.path, rel)):
+                    err("missing_ledger_file", f"v{v}: {rel}")
+            bl = m.get("blooms")
+            if bl and not os.path.isdir(os.path.join(table.path, bl["dir"])):
+                warn("stale_bloom_dir",
+                     f"v{v}: bloom dir {bl['dir']} superseded — lookups "
+                     "fall back to stats-only pruning")
+            if deep:
+                import pyarrow.parquet as pq
+
+                for f in m["files"]:
+                    full = os.path.join(table.path, f["path"])
+                    if not os.path.exists(full):
+                        continue  # already reported
+                    try:
+                        md = pq.ParquetFile(full).metadata
+                    except Exception as e:
+                        err("unreadable_footer", f"{f['path']}: {e}")
+                        continue
+                    if "rows" in f and md.num_rows != f["rows"]:
+                        err("row_count_mismatch",
+                            f"{f['path']} manifest={f['rows']} "
+                            f"footer={md.num_rows}")
+    return {
+        "ok": not any(f["severity"] == "error" for f in findings),
+        "versions_checked": len(versions),
+        "files_checked": files_checked,
+        "findings": findings,
+    }
+
+
 def run_maintenance(
     table: "LakeTable",
     policy: MaintenancePolicy | None = None,

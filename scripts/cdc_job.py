@@ -179,6 +179,13 @@ def main(argv: list[str] | None = None) -> int:
 
     ins = sub.add_parser("inspect", help="print table history and health stats")
     ins.add_argument("--table", required=True)
+    ins.add_argument("--verify", action="store_true",
+                     help="integrity audit (lake fsck): referenced files "
+                     "exist with recorded sizes, manifest chains resolve, "
+                     "registries consistent; exit 2 on any error finding")
+    ins.add_argument("--deep", action="store_true",
+                     help="with --verify: also open every current file's "
+                     "footer and check row counts")
 
     args = ap.parse_args(argv)
 
@@ -218,6 +225,14 @@ def main(argv: list[str] | None = None) -> int:
             for row in table.history():
                 print(_json.dumps(row))
             print(_json.dumps(table.stats()))
+            if args.verify:
+                from crypto_exchange_etl_spark.lake.maintenance import (
+                    verify_table,
+                )
+
+                report = verify_table(table, deep=args.deep)
+                print(_json.dumps(report))
+                return 0 if report["ok"] else 2
             return 0
         did = []
         if args.compact_files:

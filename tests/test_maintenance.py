@@ -10,6 +10,7 @@ from crypto_exchange_etl_spark.lake.maintenance import (
     MaintenancePolicy,
     plan_maintenance,
     run_maintenance,
+    verify_table,
 )
 from crypto_exchange_etl_spark.lake.table import LakeTable
 from crypto_exchange_etl_spark.model import CHANGES_SCHEMA
@@ -224,6 +225,60 @@ def test_ledger_rule_in_planner(spark, tmpdir_path):
     rep = run_maintenance(t, pol, plan=plan)
     assert rep["replan"] == []
     assert len(LakeTable.load(spark, t.path).manifest()["ledger_files"]) == 1
+
+
+def test_verify_table_clean_and_corrupted(spark, tmpdir_path):
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=3)
+    t.build_blooms()
+    t = LakeTable.load(spark, t.path)
+    rep = verify_table(t, deep=True)
+    assert rep["ok"] and rep["findings"] == []
+    assert rep["versions_checked"] >= 4 and rep["files_checked"] > 0
+
+    # silent truncation: size mismatch (shallow) + unreadable footer (deep)
+    victim = os.path.join(t.path, t.manifest()["files"][0]["path"])
+    with open(victim, "r+b") as fh:
+        fh.truncate(10)
+    rep = verify_table(t, deep=True)
+    kinds = {f["kind"] for f in rep["findings"]}
+    assert not rep["ok"]
+    assert "size_mismatch" in kinds and "unreadable_footer" in kinds
+
+    # missing file
+    os.remove(victim)
+    rep = verify_table(t)
+    assert not rep["ok"]
+    assert any(f["kind"] == "missing_file" for f in rep["findings"])
+
+
+def test_verify_table_stale_bloom_is_warning_only(spark, tmpdir_path):
+    import shutil
+
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=2)
+    t.build_blooms()
+    t = LakeTable.load(spark, t.path)
+    shutil.rmtree(os.path.join(t.path, t.manifest()["blooms"]["dir"]))
+    rep = verify_table(t)
+    assert rep["ok"]  # degraded lookup path, not corruption
+    assert [f["kind"] for f in rep["findings"]] == ["stale_bloom_dir"]
+    assert t.lookup("u0").count() == 1  # and lookups indeed still work
+
+
+def test_cli_inspect_verify_exit_codes(spark, tmpdir_path):
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "cdc_job_verify", os.path.join(repo, "scripts", "cdc_job.py")
+    )
+    cdc_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cdc_job)
+
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=2)
+    assert cdc_job.main(
+        ["inspect", "--table", t.path, "--verify", "--deep"]) in (0, None)
+    os.remove(os.path.join(t.path, t.manifest()["files"][0]["path"]))
+    assert cdc_job.main(["inspect", "--table", t.path, "--verify"]) == 2
 
 
 def test_cli_auto_plan_and_run(spark, tmpdir_path):
