@@ -326,6 +326,57 @@ class CdcPipeline:
             q.awaitTermination()
         return q
 
+    def fork(
+        self,
+        table_path: str,
+        checkpoint_src: str,
+        checkpoint_dst: str,
+        **overrides,
+    ) -> "CdcPipeline":
+        """Disaster-recovery / blue-green fork: clone the lake table
+        (zero-copy, :meth:`~..lake.table.LakeTable.clone_to`) AND the
+        streaming checkpoint as ONE consistent pair, returning a pipeline
+        that resumes the SAME binlog stream against the fork exactly-once.
+
+        The pair must travel together because the two halves of the
+        exactly-once contract live in different places: the checkpoint
+        holds the committed source offsets (which binlog files are
+        consumed), the table manifest holds the applied-batch guard.
+        Copying only the checkpoint would skip batches the fork never
+        applied; cloning only the table would re-consume the whole feed.
+        With both, the order of operations is crash-shaped in the safe
+        direction — the clone is taken FIRST, so the checkpoint can only
+        be at-or-behind the table, and any batch Structured Streaming
+        replays on the fork is skipped (or LWW re-applied to the same
+        bytes) by the carried guard. Resuming both sides against the same
+        feed therefore converges them to identical state (tested).
+
+        Always forks the CURRENT version: a pinned older snapshot paired
+        with a newer checkpoint would silently drop the batches between
+        them (checkpoint says consumed, table never applied them).
+        Pipeline config is inherited; ``overrides`` replaces individual
+        kwargs (e.g. ``metrics_dir`` — NOT inherited by default, two
+        pipelines must not share a metrics feed)."""
+        import shutil
+
+        if os.path.exists(checkpoint_dst) and os.listdir(checkpoint_dst):
+            raise FileExistsError(
+                f"checkpoint dir already exists at {checkpoint_dst}"
+            )
+        self.table.clone_to(table_path)
+        shutil.copytree(checkpoint_src, checkpoint_dst, dirs_exist_ok=True)
+        kw = dict(
+            n_buckets=self.n_buckets,
+            key=self.key,
+            write_mode=self.write_mode,
+            max_deltas=self.max_deltas,
+            canonicalize_keys=self.canonicalize_keys,
+            audit=self.audit,
+            metrics_dir=None,
+        )
+        kw.update(overrides)
+        return CdcPipeline(self.spark, table_path, **kw)
+
     # ------------------------------------------------------------- replay
 
     def replay_all(self, binlog_dir: str, batch_id: int = 0) -> dict:

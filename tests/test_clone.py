@@ -69,6 +69,50 @@ def test_clone_is_independent_and_zero_copy(spark, tmpdir_path):
     assert fork_pipe.table.read().count() == 4  # fork still whole
 
 
+def test_failover_fork_resumes_stream(spark, tmpdir_path):
+    """DR failover: fork (table + checkpoint) mid-feed, keep consuming on
+    BOTH sides, and the fork converges to the primary's exact state."""
+    from crypto_exchange_etl_spark.sources.binlog import write_binlog_segments
+
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=1500, n_segments=2,
+                          n_urls=150, seed=11)
+    pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "primary"),
+                       n_buckets=4, write_mode="mor", max_deltas=1000)
+    ck = os.path.join(tmpdir_path, "ck")
+    pipe.run_stream(binlog, ck, available_now=True, timeout_secs=300)
+
+    fork = pipe.fork(os.path.join(tmpdir_path, "standby"), ck,
+                     os.path.join(tmpdir_path, "ck_standby"))
+    assert fork.write_mode == "mor" and fork.n_buckets == 4  # config carried
+
+    # the feed grows after the fork (old segments immutable, same seed)
+    write_binlog_segments(spark, binlog, n_events=3000, n_segments=4,
+                          n_urls=150, seed=11)
+    pipe.run_stream(binlog, ck, available_now=True, timeout_secs=300)
+    fork.run_stream(binlog, os.path.join(tmpdir_path, "ck_standby"),
+                    available_now=True, timeout_secs=300)
+
+    def state(t):
+        return sorted(
+            (r.url, r.text, str(r.warc_ts), r.lang)
+            for r in t.read().collect()
+        )
+
+    assert state(fork.table) == state(pipe.table)
+    # and both equal a from-scratch single-shot replay of the full feed
+    ref = CdcPipeline(spark, os.path.join(tmpdir_path, "ref"), n_buckets=4)
+    ref.replay_all(binlog)
+    assert state(pipe.table) == state(ref.table)
+    # refuses to clobber an existing checkpoint
+    try:
+        pipe.fork(os.path.join(tmpdir_path, "other"), ck,
+                  os.path.join(tmpdir_path, "ck_standby"))
+        raise AssertionError("expected FileExistsError")
+    except FileExistsError:
+        pass
+
+
 def test_clone_pinned_version(spark, tmpdir_path):
     src_path = os.path.join(tmpdir_path, "src")
     pipe = CdcPipeline(spark, src_path, n_buckets=2)
