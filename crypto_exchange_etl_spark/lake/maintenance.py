@@ -247,6 +247,47 @@ def _expirable_files(
     return n
 
 
+class MaintenanceHook:
+    """In-stream auto-maintenance: plugs into ``CdcPipeline(views=[...])``
+    (the pipeline calls ``refresh()`` after every APPLIED micro-batch) and
+    runs :func:`run_maintenance` every ``every_n_batches`` applied
+    batches — compaction, bloom rebuilds and retention ride inside the
+    same streaming loop that applies merges, so the table never needs an
+    external maintenance scheduler (Delta auto-OPTIMIZE shape).
+
+    Safety: refresh runs AFTER the batch's commit, in the same
+    ``foreachBatch`` scope, so maintenance never races its own pipeline's
+    merges; against OTHER concurrent writers every action rebases or
+    raises like any maintenance commit. The cadence counter is process-
+    local (a restart resets it) — cheap and safe, because maintenance is
+    need-driven: a missed tick just means the next one sees slightly more
+    backlog. ``last_report`` keeps the most recent run for inspection."""
+
+    def __init__(
+        self,
+        spark,
+        table_path: str,
+        policy: MaintenancePolicy | None = None,
+        every_n_batches: int = 32,
+    ):
+        self.spark = spark
+        self.table_path = table_path
+        self.policy = policy or MaintenancePolicy()
+        self.every_n_batches = max(1, int(every_n_batches))
+        self.last_report: dict[str, Any] | None = None
+        self._n = 0
+
+    def refresh(self) -> None:
+        self._n += 1
+        if self._n % self.every_n_batches:
+            return
+        from crypto_exchange_etl_spark.lake.table import LakeTable
+
+        self.last_report = run_maintenance(
+            LakeTable.load(self.spark, self.table_path), self.policy
+        )
+
+
 def verify_table(
     table: "LakeTable", deep: bool = False
 ) -> dict[str, Any]:

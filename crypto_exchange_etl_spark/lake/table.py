@@ -2885,6 +2885,120 @@ class LakeTable:
             )
         return out
 
+    def metadata_table(
+        self, name: str, version: int | str | None = None
+    ) -> DataFrame:
+        """Iceberg metadata-tables analogue: the table's own metadata as
+        queryable DataFrames, so operational introspection composes with
+        SQL instead of reading JSON by hand.
+
+        - ``files``: one row per data file of the chosen snapshot (path,
+          bucket, spec, epoch, bytes, rows, delta flag, per-column
+          min/max stats as a JSON string — stats are heterogenous, the
+          JSON keeps the schema stable);
+        - ``snapshots``: the retained version log (= :meth:`history`);
+        - ``refs``: named tags/branches;
+        - ``partitions``: per (spec, bucket) aggregates — file/byte/delta
+          counts and row sums, the skew view `stats()` summarizes;
+        - ``ledger``: alias for :meth:`ledger`.
+
+        All driver-side manifest reads parallelized by Spark only at
+        query time — O(files) rows of metadata, never data bytes."""
+        if name == "ledger":
+            return self.ledger()
+        if name == "files":
+            m = self.manifest(version)
+            rows = [
+                (
+                    f["path"], int(f["bucket"]), self._file_spec(f),
+                    self._file_epoch(f), int(f["bytes"]),
+                    int(f["rows"]) if "rows" in f else None,
+                    bool(f.get("delta")),
+                    json.dumps(f["stats"]) if f.get("stats") else None,
+                )
+                for f in m["files"]
+            ]
+            schema = T.StructType([
+                T.StructField("path", T.StringType(), False),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("spec_id", T.IntegerType(), False),
+                T.StructField("schema_epoch", T.IntegerType(), False),
+                T.StructField("bytes", T.LongType(), False),
+                T.StructField("rows", T.LongType(), True),
+                T.StructField("is_delta", T.BooleanType(), False),
+                T.StructField("stats_json", T.StringType(), True),
+            ])
+            return self.spark.createDataFrame(rows, schema)
+        if name == "snapshots":
+            rows = [
+                (
+                    int(h["version"]), h["snapshot_id"],
+                    int(h["parent_version"]) if h["parent_version"] is not None else None,
+                    float(h["committed_at_unix"]) if h.get("committed_at_unix") else None,
+                    h["operation"], int(h["n_files"]),
+                    json.dumps(h["summary"]),
+                )
+                for h in self.history()
+            ]
+            schema = T.StructType([
+                T.StructField("version", T.LongType(), False),
+                T.StructField("snapshot_id", T.StringType(), False),
+                T.StructField("parent_version", T.LongType(), True),
+                T.StructField("committed_at_unix", T.DoubleType(), True),
+                T.StructField("operation", T.StringType(), True),
+                T.StructField("n_files", T.LongType(), False),
+                T.StructField("summary_json", T.StringType(), False),
+            ])
+            return self.spark.createDataFrame(rows, schema)
+        if name == "refs":
+            rows = [
+                (
+                    r["name"], r["type"],
+                    int(r["version"]) if r["type"] == "tag" else None,
+                    int(r["base_version"]) if r["type"] == "branch" else None,
+                    len(r.get("tokens") or []) if r["type"] == "branch" else None,
+                )
+                for r in self.refs().values()
+            ]
+            schema = T.StructType([
+                T.StructField("name", T.StringType(), False),
+                T.StructField("type", T.StringType(), False),
+                T.StructField("version", T.LongType(), True),
+                T.StructField("base_version", T.LongType(), True),
+                T.StructField("staged_tokens", T.LongType(), True),
+            ])
+            return self.spark.createDataFrame(rows, schema)
+        if name == "partitions":
+            m = self.manifest(version)
+            agg: dict[tuple[int, int], list[int]] = {}
+            for f in m["files"]:
+                k = (self._file_spec(f), int(f["bucket"]))
+                a = agg.setdefault(k, [0, 0, 0, 0, 0])
+                a[0] += 1
+                a[1] += int(f["bytes"])
+                a[2] += 1 if f.get("delta") else 0
+                if "rows" in f:
+                    a[3] += int(f["rows"])
+                else:
+                    a[4] = 1  # rows unknown for ≥1 file
+            rows = [
+                (s, b, a[0], a[1], a[2], None if a[4] else a[3])
+                for (s, b), a in sorted(agg.items())
+            ]
+            schema = T.StructType([
+                T.StructField("spec_id", T.IntegerType(), False),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("n_files", T.LongType(), False),
+                T.StructField("bytes", T.LongType(), False),
+                T.StructField("n_delta_files", T.LongType(), False),
+                T.StructField("rows", T.LongType(), True),
+            ])
+            return self.spark.createDataFrame(rows, schema)
+        raise ValueError(
+            f"unknown metadata table {name!r}; one of files, snapshots, "
+            "refs, partitions, ledger"
+        )
+
     def rollback(self, version: int | str) -> dict[str, Any]:
         """Restore the table to an older snapshot as a NEW commit (Iceberg
         ``rollback_to_snapshot`` analogue). Nothing is rewritten: the new

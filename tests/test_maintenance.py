@@ -7,6 +7,7 @@ import datetime as dt
 import os
 
 from crypto_exchange_etl_spark.lake.maintenance import (
+    MaintenanceHook,
     MaintenancePolicy,
     plan_maintenance,
     run_maintenance,
@@ -279,6 +280,80 @@ def test_cli_inspect_verify_exit_codes(spark, tmpdir_path):
         ["inspect", "--table", t.path, "--verify", "--deep"]) in (0, None)
     os.remove(os.path.join(t.path, t.manifest()["files"][0]["path"]))
     assert cdc_job.main(["inspect", "--table", t.path, "--verify"]) == 2
+
+
+def test_metadata_tables(spark, tmpdir_path):
+    t = _mor_table(spark, os.path.join(tmpdir_path, "t"), n_batches=3)
+    t.create_tag("release-1")
+    t = LakeTable.load(spark, t.path)
+    m = t.manifest()
+
+    files = t.metadata_table("files")
+    assert files.count() == len(m["files"])
+    agg = files.groupBy().sum("bytes").collect()[0][0]
+    assert agg == t.stats()["total_bytes"]
+    assert files.where("is_delta").count() == sum(
+        1 for f in m["files"] if f.get("delta"))
+
+    parts = t.metadata_table("partitions")
+    rows_total = sum(r.rows for r in parts.collect())
+    assert rows_total == sum(f["rows"] for f in m["files"])
+
+    snaps = t.metadata_table("snapshots")
+    assert snaps.count() == len(t.history())
+    head = snaps.orderBy("version", ascending=False).first()
+    assert head.version == t.current_version()
+
+    refs = t.metadata_table("refs").collect()
+    assert [(r.name, r.type, r.version) for r in refs] == [
+        ("release-1", "tag", t.current_version())
+    ]
+
+    # composes with SQL like any table
+    files.createOrReplaceTempView("t_files")
+    hot = spark.sql(
+        "select bucket, sum(bytes) b from t_files group by bucket "
+        "order by b desc limit 1"
+    ).collect()[0]
+    assert hot.b > 0
+
+    try:
+        t.metadata_table("nope")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_in_stream_maintenance_hook(spark, tmpdir_path):
+    from crypto_exchange_etl_spark.sources.binlog import write_binlog_segments
+
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=1500, n_segments=6,
+                          n_urls=150, seed=3)
+    tbl = os.path.join(tmpdir_path, "t")
+    hook = MaintenanceHook(
+        spark, tbl,
+        policy=MaintenancePolicy(
+            minor_compact_max_deltas=1, small_files_per_bucket=None,
+            bloom_stale_frac=None, orphan_age_secs=None,
+        ),
+        every_n_batches=2,
+    )
+    pipe = CdcPipeline(spark, tbl, n_buckets=2, write_mode="mor",
+                       max_deltas=1000, views=[hook])
+    pipe.run_stream(binlog, os.path.join(tmpdir_path, "ck"),
+                    available_now=True, timeout_secs=300)
+    assert hook.last_report is not None  # ran inside the stream
+    assert any(e["action"] == "minor_compact"
+               for e in hook.last_report["executed"])
+    # maintenance inside the loop never perturbs the replayed state
+    ref = CdcPipeline(spark, os.path.join(tmpdir_path, "ref"), n_buckets=2)
+    ref.replay_all(binlog)
+    assert sorted((r.url, r.text) for r in pipe.table.read().collect()) == \
+        sorted((r.url, r.text) for r in ref.table.read().collect())
+    # the stream's own snapshot log shows interleaved maintenance commits
+    ops = [h["operation"] for h in pipe.table.history()]
+    assert "minor_compact" in ops
 
 
 def test_cli_auto_plan_and_run(spark, tmpdir_path):
