@@ -2497,6 +2497,55 @@ class LakeTable:
         self._write_manifest(nm)
         return nm["summary"]
 
+    def add_column(self, name: str, dtype: "T.DataType | str") -> dict[str, Any]:
+        """Metadata-only explicit column add (Iceberg ``addColumn``),
+        completing the DDL triad with :meth:`rename_column` /
+        :meth:`drop_column`. Merge batches already evolve new payload
+        columns implicitly (``resolve_schema``); this is the declarative
+        path for adding a column BEFORE any batch carries it.
+
+        The column is appended NULLABLE (Iceberg's rule: a required
+        column cannot be added to a non-empty table without a default,
+        and existing files have no bytes for it) with a FRESH field id
+        and a new schema epoch — so if ``name`` was previously dropped,
+        the old files' values never resurrect: their epoch maps the old
+        field id, not this one. Existing files read the column as null;
+        no data file is touched — one JSON commit at any table size.
+
+        ``dtype`` accepts a ``pyspark.sql.types.DataType`` or a DDL
+        string (``"bigint"``, ``"array<double>"``).
+        """
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        m = self.manifest()
+        self._ensure_field_ids(m)
+        sch = T.StructType.fromJson(m["schema"])
+        if name in {f.name for f in sch.fields} or name in _INTERNAL_COLS:
+            raise ValueError(f"column {name!r} already exists")
+        fields = list(sch.fields) + [T.StructField(name, dtype, True)]
+        fids = dict(m["field_ids"])
+        fids[name] = nxt = int(m["next_field_id"])
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            schema=json.loads(T.StructType(fields).json()),
+            field_ids=fids,
+            next_field_id=nxt + 1,
+            schema_epochs=list(m["schema_epochs"])
+            + [{str(i): n for n, i in fids.items()}],
+            summary={
+                "operation": "add_column",
+                "column": name,
+                "type": dtype.simpleString(),
+                "field_id": nxt,
+            },
+            committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm["summary"]
+
     def evolve_bucket_spec(self, n_buckets: int) -> dict[str, Any]:
         """LAZY bucket-layout evolution — a METADATA-ONLY commit (Iceberg
         partition evolution analogue; contrast :meth:`rebucket`, the eager

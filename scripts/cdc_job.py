@@ -157,6 +157,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="metadata-only column rename (field-id DDL)")
     mt.add_argument("--drop-column", default=None, metavar="NAME",
                     help="metadata-only column drop (field-id DDL)")
+    mt.add_argument("--add-column", default=None, metavar="NAME:DDL_TYPE",
+                    help="metadata-only nullable column add (field-id DDL), "
+                    "e.g. content_type:string")
     mt.add_argument("--delete-where", default=None, metavar="SQL_PREDICATE",
                     help="row-level DELETE via the LWW merge path")
     mt.add_argument("--update-where", default=None,
@@ -274,6 +277,9 @@ def main(argv: list[str] | None = None) -> int:
             did.append(table.rename_column(old, new))
         if args.drop_column:
             did.append(table.drop_column(args.drop_column))
+        if args.add_column:
+            cname, _, ctyp = args.add_column.partition(":")
+            did.append(table.add_column(cname, ctyp or "string"))
         if args.delete_where:
             did.append(table.delete_where(args.delete_where))
         if args.update_where:

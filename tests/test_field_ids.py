@@ -213,3 +213,70 @@ def test_changes_between_across_rename(spark, tmpdir_path):
     pre = [r for r in cdf.collect() if r._change_type == "update_preimage"]
     if pre:
         assert pre[0].language == "en"
+
+
+def test_add_column_is_metadata_only(spark, tmpdir_path):
+    """Explicit addColumn DDL: nullable column appended with a fresh
+    field id; no data file touched; existing rows read null; the next
+    merge batch carrying the column binds to the SAME id (no re-add)."""
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"))
+    t = pipe.table
+    files_before = [f["path"] for f in t.manifest()["files"]]
+    s = t.add_column("content_type", "string")
+    assert s["operation"] == "add_column" and s["type"] == "string"
+
+    m = t.manifest()
+    assert [f["path"] for f in m["files"]] == files_before
+    assert m["field_ids"]["content_type"] == s["field_id"]
+    assert m["next_field_id"] == s["field_id"] + 1
+
+    rows = {r.url: r.content_type for r in t.read().collect()}
+    assert rows == {"u0": None, "u1": None, "u2": None}
+
+    # a batch now carrying the column binds to the declared id — the
+    # epoch count stays put (no implicit add on top of the DDL add)
+    epochs_before = len(m["schema_epochs"])
+    pipe.apply_batch(
+        _batch(
+            spark,
+            [(10, 0, "U", "u0", TS + dt.timedelta(days=1), b"<p>a</p>", "en", "text/html")],
+            extra_fields=[T.StructField("content_type", T.StringType(), True)],
+        ),
+        batch_id=1,
+    )
+    t = pipe.table
+    m = t.manifest()
+    assert m["field_ids"]["content_type"] == s["field_id"]
+    assert len(m["schema_epochs"]) == epochs_before
+    got = {r.url: r.content_type for r in t.read().collect()}
+    assert got["u0"] == "text/html" and got["u1"] is None
+
+
+def test_add_after_drop_never_resurrects(spark, tmpdir_path):
+    """DDL re-add of a previously dropped name mints a fresh id — the
+    dropped bytes stay invisible (same property as batch-evolved re-add,
+    here via the explicit DDL path)."""
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"))
+    t = pipe.table
+    pipe.apply_batch(
+        _batch(
+            spark,
+            [(10, 0, "U", "u0", TS + dt.timedelta(days=1), b"<p>a</p>", "en", "text/html")],
+            extra_fields=[T.StructField("content_type", T.StringType(), True)],
+        ),
+        batch_id=1,
+    )
+    t = pipe.table
+    dropped = t.drop_column("content_type")
+    s = t.add_column("content_type", T.StringType())
+    assert s["field_id"] != dropped["field_id"]
+    rows = {r.url: r.content_type for r in t.read().collect()}
+    assert rows["u0"] is None  # NOT "text/html"
+
+
+def test_add_column_validation(spark, tmpdir_path):
+    t = _seed(spark, os.path.join(tmpdir_path, "t")).table
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("lang", "string")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("lsn", "bigint")  # internal lineage name

@@ -218,7 +218,9 @@ def test_cli_ddl_and_dml(spark, tmpdir_path, capsys):
     assert df.where("language = 'xx'").count() == df.count()
 
     rc = cdc_job.main(
-        ["maintain", "--table", table_path, "--drop-column", "language"]
+        ["maintain", "--table", table_path, "--drop-column", "language",
+         "--add-column", "content_type:string"]
     )
     assert rc == 0
-    assert "language" not in LakeTable.load(spark, table_path).read().columns
+    cols = LakeTable.load(spark, table_path).read().columns
+    assert "language" not in cols and "content_type" in cols
