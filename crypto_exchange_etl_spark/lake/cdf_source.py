@@ -89,6 +89,7 @@ class CdfPartition(InputPartition):
         public_cols: list[str],
         old_files: list[tuple[str, dict[str, str | None]]],
         new_files: list[tuple[str, dict[str, str | None]]],
+        defaults: dict[str, Any] | None = None,
     ):
         self.version = version
         self.key = key
@@ -96,6 +97,9 @@ class CdfPartition(InputPartition):
         self.public_cols = public_cols
         self.old_files = old_files
         self.new_files = new_files
+        # pinned initial defaults (add_column DDL): absent-in-epoch
+        # columns fill with these instead of null, matching _read_raw
+        self.defaults = defaults or {}
 
 
 class LakeCdfStreamReader(DataSourceStreamReader):
@@ -108,6 +112,7 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         t = _table(self.path)
         m = t.manifest()
         self._key = m["key"]
+        self._defaults = m.get("column_defaults") or {}
         # field ids of the pinned query schema (None for pre-DDL tables)
         self._query_fids = m.get("field_ids")
         self._query_eps = m.get("schema_epochs")
@@ -223,6 +228,7 @@ class LakeCdfStreamReader(DataSourceStreamReader):
                         public_cols=self.public_cols,
                         old_files=of,
                         new_files=nf,
+                        defaults=self._defaults,
                     )
                 )
         return parts
@@ -245,7 +251,10 @@ class LakeCdfStreamReader(DataSourceStreamReader):
                 df = pf.read(columns=[c for c in phys if c in avail]).to_pandas()
                 out = pd.DataFrame(index=df.index)
                 for cur, ph in colmap.items():
-                    out[cur] = df[ph] if ph is not None and ph in df.columns else None
+                    if ph is not None and ph in df.columns:
+                        out[cur] = df[ph]
+                    else:
+                        out[cur] = p.defaults.get(cur)
                 frames.append(out)
             if not frames:
                 return pd.DataFrame(columns=cols)

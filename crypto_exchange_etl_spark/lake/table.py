@@ -457,6 +457,7 @@ class LakeTable:
             # widened numeric types (schema evolution without history rewrite)
             return self.spark.read.schema(schema).parquet(*paths)
         fids = m["field_ids"]
+        defaults = m.get("column_defaults") or {}
         parts = []
         for e, grp in sorted(groups.items()):
             emap = eps[e]  # str(field id) -> name at that epoch
@@ -465,8 +466,12 @@ class LakeTable:
             for fld in schema.fields:
                 fid = fids.get(fld.name)
                 old = emap.get(str(fid)) if fid is not None else fld.name
-                if old is None:  # column added after this epoch
-                    sel.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+                if old is None:  # column added after this epoch — fill
+                    # with the initial default (Iceberg v3) when declared
+                    sel.append(
+                        F.lit(defaults.get(fld.name)).cast(fld.dataType)
+                        .alias(fld.name)
+                    )
                 else:
                     read_fields.append(T.StructField(old, fld.dataType, True))
                     sel.append(F.col(old).alias(fld.name))
@@ -1043,6 +1048,10 @@ class LakeTable:
             # bloom side table carries forward: rewritten buckets' new
             # files simply have no bloom row until the next build_blooms
             new_manifest["blooms"] = m["blooms"]
+        if m.get("column_defaults"):
+            # initial defaults (add_column DDL) are table metadata — they
+            # outlive every merge commit
+            new_manifest["column_defaults"] = m["column_defaults"]
         if publish:
             self._write_manifest(new_manifest)
         else:
@@ -2438,6 +2447,10 @@ class LakeTable:
         fids = dict(m["field_ids"])
         fids[new] = fids.pop(old)
         nm = dict(m)
+        if old in (m.get("column_defaults") or {}):
+            dfl = dict(m["column_defaults"])
+            dfl[new] = dfl.pop(old)
+            nm["column_defaults"] = dfl
         nm.update(
             version=m["version"] + 1,
             snapshot_id=str(uuid.uuid4()),
@@ -2479,6 +2492,10 @@ class LakeTable:
         fids = dict(m["field_ids"])
         dropped_id = fids.pop(name)
         nm = dict(m)
+        if name in (m.get("column_defaults") or {}):
+            dfl = dict(m["column_defaults"])
+            dfl.pop(name)
+            nm["column_defaults"] = dfl
         nm.update(
             version=m["version"] + 1,
             snapshot_id=str(uuid.uuid4()),
@@ -2497,7 +2514,9 @@ class LakeTable:
         self._write_manifest(nm)
         return nm["summary"]
 
-    def add_column(self, name: str, dtype: "T.DataType | str") -> dict[str, Any]:
+    def add_column(
+        self, name: str, dtype: "T.DataType | str", default: Any = None
+    ) -> dict[str, Any]:
         """Metadata-only explicit column add (Iceberg ``addColumn``),
         completing the DDL triad with :meth:`rename_column` /
         :meth:`drop_column`. Merge batches already evolve new payload
@@ -2512,11 +2531,26 @@ class LakeTable:
         field id, not this one. Existing files read the column as null;
         no data file is touched — one JSON commit at any table size.
 
+        ``default`` is an Iceberg-v3-style INITIAL DEFAULT: rows written
+        BEFORE the column existed (file epoch predates the add) read this
+        value instead of null — resolved at SCAN time from metadata, so
+        it too costs zero rewrites at any table size. Rows written after
+        the add keep whatever the writer supplied (a post-add null stays
+        null — initial-default, not write-default, semantics). Any
+        rewrite (compaction/z-order) reads through the default and
+        therefore materializes it physically, which is exactly the
+        Iceberg contract. Must be a JSON-plain scalar (str/int/float/
+        bool), cast to ``dtype`` at read.
+
         ``dtype`` accepts a ``pyspark.sql.types.DataType`` or a DDL
         string (``"bigint"``, ``"array<double>"``).
         """
         if isinstance(dtype, str):
             dtype = T._parse_datatype_string(dtype)
+        if default is not None and not isinstance(default, (str, int, float, bool)):
+            raise ValueError(
+                f"initial default must be a plain scalar, got {type(default).__name__}"
+            )
         m = self.manifest()
         self._ensure_field_ids(m)
         sch = T.StructType.fromJson(m["schema"])
@@ -2526,6 +2560,10 @@ class LakeTable:
         fids = dict(m["field_ids"])
         fids[name] = nxt = int(m["next_field_id"])
         nm = dict(m)
+        if default is not None:
+            dfl = dict(m.get("column_defaults") or {})
+            dfl[name] = default
+            nm["column_defaults"] = dfl
         nm.update(
             version=m["version"] + 1,
             snapshot_id=str(uuid.uuid4()),
@@ -2540,6 +2578,7 @@ class LakeTable:
                 "column": name,
                 "type": dtype.simpleString(),
                 "field_id": nxt,
+                **({"default": default} if default is not None else {}),
             },
             committed_at_unix=time.time(),
         )

@@ -157,9 +157,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="metadata-only column rename (field-id DDL)")
     mt.add_argument("--drop-column", default=None, metavar="NAME",
                     help="metadata-only column drop (field-id DDL)")
-    mt.add_argument("--add-column", default=None, metavar="NAME:DDL_TYPE",
+    mt.add_argument("--add-column", default=None,
+                    metavar="NAME:DDL_TYPE[:DEFAULT]",
                     help="metadata-only nullable column add (field-id DDL), "
-                    "e.g. content_type:string")
+                    "e.g. content_type:string or score:double:0.5 (the "
+                    "default is an Iceberg-v3 initial default: pre-add "
+                    "rows read it instead of null)")
     mt.add_argument("--delete-where", default=None, metavar="SQL_PREDICATE",
                     help="row-level DELETE via the LWW merge path")
     mt.add_argument("--update-where", default=None,
@@ -278,8 +281,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.drop_column:
             did.append(table.drop_column(args.drop_column))
         if args.add_column:
-            cname, _, ctyp = args.add_column.partition(":")
-            did.append(table.add_column(cname, ctyp or "string"))
+            cname, _, rest = args.add_column.partition(":")
+            ctyp, _, cdfl = rest.partition(":")
+            import json as _j
+            dfl = None
+            if cdfl:
+                try:
+                    dfl = _j.loads(cdfl)  # 0.5 → float, 3 → int, true → bool
+                except ValueError:
+                    dfl = cdfl  # bare string default
+            did.append(table.add_column(cname, ctyp or "string", default=dfl))
         if args.delete_where:
             did.append(table.delete_where(args.delete_where))
         if args.update_where:

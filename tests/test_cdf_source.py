@@ -159,3 +159,28 @@ def test_stream_across_mor_and_rename(spark, tmpdir_path):
     assert by[("u1", "update_preimage")].language == "en"
     assert by[("u1", "update_postimage")].language is None
     assert by[("u1", "update_postimage")].lang == "de"
+
+
+def test_stream_fills_initial_defaults(spark, tmpdir_path):
+    """add_column with an initial default mid-history: images from files
+    that PREDATE the add stream the default (same rule as _read_raw);
+    post-add rows own their written value."""
+    path = os.path.join(tmpdir_path, "t")
+    pipe = CdcPipeline(spark, path, n_buckets=2)
+    _apply(spark, pipe, 0, [
+        (i, 0, "I", f"u{i}", TS, f"<p>{i}</p>".encode(), "en") for i in range(3)
+    ])
+    t = pipe.table
+    t.add_column("score", "double", default=0.5)
+    v_add = t.current_version()
+    _apply(spark, pipe, 1, [
+        (10, 0, "U", "u0", TS + dt.timedelta(days=1), b"<p>x</p>", "fr"),
+    ])
+
+    got = _drain(spark, path, starting_version=v_add + 1, tmp=tmpdir_path)
+    by = {(r.url, r._change_type): r for r in got.collect()}
+    # preimage read from a pre-add file: default, not null
+    assert by[("u0", "update_preimage")].score == 0.5
+    # postimage written after the add by a writer that omitted the
+    # column: physical null stays null (initial-, not write-, default)
+    assert by[("u0", "update_postimage")].score is None

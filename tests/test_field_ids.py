@@ -280,3 +280,76 @@ def test_add_column_validation(spark, tmpdir_path):
         t.add_column("lang", "string")
     with pytest.raises(ValueError, match="already exists"):
         t.add_column("lsn", "bigint")  # internal lineage name
+
+
+def test_add_column_initial_default(spark, tmpdir_path):
+    """Iceberg-v3 initial default: pre-add rows read the default from
+    METADATA (no rewrite); post-add writers own the value — a batch that
+    omits the column writes a physical null that STAYS null (initial-,
+    not write-, default); compaction materializes the default physically
+    without changing what readers see."""
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"))
+    t = pipe.table
+    s = t.add_column("score", "double", default=0.5)
+    assert s["default"] == 0.5
+    assert {r.url: r.score for r in t.read().collect()} == {
+        "u0": 0.5, "u1": 0.5, "u2": 0.5
+    }
+
+    # u0 updated WITH a score; u1 updated WITHOUT one (physical null)
+    pipe.apply_batch(
+        _batch(
+            spark,
+            [(10, 0, "U", "u0", TS + dt.timedelta(days=1), b"<p>a</p>", "en", 0.9)],
+            extra_fields=[T.StructField("score", T.DoubleType(), True)],
+        ),
+        batch_id=1,
+    )
+    pipe.apply_batch(
+        _batch(spark, [(11, 0, "U", "u1", TS + dt.timedelta(days=1), b"<p>b</p>", "en")]),
+        batch_id=2,
+    )
+    t = pipe.table
+    rows = {r.url: r.score for r in t.read().collect()}
+    assert rows["u0"] == 0.9
+    assert rows["u1"] is None  # writer omitted it post-add: stays null
+    assert rows["u2"] == 0.5   # pre-add row: default from metadata
+
+    # rewrite reads through the default and materializes it
+    t.compact_files(target_file_bytes=1 << 30)
+    t = pipe.table
+    assert {r.url: r.score for r in t.read().collect()} == rows
+
+    # time travel to the pre-add snapshot has no column at all
+    assert "score" not in t.read(version=0).columns
+
+
+def test_default_follows_rename_and_dies_with_drop(spark, tmpdir_path):
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"))
+    t = pipe.table
+    t.add_column("score", "double", default=0.25)
+    t.rename_column("score", "quality")
+    assert {r.quality for r in t.read().collect()} == {0.25}
+    t.drop_column("quality")
+    # re-add the same name WITHOUT a default: fresh id, no default leaks
+    t.add_column("quality", "double")
+    assert {r.quality for r in t.read().collect()} == {None}
+    with pytest.raises(ValueError, match="plain scalar"):
+        t.add_column("bad", "array<double>", default=[1.0])
+
+
+def test_default_visible_in_change_feed(spark, tmpdir_path):
+    """changes_between resolves pre/post images through _read_raw, so a
+    pre-add preimage carries the initial default, not null."""
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"))
+    t = pipe.table
+    t.add_column("score", "double", default=0.5)
+    v_add = t.current_version()
+    pipe.apply_batch(
+        _batch(spark, [(10, 0, "U", "u0", TS + dt.timedelta(days=1), b"<p>x</p>", "fr")]),
+        batch_id=1,
+    )
+    t = pipe.table
+    cdf = t.changes_between(v_add, t.current_version()).collect()
+    pre = [r for r in cdf if r._change_type == "update_preimage"]
+    assert pre and pre[0].score == 0.5

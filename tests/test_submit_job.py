@@ -219,8 +219,10 @@ def test_cli_ddl_and_dml(spark, tmpdir_path, capsys):
 
     rc = cdc_job.main(
         ["maintain", "--table", table_path, "--drop-column", "language",
-         "--add-column", "content_type:string"]
+         "--add-column", "score:double:0.25"]
     )
     assert rc == 0
-    cols = LakeTable.load(spark, table_path).read().columns
-    assert "language" not in cols and "content_type" in cols
+    df = LakeTable.load(spark, table_path).read()
+    assert "language" not in df.columns and "score" in df.columns
+    # initial default parsed from the CLI spec fills pre-add rows
+    assert df.where("score = 0.25").count() == df.count()
