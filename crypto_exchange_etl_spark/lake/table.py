@@ -2100,6 +2100,193 @@ class LakeTable:
         s["operation"] = "update_where"
         return s
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        when_matched_update: "bool | dict[str, Any]" = True,
+        when_matched_delete: Any = None,
+        matched_condition: Any = None,
+        when_not_matched_insert: bool = True,
+        batch_id: int | None = None,
+    ) -> dict[str, Any]:
+        """Generic ``MERGE INTO`` (Delta/Iceberg analogue): classify an
+        arbitrary keyed source against the live table and route each row
+        through the engine's OWN exactly-once LWW merge path — one atomic
+        ledgered commit, idempotent under replay, time-travel intact.
+
+        Clauses (evaluated per matched key; delete wins over update):
+
+        - ``when_matched_update`` — ``True`` (default): source columns
+          overwrite the target's, target keeps columns the source lacks
+          (Delta ``UPDATE SET *`` with partial sources); a dict maps
+          column -> Column/SQL expression (``UPDATE SET col = expr``) —
+          expressions see SOURCE columns by name and TARGET columns as
+          ``t_<name>``; unassigned target columns are kept. ``False``
+          disables the clause.
+        - ``when_matched_delete`` — ``True`` or a boolean Column/SQL
+          condition (same namespace); rows satisfying it become LWW
+          tombstones instead of updates.
+        - ``matched_condition`` — extra gate on BOTH matched clauses
+          (``MERGE ... WHEN MATCHED AND <cond>``); non-qualifying matched
+          rows are no-ops.
+        - ``when_not_matched_insert`` — insert source rows whose key is
+          absent (or deleted) in the table; the source must carry
+          ``warc_ts`` for this clause.
+
+        Matched events reuse the TARGET row's ``warc_ts`` and a fresh
+        max+1 lsn, so they win LWW now but any later feed event for the
+        key still beats them — identical contract to :meth:`update_where`.
+        Source columns unknown to the table evolve the schema through the
+        normal merge path. A source with duplicate keys is rejected
+        (Delta's multiple-matches error). ``WHEN NOT MATCHED BY SOURCE``
+        is deliberately absent: :meth:`delete_where` /
+        :meth:`update_where` already cover whole-table predicates.
+
+        Scale shape: the live side reads ONLY the buckets the source
+        keys can hash to (manifest file pruning — O(n_buckets) driver
+        rows, never a full scan), the classification is one equi-join on
+        the merge key, and the write is the same single bucket-aligned
+        merge shuffle every CDC batch pays. Reference analogue: none —
+        the reference's only upsert is its tick-replay loop; this is the
+        declarative face the north rule's lake users expect.
+        """
+        m = self.manifest()
+        key = m["key"]
+        if key not in source.columns:
+            raise ValueError(f"source must carry the merge key {key!r}")
+        schema = T.StructType.fromJson(m["schema"])
+        tgt_public = [f.name for f in schema.fields if f.name not in _INTERNAL_COLS]
+        env = {"lsn", "op", "partition", *_INTERNAL_COLS}
+        src_payload = [c for c in source.columns if c not in env]
+        extras = [c for c in src_payload if c not in tgt_public]
+        clash = set(source.columns) & {f"t_{c}" for c in tgt_public}
+        if clash:
+            raise ValueError(
+                f"source columns {sorted(clash)} collide with the t_-prefixed "
+                "target namespace used by merge conditions"
+            )
+        if isinstance(when_matched_update, dict):
+            bad = set(when_matched_update) & {key, *ORDER_COLS, *_INTERNAL_COLS}
+            if bad:
+                raise ValueError(
+                    f"cannot update structural column(s) {sorted(bad)}"
+                )
+        if source.groupBy(key).count().where("count > 1").limit(1).count():
+            raise ValueError(
+                "source has duplicate merge keys — MERGE requires at most "
+                "one source row per target row (dedupe upstream, e.g. "
+                "lww_compact)"
+            )
+
+        nb = self._specs(m)[self._current_spec(m)]
+        buckets = [
+            int(r["b"])
+            for r in source.select(self._bucket(key, nb).alias("b"))
+            .distinct().collect()
+        ]
+        live = (
+            self.read_physical(buckets=buckets, fold=True)
+            .where(~F.col("is_deleted"))
+            .select(
+                F.col(key),
+                *[F.col(c).alias(f"t_{c}") for c in tgt_public if c != key],
+                F.lit(True).alias("t__matched"),
+            )
+        )
+        j = source.join(live, on=key, how="left")
+        matched = F.col("t__matched").isNotNull()
+        mc = (
+            F.lit(True) if matched_condition is None
+            else F.expr(matched_condition)
+            if isinstance(matched_condition, str) else matched_condition
+        )
+        del_cond = None
+        if when_matched_delete is not None and when_matched_delete is not False:
+            del_cond = (
+                F.lit(True) if when_matched_delete is True
+                else F.expr(when_matched_delete)
+                if isinstance(when_matched_delete, str) else when_matched_delete
+            )
+
+        def _src_type(c: str) -> T.DataType:
+            return source.schema[c].dataType
+
+        def _tgt_type(c: str) -> T.DataType:
+            return schema[c].dataType if c in {f.name for f in schema.fields} \
+                else _src_type(c)
+
+        lsn = self._max_lsn(m) + 1
+
+        def ev(op: str, cols, where) -> DataFrame:
+            return j.where(where).select(
+                F.lit(lsn).cast("long").alias("lsn"),
+                F.lit(-1).cast("int").alias("partition"),
+                F.lit(op).alias("op"),
+                *cols,
+            )
+
+        events: list[DataFrame] = []
+        if del_cond is not None:
+            dcols = []
+            for c in tgt_public + extras:
+                if c == key:
+                    dcols.append(F.col(key))
+                elif c == "warc_ts":
+                    dcols.append(F.col("t_warc_ts").alias("warc_ts"))
+                else:  # tombstones carry no payload bytes
+                    dcols.append(F.lit(None).cast(_tgt_type(c)).alias(c))
+            events.append(ev("D", dcols, matched & mc & del_cond))
+        if when_matched_update is not False:
+            ucols = []
+            for c in tgt_public + extras:
+                if c == key:
+                    ucols.append(F.col(key))
+                elif c == "warc_ts":
+                    ucols.append(F.col("t_warc_ts").alias("warc_ts"))
+                elif isinstance(when_matched_update, dict):
+                    if c in when_matched_update:
+                        v = when_matched_update[c]
+                        ucols.append(
+                            (F.expr(v) if isinstance(v, str) else v).alias(c)
+                        )
+                    elif c in extras:  # unassigned new column: null
+                        ucols.append(F.lit(None).cast(_src_type(c)).alias(c))
+                    else:  # unassigned target column: kept
+                        ucols.append(F.col(f"t_{c}").alias(c))
+                elif c in src_payload:  # UPDATE SET *: source overwrites
+                    ucols.append(F.col(c))
+                else:  # column the source lacks: target value kept
+                    ucols.append(F.col(f"t_{c}").alias(c))
+            w = matched & mc
+            if del_cond is not None:
+                w = w & ~F.coalesce(del_cond, F.lit(False))
+            events.append(ev("U", ucols, w))
+        if when_not_matched_insert:
+            if "warc_ts" not in source.columns:
+                raise ValueError(
+                    "when_not_matched_insert needs warc_ts in the source "
+                    "(the LWW order column of inserted rows)"
+                )
+            icols = []
+            for c in tgt_public + extras:
+                if c in src_payload:
+                    icols.append(F.col(c))
+                else:
+                    icols.append(F.lit(None).cast(_tgt_type(c)).alias(c))
+            events.append(ev("I", icols, ~matched))
+        if not events:
+            return {"operation": "merge_into", "n_events": 0, "skipped": True}
+        changes = events[0]
+        for e in events[1:]:
+            changes = changes.unionByName(e)
+        if changes.isEmpty():
+            return {"operation": "merge_into", "n_events": 0, "skipped": True}
+        bid = batch_id if batch_id is not None else -(uuid.uuid4().int >> 66)
+        s = self.merge_apply(changes, batch_id=bid)
+        s["operation"] = "merge_into"
+        return s
+
     def expire_rows(
         self,
         older_than: _dt.datetime,
