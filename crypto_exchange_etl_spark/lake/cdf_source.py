@@ -42,6 +42,7 @@ from typing import Any, Iterator
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -102,7 +103,10 @@ class CdfPartition(InputPartition):
         self.defaults = defaults or {}
 
 
-class LakeCdfStreamReader(DataSourceStreamReader):
+class _CdfPlannerBase:
+    """Shared driver-side planning + worker-side read for the stream and
+    batch faces of the source (same partitions, same diff kernel)."""
+
     def __init__(self, schema: T.StructType, options: dict):
         self.path = options["path"]
         self.schema = schema
@@ -120,17 +124,6 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         self._initial = (
             int(start) - 1 if start is not None else int(m["version"])
         )
-
-    # ----------------------------------------------------------- offsets
-
-    def initialOffset(self) -> dict:
-        return {"version": self._initial}
-
-    def latestOffset(self) -> dict:
-        return {"version": int(_table(self.path).current_version())}
-
-    def commit(self, end: dict) -> None:
-        pass  # the streaming checkpoint owns progress; nothing to ack
 
     # -------------------------------------------------------- planning
 
@@ -164,10 +157,12 @@ class LakeCdfStreamReader(DataSourceStreamReader):
                 out[col] = eps[e].get(str(fid))
         return out
 
-    def partitions(self, start: dict, end: dict):
+    def _plan(self, sv: int, ev: int) -> list[CdfPartition]:
+        """Partitions covering commits (sv, ev] — one per connected group
+        of changed bucket classes per commit (pure manifest diff)."""
         t = _table(self.path)
         parts: list[CdfPartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        for v in range(int(sv) + 1, int(ev) + 1):
             m_new, m_old = t.manifest(v), t.manifest(v - 1)
             old_paths = {f["path"] for f in m_old["files"]}
             new_paths = {f["path"] for f in m_new["files"]}
@@ -311,6 +306,101 @@ class LakeCdfStreamReader(DataSourceStreamReader):
                 yield (*payload(row, "_o"), "delete", p.version)
 
 
+class LakeCdfStreamReader(_CdfPlannerBase, DataSourceStreamReader):
+    """Streaming face. Offsets are table versions; optional admission
+    control via ``maxVersionsPerBatch`` (Delta ``maxFilesPerTrigger``
+    analogue): each planned micro-batch advances at most K versions, so
+    a consumer facing a long backlog pages through it in bounded steps.
+
+    Restart safety: the cap is applied relative to a FLOOR seeded at
+    the query's startingVersion (Spark calls ``latestOffset`` before
+    ``initialOffset`` on a fresh start — measured — so construction-time
+    seeding is the only reliable anchor) and advanced by every planned
+    or committed range. One caveat, stated loudly: a CHECKPOINT RESTART
+    that still passes an old explicit ``startingVersion`` re-anchors the
+    floor below the checkpoint; the reader self-heals (a below-start
+    range plans empty and bumps the floor to the true start), but a
+    crash inside that one re-anchor window can re-emit rows after a
+    second restart. Drop ``startingVersion`` when restarting from a
+    checkpoint (it is ignored by checkpointed queries in Delta for the
+    same reason) and the cap is exactly-once-safe in every path."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        super().__init__(schema, options)
+        mv = options.get(
+            "maxVersionsPerBatch", options.get("maxversionsperbatch")
+        )
+        self._max_versions = int(mv) if mv is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError("maxVersionsPerBatch must be >= 1")
+        self._floor: int = self._initial
+
+    # ----------------------------------------------------------- offsets
+
+    def _dbg(self, msg: str) -> None:
+        import os as _os
+        f = _os.environ.get("SPARK_CDF_DEBUG_LOG")
+        if f:
+            with open(f, "a") as fh:
+                fh.write(f"{_os.getpid()} {msg}\n")
+
+    def initialOffset(self) -> dict:
+        self._dbg(f"initialOffset -> {self._initial}")
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        cur = int(_table(self.path).current_version())
+        if self._max_versions is not None:
+            cur = max(min(cur, self._floor + self._max_versions), self._floor)
+            self._floor = cur
+        self._dbg(f"latestOffset floor={self._floor} -> {cur}")
+        return {"version": cur}
+
+    def commit(self, end: dict) -> None:
+        # the streaming checkpoint owns progress; we only learn the floor
+        self._floor = max(self._floor, int(end["version"]))
+
+    def partitions(self, start: dict, end: dict) -> list[CdfPartition]:
+        self._dbg(f"partitions {start} {end}")
+        sv, ev = int(start["version"]), int(end["version"])
+        # restart re-anchor: a stale startingVersion seeded the floor
+        # below the checkpointed start — plan empty, jump the floor to
+        # the true position, and page normally from the next trigger
+        self._floor = max(self._floor, sv, ev)
+        if ev <= sv:
+            return []
+        return self._plan(sv, ev)
+
+
+class LakeCdfBatchReader(_CdfPlannerBase, DataSourceReader):
+    """Batch face (Delta batch-CDF analogue)::
+
+        spark.read.format("lake_cdf").option("path", p)
+             .option("startingVersion", 3)          # required
+             .option("endingVersion", 7)            # optional, inclusive
+             .load()
+
+    Same planner and diff kernel as the stream — the result equals
+    ``LakeTable.changes_between(startingVersion-1, endingVersion)``."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        start = options.get("startingVersion", options.get("startingversion"))
+        if start is None:
+            raise ValueError(
+                "lake_cdf batch reads require startingVersion (streams "
+                "default to tail-only; a batch read has no tail)"
+            )
+        super().__init__(schema, options)
+        end = options.get("endingVersion", options.get("endingversion"))
+        self._end = (
+            int(end) if end is not None
+            else int(_table(self.path).current_version())
+        )
+
+    def partitions(self) -> list[CdfPartition]:
+        return self._plan(self._initial, self._end)
+
+
 class LakeCdfDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -321,3 +411,6 @@ class LakeCdfDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> LakeCdfStreamReader:
         return LakeCdfStreamReader(schema, dict(self.options))
+
+    def reader(self, schema: T.StructType) -> LakeCdfBatchReader:
+        return LakeCdfBatchReader(schema, dict(self.options))

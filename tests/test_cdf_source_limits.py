@@ -120,9 +120,10 @@ def test_batch_read_matches_changes_between(spark, tmpdir_path):
     )
     assert _canon(sub) == _canon(t.changes_between(v0, v0 + 2))
 
-    # filters/pushdown compose: it's a normal DataFrame
-    ins = full.where(F.col("_change_type") == "insert")
-    assert ins.count() == 4
+    # filters compose: it's a normal DataFrame (the range (v0, vN] holds
+    # the 3 update commits; the bootstrap inserts predate it)
+    post = full.where(F.col("_change_type") == "update_postimage")
+    assert post.count() == 3
 
 
 def test_batch_read_requires_starting_version(spark, tmpdir_path):
@@ -135,3 +136,52 @@ def test_batch_read_requires_starting_version(spark, tmpdir_path):
     except Exception:
         raised = True
     assert raised
+
+
+def test_rate_limited_restart_resumes_without_duplicates(spark, tmpdir_path):
+    """Stop a rate-limited stream mid-backlog and restart it with the
+    SAME options (stale startingVersion included — the documented
+    re-anchor case): the floor self-heals from the checkpointed start
+    and the union of both runs is exactly the change feed, no
+    duplicates, no gaps."""
+    path = os.path.join(tmpdir_path, "t")
+    t, v0 = _history(spark, path, n_commits=6)
+    vN = t.current_version()
+    expect = _canon(t.changes_between(v0, vN))
+
+    spark.dataSource.register(LakeCdfDataSource)
+    out = os.path.join(tmpdir_path, "out")
+    ck = os.path.join(tmpdir_path, "ck")
+
+    def run(stop_after_rows):
+        df = (
+            spark.readStream.format("lake_cdf")
+            .option("path", path)
+            .option("startingVersion", v0 + 1)
+            .option("maxVersionsPerBatch", 1)
+            .load()
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 240
+        try:
+            while time.time() < deadline:
+                try:
+                    if spark.read.schema(df.schema).parquet(out).count() >= stop_after_rows:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        return df.schema
+
+    sch = run(stop_after_rows=2)        # partial drain
+    run(stop_after_rows=len(expect))    # restart, same stale options
+    got = spark.read.schema(sch).parquet(out)
+    assert _canon(got) == expect
