@@ -2108,6 +2108,8 @@ class LakeTable:
         when_matched_delete: Any = None,
         matched_condition: Any = None,
         when_not_matched_insert: bool = True,
+        when_not_matched_by_source_delete: Any = None,
+        when_not_matched_by_source_update: "dict[str, Any] | None" = None,
         batch_id: int | None = None,
     ) -> dict[str, Any]:
         """Generic ``MERGE INTO`` (Delta/Iceberg analogue): classify an
@@ -2133,6 +2135,17 @@ class LakeTable:
         - ``when_not_matched_insert`` — insert source rows whose key is
           absent (or deleted) in the table; the source must carry
           ``warc_ts`` for this clause.
+        - ``when_not_matched_by_source_delete`` / ``_update`` — Delta's
+          third clause family: live TARGET rows whose key is absent from
+          the source get tombstoned (``True`` or a SQL/Column condition
+          over target columns, plain names — there is no source row) or
+          updated (dict of assignments over target columns). Unlike the
+          other clauses this is O(live table), not O(source buckets): it
+          must scan every bucket to find non-matches — the same cost
+          Delta pays — so it is opt-in and the scan happens only when one
+          of the two is set. The classic use is snapshot-sync: make the
+          table equal a full source snapshot with
+          ``merge_into(snap, when_not_matched_by_source_delete=True)``.
 
         Matched events reuse the TARGET row's ``warc_ts`` and a fresh
         max+1 lsn, so they win LWW now but any later feed event for the
@@ -2275,6 +2288,62 @@ class LakeTable:
                 else:
                     icols.append(F.lit(None).cast(_tgt_type(c)).alias(c))
             events.append(ev("I", icols, ~matched))
+        bs_del = when_not_matched_by_source_delete
+        bs_del = None if bs_del is False else bs_del
+        bs_upd = when_not_matched_by_source_update
+        if bs_del is not None or bs_upd:
+            # WHEN NOT MATCHED BY SOURCE: inherently O(live table) — every
+            # bucket must be scanned to find keys the source lacks
+            if bs_upd:
+                bad = set(bs_upd) & {key, *ORDER_COLS, *_INTERNAL_COLS}
+                if bad:
+                    raise ValueError(
+                        f"cannot update structural column(s) {sorted(bad)}"
+                    )
+            nms = (
+                self.read_physical(fold=True)
+                .where(~F.col("is_deleted"))
+                .select(*tgt_public)
+                .join(source.select(key), on=key, how="left_anti")
+            )
+            dcond = None
+            if bs_del is not None:
+                dcond = (
+                    F.lit(True) if bs_del is True
+                    else F.expr(bs_del) if isinstance(bs_del, str) else bs_del
+                )
+
+            def bsev(op: str, cols, where) -> DataFrame:
+                return nms.where(where).select(
+                    F.lit(lsn).cast("long").alias("lsn"),
+                    F.lit(-1).cast("int").alias("partition"),
+                    F.lit(op).alias("op"),
+                    *cols,
+                )
+
+            if dcond is not None:
+                dcols = []
+                for c in tgt_public + extras:
+                    if c in (key, "warc_ts"):
+                        dcols.append(F.col(c))
+                    else:
+                        dcols.append(F.lit(None).cast(_tgt_type(c)).alias(c))
+                events.append(bsev("D", dcols, dcond))
+            if bs_upd:
+                ucols = []
+                for c in tgt_public + extras:
+                    if c in bs_upd:
+                        v = bs_upd[c]
+                        ucols.append(
+                            (F.expr(v) if isinstance(v, str) else v).alias(c)
+                        )
+                    elif c in extras:  # no source row: new columns null
+                        ucols.append(F.lit(None).cast(_src_type(c)).alias(c))
+                    else:
+                        ucols.append(F.col(c))
+                w = F.lit(True) if dcond is None \
+                    else ~F.coalesce(dcond, F.lit(False))
+                events.append(bsev("U", ucols, w))
         if not events:
             return {"operation": "merge_into", "n_events": 0, "skipped": True}
         changes = events[0]

@@ -188,3 +188,40 @@ def test_merge_into_mor(spark, tmpdir_path):
     rows = {r.url: r.lang for r in t.read().collect()}
     assert rows["u0"] == "pt+fr"  # folded delta (pt) was the match target
     assert rows["u9"] == "de"
+
+
+def test_not_matched_by_source_snapshot_sync(spark, tmpdir_path):
+    """The snapshot-sync idiom: after the merge, the table's live keys
+    equal the source snapshot exactly (inserts + updates + by-source
+    deletes in ONE atomic commit)."""
+    t = _seed(spark, os.path.join(tmpdir_path, "t")).table
+    snap = _source(spark, [
+        ("u0", TS, "fr"),                       # matched -> update
+        ("u9", TS + dt.timedelta(days=1), "de"),  # new -> insert
+    ])
+    s = t.merge_into(snap, when_not_matched_by_source_delete=True)
+    assert s["n_update"] == 1 and s["n_insert"] == 1 and s["n_delete"] == 3
+    rows = {r.url: r.lang for r in t.read().collect()}
+    assert rows == {"u0": "fr", "u9": "de"}
+
+
+def test_not_matched_by_source_conditional_update(spark, tmpdir_path):
+    """Conditional by-source clauses over plain target column names;
+    delete beats update on the same row."""
+    t = _seed(spark, os.path.join(tmpdir_path, "t")).table
+    src = _source(spark, [("u0", None, "fr")])
+    s = t.merge_into(
+        src,
+        when_not_matched_insert=False,
+        when_matched_update=False,
+        when_not_matched_by_source_delete="url = 'u3'",
+        when_not_matched_by_source_update={"lang": "concat(lang, '-stale')"},
+    )
+    assert s["n_delete"] == 1 and s["n_update"] == 2
+    rows = {r.url: r.lang for r in t.read().collect()}
+    assert rows["u0"] == "en"          # matched: update clause disabled
+    assert rows["u1"] == "en-stale"    # by-source update
+    assert rows["u2"] == "en-stale"
+    assert "u3" not in rows            # by-source delete beats update
+    with pytest.raises(ValueError, match="structural"):
+        t.merge_into(src, when_not_matched_by_source_update={"url": "'x'"})
