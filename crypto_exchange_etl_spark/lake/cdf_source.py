@@ -272,7 +272,10 @@ class _CdfPlannerBase:
 
         def live(side: str):
             lsn = j[f"lsn{side}"]
-            dele = j[f"is_deleted{side}"].fillna(True).astype(bool)
+            # object-dtype fillna→bool downcast is deprecated in pandas;
+            # build the mask null-safely instead
+            raw = j[f"is_deleted{side}"]
+            dele = raw.isna() | (raw == True)  # noqa: E712 (vector compare)
             return lsn.notna() & ~dele
 
         old_live, new_live = live("_o"), live("_n")
