@@ -53,6 +53,48 @@ _META_FIELDS = [
 ]
 
 
+def _last_checkpointed_version(ck: str) -> int:
+    """Latest lake_cdf version recorded in a streaming checkpoint's
+    offset log (-1 if none). The offset files are Spark's OffsetSeqLog:
+    a version header, a metadata JSON line, then one offset per source —
+    ours is the dict ``{"version": N}``. Local-filesystem checkpoints
+    only (the same assumption the table's manifests make)."""
+    import json as _json
+
+    d = os.path.join(ck, "offsets")
+    best = -1
+    if os.path.isdir(d):
+        nums = [f for f in os.listdir(d) if f.isdigit()]
+        if nums:
+            with open(os.path.join(d, max(nums, key=int))) as fh:
+                for line in fh.read().splitlines()[1:]:
+                    try:
+                        o = _json.loads(line)
+                    except ValueError:
+                        continue
+                    if isinstance(o, dict) and "version" in o:
+                        best = max(best, int(o["version"]))
+    return best
+
+
+def _coerce_default(v: Any, dt: T.DataType) -> Any:
+    """Coerce a stored initial default (JSON scalar) to the Python type
+    the Arrow conversion expects for column type ``dt`` — the worker-side
+    twin of ``_read_raw``'s ``lit(v).cast(dtype)``."""
+    try:
+        if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+            return float(v)
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return int(v)
+        if isinstance(dt, T.StringType):
+            return str(v)
+        if isinstance(dt, T.BooleanType):
+            return v if isinstance(v, bool) else str(v).lower() == "true"
+    except (TypeError, ValueError):
+        return None  # same outcome as an uncastable lit() in _read_raw
+    return v
+
+
 def _table(path: str):
     # metadata-only use: LakeTable's manifest machinery never touches the
     # SparkSession (drivers of this source plan from JSON alone)
@@ -116,7 +158,11 @@ class _CdfPlannerBase:
         t = _table(self.path)
         m = t.manifest()
         self._key = m["key"]
-        self._defaults = m.get("column_defaults") or {}
+        self._defaults = {
+            f.name: _coerce_default(v, f.dataType)
+            for f in schema.fields
+            if (v := (m.get("column_defaults") or {}).get(f.name)) is not None
+        }
         # field ids of the pinned query schema (None for pre-DDL tables)
         self._query_fids = m.get("field_ids")
         self._query_eps = m.get("schema_epochs")
@@ -315,18 +361,24 @@ class LakeCdfStreamReader(_CdfPlannerBase, DataSourceStreamReader):
     analogue): each planned micro-batch advances at most K versions, so
     a consumer facing a long backlog pages through it in bounded steps.
 
-    Restart safety: the cap is applied relative to a FLOOR seeded at
-    the query's startingVersion (Spark calls ``latestOffset`` before
-    ``initialOffset`` on a fresh start — measured — so construction-time
-    seeding is the only reliable anchor) and advanced by every planned
-    or committed range. One caveat, stated loudly: a CHECKPOINT RESTART
-    that still passes an old explicit ``startingVersion`` re-anchors the
-    floor below the checkpoint; the reader self-heals (a below-start
-    range plans empty and bumps the floor to the true start), but a
-    crash inside that one re-anchor window can re-emit rows after a
-    second restart. Drop ``startingVersion`` when restarting from a
-    checkpoint (it is ignored by checkpointed queries in Delta for the
-    same reason) and the cap is exactly-once-safe in every path."""
+    Restart safety: Spark calls ``latestOffset`` BEFORE ``initialOffset``
+    (measured), and the Python source API never tells the reader where
+    the checkpoint stands — so a cap anchored at ``startingVersion``
+    would, on restart, log an offset BELOW the checkpoint and re-emit
+    rows. Admission control therefore REQUIRES the ``checkpointLocation``
+    option (the same path given to ``writeStream``): at construction the
+    reader inspects ``<ck>/offsets`` and seeds the cap's floor at
+    max(startingVersion-1, last checkpointed version) — fresh queries
+    (empty dir) page from startingVersion, restarts page from the
+    checkpoint, and the emitted offsets are monotone in every path. The
+    floor also advances with every planned/committed range as a
+    backstop.
+
+    Trigger interplay (measured): ``availableNow`` latches its drain
+    target from the FIRST (capped) ``latestOffset``, so one invocation
+    advances at most K versions — re-invoke to page further (the cron
+    pattern the engine's own ``tail`` uses). Continuous paging through a
+    backlog wants ``processingTime``."""
 
     def __init__(self, schema: T.StructType, options: dict):
         super().__init__(schema, options)
@@ -336,19 +388,23 @@ class LakeCdfStreamReader(_CdfPlannerBase, DataSourceStreamReader):
         self._max_versions = int(mv) if mv is not None else None
         if self._max_versions is not None and self._max_versions < 1:
             raise ValueError("maxVersionsPerBatch must be >= 1")
-        self._floor: int = self._initial
+        self._floor = self._initial
+        if self._max_versions is not None:
+            ck = options.get(
+                "checkpointLocation", options.get("checkpointlocation")
+            )
+            if ck is None:
+                raise ValueError(
+                    "maxVersionsPerBatch requires option 'checkpointLocation' "
+                    "(the writeStream checkpoint dir): the Python source API "
+                    "does not expose the restart position, and capping "
+                    "without it would rewind the offset log on restart"
+                )
+            self._floor = max(self._floor, _last_checkpointed_version(ck))
 
     # ----------------------------------------------------------- offsets
 
-    def _dbg(self, msg: str) -> None:
-        import os as _os
-        f = _os.environ.get("SPARK_CDF_DEBUG_LOG")
-        if f:
-            with open(f, "a") as fh:
-                fh.write(f"{_os.getpid()} {msg}\n")
-
     def initialOffset(self) -> dict:
-        self._dbg(f"initialOffset -> {self._initial}")
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
@@ -356,7 +412,6 @@ class LakeCdfStreamReader(_CdfPlannerBase, DataSourceStreamReader):
         if self._max_versions is not None:
             cur = max(min(cur, self._floor + self._max_versions), self._floor)
             self._floor = cur
-        self._dbg(f"latestOffset floor={self._floor} -> {cur}")
         return {"version": cur}
 
     def commit(self, end: dict) -> None:
@@ -364,11 +419,9 @@ class LakeCdfStreamReader(_CdfPlannerBase, DataSourceStreamReader):
         self._floor = max(self._floor, int(end["version"]))
 
     def partitions(self, start: dict, end: dict) -> list[CdfPartition]:
-        self._dbg(f"partitions {start} {end}")
         sv, ev = int(start["version"]), int(end["version"])
-        # restart re-anchor: a stale startingVersion seeded the floor
-        # below the checkpointed start — plan empty, jump the floor to
-        # the true position, and page normally from the next trigger
+        # backstop: never let the cap's floor fall behind a range the
+        # engine has actually planned
         self._floor = max(self._floor, sv, ev)
         if ev <= sv:
             return []

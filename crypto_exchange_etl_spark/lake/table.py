@@ -2173,7 +2173,9 @@ class LakeTable:
         env = {"lsn", "op", "partition", *_INTERNAL_COLS}
         src_payload = [c for c in source.columns if c not in env]
         extras = [c for c in src_payload if c not in tgt_public]
-        clash = set(source.columns) & {f"t_{c}" for c in tgt_public}
+        clash = set(source.columns) & (
+            {f"t_{c}" for c in tgt_public} | {"t__matched"}
+        )
         if clash:
             raise ValueError(
                 f"source columns {sorted(clash)} collide with the t_-prefixed "
@@ -2185,6 +2187,15 @@ class LakeTable:
                 raise ValueError(
                     f"cannot update structural column(s) {sorted(bad)}"
                 )
+            unknown = set(when_matched_update) - set(tgt_public) - set(extras)
+            if unknown:
+                raise ValueError(f"unknown column(s) {sorted(unknown)}")
+        # pin the source before it is consulted by several independent
+        # jobs (dup guard, bucket collect, classification, merge write):
+        # a lazily re-evaluated non-deterministic source could pass the
+        # guard yet produce duplicates later — Delta materializes the
+        # MERGE source for the same reason
+        source = source.localCheckpoint(eager=True)
         if source.groupBy(key).count().where("count > 1").limit(1).count():
             raise ValueError(
                 "source has duplicate merge keys — MERGE requires at most "
@@ -2200,11 +2211,12 @@ class LakeTable:
         ]
         live = (
             self.read_physical(buckets=buckets, fold=True)
-            .where(~F.col("is_deleted"))
             .select(
                 F.col(key),
                 *[F.col(c).alias(f"t_{c}") for c in tgt_public if c != key],
-                F.lit(True).alias("t__matched"),
+                # live rows match; tombstones join through (their warc_ts
+                # is needed below) but classify as NOT matched
+                F.when(~F.col("is_deleted"), F.lit(True)).alias("t__matched"),
             )
         )
         j = source.join(live, on=key, how="left")
@@ -2283,11 +2295,22 @@ class LakeTable:
                 )
             icols = []
             for c in tgt_public + extras:
-                if c in src_payload:
+                if c == "warc_ts":
+                    # a key "absent" because a NEWER tombstone holds it
+                    # would silently out-order a plain source timestamp;
+                    # adopting max(source ts, tombstone ts) + max+1 lsn
+                    # makes the insert actually land (Delta's WHEN NOT
+                    # MATCHED guarantee), while a LATER feed event still
+                    # wins normally
+                    icols.append(
+                        F.greatest(F.col("warc_ts"), F.col("t_warc_ts"))
+                        .alias("warc_ts")
+                    )
+                elif c in src_payload:
                     icols.append(F.col(c))
                 else:
                     icols.append(F.lit(None).cast(_tgt_type(c)).alias(c))
-            events.append(ev("I", icols, ~matched))
+            events.append(ev("I", icols, ~F.coalesce(matched, F.lit(False))))
         bs_del = when_not_matched_by_source_delete
         bs_del = None if bs_del is False else bs_del
         bs_upd = when_not_matched_by_source_update
@@ -2300,6 +2323,9 @@ class LakeTable:
                     raise ValueError(
                         f"cannot update structural column(s) {sorted(bad)}"
                     )
+                unknown = set(bs_upd) - set(tgt_public) - set(extras)
+                if unknown:
+                    raise ValueError(f"unknown column(s) {sorted(unknown)}")
             nms = (
                 self.read_physical(fold=True)
                 .where(~F.col("is_deleted"))

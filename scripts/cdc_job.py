@@ -282,7 +282,12 @@ def main(argv: list[str] | None = None) -> int:
             did.append(table.drop_column(args.drop_column))
         if args.add_column:
             cname, _, rest = args.add_column.partition(":")
-            ctyp, _, cdfl = rest.partition(":")
+            if "<" in rest or ":" not in rest:
+                # complex DDL types carry their own colons (struct<a:int>)
+                # and take no CLI default (defaults are scalar-only)
+                ctyp, cdfl = rest, None
+            else:
+                ctyp, _, cdfl = rest.rpartition(":")
             import json as _j
             dfl = None
             if cdfl:

@@ -65,6 +65,7 @@ def test_max_versions_per_batch_pages_through_backlog(spark, tmpdir_path):
         .option("path", path)
         .option("startingVersion", v0 + 1)
         .option("maxVersionsPerBatch", 1)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ck"))
         .load()
     )
     out = os.path.join(tmpdir_path, "out")
@@ -159,6 +160,7 @@ def test_rate_limited_restart_resumes_without_duplicates(spark, tmpdir_path):
             .option("path", path)
             .option("startingVersion", v0 + 1)
             .option("maxVersionsPerBatch", 1)
+            .option("checkpointLocation", ck)
             .load()
         )
         q = (
@@ -185,3 +187,33 @@ def test_rate_limited_restart_resumes_without_duplicates(spark, tmpdir_path):
     run(stop_after_rows=len(expect))    # restart, same stale options
     got = spark.read.schema(sch).parquet(out)
     assert _canon(got) == expect
+
+
+def test_max_versions_requires_checkpoint_location(spark, tmpdir_path):
+    """Admission control without the checkpointLocation anchor would
+    rewind the offset log on restart — it is refused outright."""
+    path = os.path.join(tmpdir_path, "t")
+    _history(spark, path, n_commits=2)
+    spark.dataSource.register(LakeCdfDataSource)
+    df = (
+        spark.readStream.format("lake_cdf")
+        .option("path", path)
+        .option("maxVersionsPerBatch", 1)
+        .load()
+    )
+    q = None
+    try:
+        q = (df.writeStream.format("noop")
+             .option("checkpointLocation", os.path.join(tmpdir_path, "ck2"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        failed = False
+    except Exception as e:
+        failed = "checkpointLocation" in str(e)
+    finally:
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
+    assert failed

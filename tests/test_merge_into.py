@@ -225,3 +225,45 @@ def test_not_matched_by_source_conditional_update(spark, tmpdir_path):
     assert "u3" not in rows            # by-source delete beats update
     with pytest.raises(ValueError, match="structural"):
         t.merge_into(src, when_not_matched_by_source_update={"url": "'x'"})
+
+
+def test_insert_revives_newer_tombstone(spark, tmpdir_path):
+    """WHEN NOT MATCHED insert must land even when the key is held by a
+    tombstone with a NEWER warc_ts than the source row: the insert adopts
+    max(source ts, tombstone ts) + max+1 lsn (review fix), while a later
+    feed event still wins afterwards."""
+    pipe = _seed(spark, os.path.join(tmpdir_path, "t"))
+    t = pipe.table
+    # delete u0 with a far-future warc_ts
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [(50, 0, "D", "u0", TS + dt.timedelta(days=100), None, None)],
+            CHANGES_SCHEMA,
+        ),
+        batch_id=1,
+    )
+    t = pipe.table
+    assert "u0" not in {r.url for r in t.read().collect()}
+    # source insert carries an OLDER timestamp than the tombstone
+    s = t.merge_into(_source(spark, [("u0", TS + dt.timedelta(days=1), "fr")]))
+    assert s["n_insert"] == 1
+    rows = {r.url: r for r in t.read().collect()}
+    assert rows["u0"].lang == "fr"  # revived despite the newer tombstone
+    # a later feed event still beats the revived row
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [(99, 0, "U", "u0", TS + dt.timedelta(days=200), b"<p>z</p>", "ja")],
+            CHANGES_SCHEMA,
+        ),
+        batch_id=2,
+    )
+    assert {r.url: r.lang for r in pipe.table.read().collect()}["u0"] == "ja"
+
+
+def test_unknown_assignment_key_raises(spark, tmpdir_path):
+    t = _seed(spark, os.path.join(tmpdir_path, "t")).table
+    src = _source(spark, [("u0", None, "fr")])
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge_into(src, when_matched_update={"lagn": "'x'"})
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge_into(src, when_not_matched_by_source_update={"lagn": "'x'"})

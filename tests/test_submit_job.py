@@ -226,3 +226,13 @@ def test_cli_ddl_and_dml(spark, tmpdir_path, capsys):
     assert "language" not in df.columns and "score" in df.columns
     # initial default parsed from the CLI spec fills pre-add rows
     assert df.where("score = 0.25").count() == df.count()
+
+    # complex DDL types carry their own colons (review fix: the default
+    # split must not eat them)
+    rc = cdc_job.main(
+        ["maintain", "--table", table_path,
+         "--add-column", "meta:struct<a:int,b:string>"]
+    )
+    assert rc == 0
+    df = LakeTable.load(spark, table_path).read()
+    assert dict(df.dtypes)["meta"] == "struct<a:int,b:string>"
