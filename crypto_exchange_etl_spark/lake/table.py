@@ -2196,7 +2196,13 @@ class LakeTable:
         # guard yet produce duplicates later — Delta materializes the
         # MERGE source for the same reason
         source = source.localCheckpoint(eager=True)
-        if source.groupBy(key).count().where("count > 1").limit(1).count():
+        dup_probe = (
+            source.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n_rows"))
+            .where(F.col("__n_rows") > 1)  # aliased: a source column
+            # literally named "count" must not shadow the probe
+        )
+        if dup_probe.limit(1).count():
             raise ValueError(
                 "source has duplicate merge keys — MERGE requires at most "
                 "one source row per target row (dedupe upstream, e.g. "

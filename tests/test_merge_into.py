@@ -267,3 +267,15 @@ def test_unknown_assignment_key_raises(spark, tmpdir_path):
         t.merge_into(src, when_matched_update={"lagn": "'x'"})
     with pytest.raises(ValueError, match="unknown column"):
         t.merge_into(src, when_not_matched_by_source_update={"lagn": "'x'"})
+
+
+def test_source_with_count_column(spark, tmpdir_path):
+    """A source column literally named 'count' must not shadow the
+    duplicate-key probe (aliased aggregate, review follow-up)."""
+    t = _seed(spark, os.path.join(tmpdir_path, "t")).table
+    src = _source(spark, [("u0", None, "fr", 7)],
+                  extra=[T.StructField("count", T.IntegerType(), True)])
+    s = t.merge_into(src, when_not_matched_insert=False)
+    assert s["n_update"] == 1
+    row = {r.url: r for r in t.read().collect()}["u0"]
+    assert row.lang == "fr" and row["count"] == 7
