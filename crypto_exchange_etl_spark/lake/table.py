@@ -76,6 +76,40 @@ class CommitConflictError(RuntimeError):
     commit order (Iceberg's commit-retry model)."""
 
 
+def _coerce_initial_default(v, dtype: T.DataType):
+    """Eagerly validate + canonicalize an add_column initial default
+    against the declared type — a default that only failed (or silently
+    nulled) at READ time would brick or corrupt every multi-epoch scan
+    after a single bad DDL commit. Scalars onto atomic types only."""
+    if not isinstance(v, (str, int, float, bool)):
+        raise ValueError(
+            f"initial default must be a plain scalar, got {type(v).__name__}"
+        )
+    try:
+        if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+            return float(v)
+        if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            if isinstance(v, float) and v != int(v):
+                raise ValueError(v)
+            return int(v)
+        if isinstance(dtype, T.StringType):
+            return str(v)
+        if isinstance(dtype, T.BooleanType):
+            if isinstance(v, bool):
+                return v
+            if str(v).lower() in ("true", "false"):
+                return str(v).lower() == "true"
+            raise ValueError(v)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"initial default {v!r} is not castable to {dtype.simpleString()}"
+        ) from None
+    raise ValueError(
+        f"initial defaults are supported on atomic column types only, "
+        f"not {dtype.simpleString()}"
+    )
+
+
 def _fmt_version(v: int) -> str:
     return f"v{v:08d}.json"
 
@@ -884,6 +918,13 @@ class LakeTable:
         payload = T.StructType(
             [f for f in enriched.schema.fields if f.name not in ("op", "partition")]
         )  # lsn is both envelope and lineage; exclude op/partition only
+        bad_payload = {f.name for f in payload.fields} & {"bucket", "__key_hash__"}
+        if bad_payload:
+            raise ValueError(
+                f"batch payload column(s) {sorted(bad_payload)} collide with "
+                "the write-path namespace (bucket exchange / z-order hash) — "
+                "rename them upstream"
+            )
         res = resolve_schema(table_schema, payload)
         new_schema = res.schema
 
@@ -2152,9 +2193,9 @@ class LakeTable:
         key still beats them — identical contract to :meth:`update_where`.
         Source columns unknown to the table evolve the schema through the
         normal merge path. A source with duplicate keys is rejected
-        (Delta's multiple-matches error). ``WHEN NOT MATCHED BY SOURCE``
-        is deliberately absent: :meth:`delete_where` /
-        :meth:`update_where` already cover whole-table predicates.
+        (Delta's multiple-matches error); ``matched_condition`` does not
+        gate the by-source clauses (Delta's rule: each clause family has
+        its own conditions).
 
         Scale shape: the live side reads ONLY the buckets the source
         keys can hash to (manifest file pruning — O(n_buckets) driver
@@ -2170,8 +2211,16 @@ class LakeTable:
             raise ValueError(f"source must carry the merge key {key!r}")
         schema = T.StructType.fromJson(m["schema"])
         tgt_public = [f.name for f in schema.fields if f.name not in _INTERNAL_COLS]
-        env = {"lsn", "op", "partition", *_INTERNAL_COLS}
-        src_payload = [c for c in source.columns if c not in env]
+        reserved = ({"lsn", "op", "partition", "bucket", "__key_hash__"}
+                    | set(_INTERNAL_COLS)) - {key}
+        bad_src = set(source.columns) & reserved
+        if bad_src:
+            raise ValueError(
+                f"source columns {sorted(bad_src)} collide with the change-"
+                "envelope / write-path namespace — rename them before the "
+                "merge (silently dropping them would lose data)"
+            )
+        src_payload = list(source.columns)
         extras = [c for c in src_payload if c not in tgt_public]
         clash = set(source.columns) & (
             {f"t_{c}" for c in tgt_public} | {"t__matched"}
@@ -2181,15 +2230,34 @@ class LakeTable:
                 f"source columns {sorted(clash)} collide with the t_-prefixed "
                 "target namespace used by merge conditions"
             )
-        if isinstance(when_matched_update, dict):
-            bad = set(when_matched_update) & {key, *ORDER_COLS, *_INTERNAL_COLS}
+
+        def _validate_assignments(d: dict) -> None:
+            bad = set(d) & {key, *ORDER_COLS, *_INTERNAL_COLS}
             if bad:
                 raise ValueError(
                     f"cannot update structural column(s) {sorted(bad)}"
                 )
-            unknown = set(when_matched_update) - set(tgt_public) - set(extras)
+            unknown = set(d) - set(tgt_public) - set(extras)
             if unknown:
                 raise ValueError(f"unknown column(s) {sorted(unknown)}")
+
+        if isinstance(when_matched_update, dict):
+            _validate_assignments(when_matched_update)
+        bs_del = when_not_matched_by_source_delete
+        bs_del = None if bs_del is False else bs_del
+        bs_upd = when_not_matched_by_source_update
+        if bs_upd:
+            _validate_assignments(bs_upd)
+        if when_not_matched_insert and "warc_ts" not in source.columns:
+            raise ValueError(
+                "when_not_matched_insert needs warc_ts in the source "
+                "(the LWW order column of inserted rows)"
+            )
+        # all pure-metadata validation precedes the first Spark job.
+        # Bind the key to the table's type BEFORE hashing: a dtype-skewed
+        # key (int vs long) hashes to different buckets than the write
+        # side and corrupts both pruning and classification.
+        source = source.withColumn(key, F.col(key).cast(schema[key].dataType))
         # pin the source before it is consulted by several independent
         # jobs (dup guard, bucket collect, classification, merge write):
         # a lazily re-evaluated non-deterministic source could pass the
@@ -2249,13 +2317,32 @@ class LakeTable:
 
         lsn = self._max_lsn(m) + 1
 
-        def ev(op: str, cols, where) -> DataFrame:
-            return j.where(where).select(
+        def ev(frame: DataFrame, op: str, cols, where) -> DataFrame:
+            return frame.where(where).select(
                 F.lit(lsn).cast("long").alias("lsn"),
                 F.lit(-1).cast("int").alias("partition"),
                 F.lit(op).alias("op"),
                 *cols,
             )
+
+        if when_not_matched_insert:
+            # a not-matched row whose LWW rank would be NULL (null source
+            # warc_ts AND no tombstone ts to adopt) cannot win the merge
+            # window — it would be silently dropped; refuse loudly instead
+            bad_ins = (
+                j.where(
+                    ~F.coalesce(matched, F.lit(False))
+                    & F.col("warc_ts").isNull()
+                    & F.col("t_warc_ts").isNull()
+                )
+                .limit(1).count()
+            )
+            if bad_ins:
+                raise ValueError(
+                    "when_not_matched_insert requires a non-null warc_ts "
+                    "on every inserted source row (a null LWW rank would "
+                    "silently drop the insert)"
+                )
 
         events: list[DataFrame] = []
         if del_cond is not None:
@@ -2267,7 +2354,7 @@ class LakeTable:
                     dcols.append(F.col("t_warc_ts").alias("warc_ts"))
                 else:  # tombstones carry no payload bytes
                     dcols.append(F.lit(None).cast(_tgt_type(c)).alias(c))
-            events.append(ev("D", dcols, matched & mc & del_cond))
+            events.append(ev(j, "D", dcols, matched & mc & del_cond))
         if when_matched_update is not False:
             ucols = []
             for c in tgt_public + extras:
@@ -2292,13 +2379,8 @@ class LakeTable:
             w = matched & mc
             if del_cond is not None:
                 w = w & ~F.coalesce(del_cond, F.lit(False))
-            events.append(ev("U", ucols, w))
+            events.append(ev(j, "U", ucols, w))
         if when_not_matched_insert:
-            if "warc_ts" not in source.columns:
-                raise ValueError(
-                    "when_not_matched_insert needs warc_ts in the source "
-                    "(the LWW order column of inserted rows)"
-                )
             icols = []
             for c in tgt_public + extras:
                 if c == "warc_ts":
@@ -2316,22 +2398,10 @@ class LakeTable:
                     icols.append(F.col(c))
                 else:
                     icols.append(F.lit(None).cast(_tgt_type(c)).alias(c))
-            events.append(ev("I", icols, ~F.coalesce(matched, F.lit(False))))
-        bs_del = when_not_matched_by_source_delete
-        bs_del = None if bs_del is False else bs_del
-        bs_upd = when_not_matched_by_source_update
+            events.append(ev(j, "I", icols, ~F.coalesce(matched, F.lit(False))))
         if bs_del is not None or bs_upd:
             # WHEN NOT MATCHED BY SOURCE: inherently O(live table) — every
             # bucket must be scanned to find keys the source lacks
-            if bs_upd:
-                bad = set(bs_upd) & {key, *ORDER_COLS, *_INTERNAL_COLS}
-                if bad:
-                    raise ValueError(
-                        f"cannot update structural column(s) {sorted(bad)}"
-                    )
-                unknown = set(bs_upd) - set(tgt_public) - set(extras)
-                if unknown:
-                    raise ValueError(f"unknown column(s) {sorted(unknown)}")
             nms = (
                 self.read_physical(fold=True)
                 .where(~F.col("is_deleted"))
@@ -2345,14 +2415,6 @@ class LakeTable:
                     else F.expr(bs_del) if isinstance(bs_del, str) else bs_del
                 )
 
-            def bsev(op: str, cols, where) -> DataFrame:
-                return nms.where(where).select(
-                    F.lit(lsn).cast("long").alias("lsn"),
-                    F.lit(-1).cast("int").alias("partition"),
-                    F.lit(op).alias("op"),
-                    *cols,
-                )
-
             if dcond is not None:
                 dcols = []
                 for c in tgt_public + extras:
@@ -2360,7 +2422,7 @@ class LakeTable:
                         dcols.append(F.col(c))
                     else:
                         dcols.append(F.lit(None).cast(_tgt_type(c)).alias(c))
-                events.append(bsev("D", dcols, dcond))
+                events.append(ev(nms, "D", dcols, dcond))
             if bs_upd:
                 ucols = []
                 for c in tgt_public + extras:
@@ -2375,12 +2437,16 @@ class LakeTable:
                         ucols.append(F.col(c))
                 w = F.lit(True) if dcond is None \
                     else ~F.coalesce(dcond, F.lit(False))
-                events.append(bsev("U", ucols, w))
+                events.append(ev(nms, "U", ucols, w))
         if not events:
             return {"operation": "merge_into", "n_events": 0, "skipped": True}
         changes = events[0]
         for e in events[1:]:
             changes = changes.unionByName(e)
+        # the classification plan (including any O(table) by-source scan)
+        # would otherwise re-execute for the empty probe, the narrow aggs,
+        # and the winner fetch — pin the O(events) result once
+        changes = changes.localCheckpoint(eager=True)
         if changes.isEmpty():
             return {"operation": "merge_into", "n_events": 0, "skipped": True}
         bid = batch_id if batch_id is not None else -(uuid.uuid4().int >> 66)
@@ -2427,6 +2493,13 @@ class LakeTable:
         :meth:`merge_apply`.
         """
         m = self.manifest()
+        if ts_col in (self.manifest().get("column_defaults") or {}):
+            raise ValueError(
+                f"ts_col {ts_col!r} carries an initial default: files that "
+                "predate the column read a value the parquet footers and "
+                "manifest bounds cannot see, so age pruning would silently "
+                "never expire those rows — drop the default first"
+            )
         cutoff = older_than
         if cutoff.tzinfo is not None:
             cutoff = cutoff.astimezone(_dt.timezone.utc).replace(tzinfo=None)
@@ -2723,6 +2796,8 @@ class LakeTable:
             raise ValueError(f"no column {old!r} to rename (have {sorted(names)})")
         if new in names or new in _INTERNAL_COLS:
             raise ValueError(f"column {new!r} already exists")
+        if new in ("op", "partition", "bucket", "__key_hash__"):
+            raise ValueError(f"column name {new!r} is reserved")
         if old in self._structural_cols(m):
             raise ValueError(
                 f"column {old!r} is structural (merge key / LWW order / "
@@ -2835,15 +2910,17 @@ class LakeTable:
         """
         if isinstance(dtype, str):
             dtype = T._parse_datatype_string(dtype)
-        if default is not None and not isinstance(default, (str, int, float, bool)):
-            raise ValueError(
-                f"initial default must be a plain scalar, got {type(default).__name__}"
-            )
+        if default is not None:
+            default = _coerce_initial_default(default, dtype)
         m = self.manifest()
         self._ensure_field_ids(m)
         sch = T.StructType.fromJson(m["schema"])
         if name in {f.name for f in sch.fields} or name in _INTERNAL_COLS:
             raise ValueError(f"column {name!r} already exists")
+        if name in ("op", "partition", "bucket", "__key_hash__"):
+            # change-envelope / write-path names: a payload column with
+            # one of these would be clobbered by the merge machinery
+            raise ValueError(f"column name {name!r} is reserved")
         fields = list(sch.fields) + [T.StructField(name, dtype, True)]
         fids = dict(m["field_ids"])
         fids[name] = nxt = int(m["next_field_id"])

