@@ -3353,6 +3353,10 @@ class LakeTable:
         - ``refs``: named tags/branches;
         - ``partitions``: per (spec, bucket) aggregates — file/byte/delta
           counts and row sums, the skew view `stats()` summarizes;
+        - ``columns``: the schema with its DDL bookkeeping — field id,
+          type, nullability, initial default, structural/internal flags —
+          one row per current column (the `DESCRIBE EXTENDED` face of
+          the field-id machinery);
         - ``ledger``: alias for :meth:`ledger`.
 
         All driver-side manifest reads parallelized by Spark only at
@@ -3447,9 +3451,37 @@ class LakeTable:
                 T.StructField("rows", T.LongType(), True),
             ])
             return self.spark.createDataFrame(rows, schema)
+        if name == "columns":
+            m = self.manifest(version)
+            sch = T.StructType.fromJson(m["schema"])
+            fids = m.get("field_ids") or {}
+            dfl = m.get("column_defaults") or {}
+            structural = self._structural_cols(m)
+            rows = [
+                (
+                    f.name,
+                    int(fids[f.name]) if f.name in fids else None,
+                    f.dataType.simpleString(),
+                    bool(f.nullable),
+                    json.dumps(dfl[f.name]) if f.name in dfl else None,
+                    f.name in structural,
+                    f.name in _INTERNAL_COLS,
+                )
+                for f in sch.fields
+            ]
+            schema = T.StructType([
+                T.StructField("name", T.StringType(), False),
+                T.StructField("field_id", T.LongType(), True),
+                T.StructField("type", T.StringType(), False),
+                T.StructField("nullable", T.BooleanType(), False),
+                T.StructField("initial_default_json", T.StringType(), True),
+                T.StructField("is_structural", T.BooleanType(), False),
+                T.StructField("is_internal", T.BooleanType(), False),
+            ])
+            return self.spark.createDataFrame(rows, schema)
         raise ValueError(
             f"unknown metadata table {name!r}; one of files, snapshots, "
-            "refs, partitions, ledger"
+            "refs, partitions, columns, ledger"
         )
 
     def rollback(self, version: int | str) -> dict[str, Any]:

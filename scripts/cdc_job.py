@@ -183,6 +183,30 @@ def main(argv: list[str] | None = None) -> int:
                     "keep_snapshots=5,minor_compact_max_deltas=4,"
                     "row_ttl_days=6")
 
+    mg = sub.add_parser(
+        "merge",
+        help="MERGE INTO the table from a parquet source (upsert / "
+        "conditional delete / snapshot sync)",
+    )
+    mg.add_argument("--table", required=True)
+    mg.add_argument("--source", required=True,
+                    help="parquet path of source rows keyed on the merge key")
+    mg.add_argument("--no-insert", action="store_true",
+                    help="disable WHEN NOT MATCHED INSERT")
+    mg.add_argument("--no-update", action="store_true",
+                    help="disable WHEN MATCHED UPDATE")
+    mg.add_argument("--delete-when", default=None, metavar="SQL",
+                    help="WHEN MATCHED AND <cond> DELETE (source cols by "
+                    "name, target as t_<col>)")
+    mg.add_argument("--matched-when", default=None, metavar="SQL",
+                    help="extra gate on the matched clauses")
+    mg.add_argument("--sync", action="store_true",
+                    help="WHEN NOT MATCHED BY SOURCE DELETE: make the "
+                    "table's live keys equal the source snapshot "
+                    "(O(live table) scan)")
+    mg.add_argument("--batch-id", type=int, default=None,
+                    help="exactly-once id (re-running the same id is a no-op)")
+
     ins = sub.add_parser("inspect", help="print table history and health stats")
     ins.add_argument("--table", required=True)
     ins.add_argument("--verify", action="store_true",
@@ -220,6 +244,22 @@ def main(argv: list[str] | None = None) -> int:
                 sums={"n_chars": "length(text)"},
             )
         )
+
+    if args.cmd == "merge":
+        from crypto_exchange_etl_spark.lake.table import LakeTable
+
+        table = LakeTable.load(spark, args.table)
+        summary = table.merge_into(
+            spark.read.parquet(args.source),
+            when_matched_update=not args.no_update,
+            when_matched_delete=args.delete_when,
+            matched_condition=args.matched_when,
+            when_not_matched_insert=not args.no_insert,
+            when_not_matched_by_source_delete=True if args.sync else None,
+            batch_id=args.batch_id,
+        )
+        print(_json.dumps(summary))
+        return 0
 
     if args.cmd in ("maintain", "inspect"):
         import datetime as _dt

@@ -377,3 +377,36 @@ def test_cli_auto_plan_and_run(spark, tmpdir_path):
     t2 = LakeTable.load(spark, t.path)
     assert t2.delta_file_counts() == {}
     assert _state(t2) == before
+
+
+def test_columns_metadata_table(spark, tmpdir_path):
+    """metadata_table('columns'): schema + field ids + defaults as a
+    queryable DataFrame (DESCRIBE EXTENDED face of the DDL machinery)."""
+    import json as _json
+    import datetime as _dt
+    from crypto_exchange_etl_spark.model import CHANGES_SCHEMA as _CS
+    from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline as _P
+
+    path = f"{tmpdir_path}/t"
+    pipe = _P(spark, path, n_buckets=2)
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [(1, 0, "I", "u0", _dt.datetime(2024, 1, 1), b"<p>0</p>", "en")],
+            _CS,
+        ),
+        batch_id=0,
+    )
+    t = pipe.table
+    t.add_column("score", "double", default=0.5)
+    cols = {r.name: r for r in t.metadata_table("columns").collect()}
+    assert cols["url"].is_structural and not cols["url"].is_internal
+    assert cols["lsn"].is_internal
+    assert cols["score"].type == "double"
+    assert _json.loads(cols["score"].initial_default_json) == 0.5
+    assert cols["score"].field_id == t.manifest()["field_ids"]["score"]
+    # composes with SQL
+    t.metadata_table("columns").createOrReplaceTempView("cols_meta")
+    got = [r.name for r in
+           spark.sql("select name from cols_meta where is_internal").collect()]
+    assert got == ["lsn"]  # lineage col in the logical schema; is_deleted
+    # is physical-only (added at write, hidden from the manifest schema)

@@ -236,3 +236,47 @@ def test_cli_ddl_and_dml(spark, tmpdir_path, capsys):
     assert rc == 0
     df = LakeTable.load(spark, table_path).read()
     assert dict(df.dtypes)["meta"] == "struct<a:int,b:string>"
+
+
+def test_cli_merge_subcommand(spark, tmpdir_path, capsys):
+    """merge --source drives MERGE INTO from a parquet snapshot: upsert
+    by default, --sync makes the table equal the snapshot."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location("cdc_job", JOB)
+    cdc_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cdc_job)
+
+    binlog = os.path.join(tmpdir_path, "binlog")
+    write_binlog_segments(spark, binlog, n_events=2000, n_segments=2, n_urls=150)
+    table_path = os.path.join(tmpdir_path, "pages")
+    CdcPipeline(spark, table_path, n_buckets=4).replay_all(binlog)
+    t = LakeTable.load(spark, table_path)
+    keys = [r.url for r in t.read().select("url").orderBy("url").limit(3).collect()]
+
+    src_path = os.path.join(tmpdir_path, "src")
+    spark.createDataFrame(
+        [(k, None, "sync") for k in keys],
+        "url string, warc_ts timestamp, lang string",
+    ).write.parquet(src_path)
+
+    rc = cdc_job.main(
+        ["merge", "--table", table_path, "--source", src_path,
+         "--sync", "--no-insert", "--batch-id", "4242"]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["operation"] == "merge_into" and out["n_update"] == 3
+    t = LakeTable.load(spark, table_path)
+    assert sorted(r.url for r in t.read().collect()) == sorted(keys)
+    assert {r.lang for r in t.read().collect()} == {"sync"}
+
+    # exactly-once: same batch id replays as a no-op
+    v = t.current_version()
+    rc = cdc_job.main(
+        ["merge", "--table", table_path, "--source", src_path,
+         "--sync", "--no-insert", "--batch-id", "4242"]
+    )
+    assert rc == 0
+    assert LakeTable.load(spark, table_path).current_version() == v
