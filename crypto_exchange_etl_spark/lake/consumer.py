@@ -70,11 +70,17 @@ class ChangeFeedConsumer:
                 return int(json.load(fh)["version"])
         if self._start_version is not None:
             return self._start_version
-        earliest = min(
-            int(f[1:-5])
-            for f in os.listdir(self.table.meta_dir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        earliest = self.table.earliest_version()
+        if self.table.manifest(earliest)["files"]:
+            # a non-empty earliest snapshot (post-expiry / clone v0) holds
+            # rows NO retained change feed covers: a CDF-only bootstrap
+            # would silently miss them (review fix)
+            raise ChangeFeedLagError(
+                f"earliest retained snapshot v{earliest} of "
+                f"{self.table.path} is non-empty; seed the consumer from "
+                "a full read and pass start_version, or start tail-only "
+                f"with start_version={self.table.current_version()}"
+            )
         return earliest
 
     def commit(self, version: int) -> None:
@@ -100,19 +106,20 @@ class ChangeFeedConsumer:
         try:
             self.table.manifest(pos)
         except FileNotFoundError:
-            earliest = min(
-                (
-                    int(f[1:-5])
-                    for f in os.listdir(self.table.meta_dir)
-                    if f.startswith("v") and f.endswith(".json")
-                ),
-                default=None,
-            )
+            earliest = self.table.earliest_version()
             raise ChangeFeedLagError(
                 f"cursor v{pos} predates earliest retained snapshot "
                 f"v{earliest} at {self.table.path}; resync from a full read"
             ) from None
-        return self.table.changes_between(pos, cur), cur
+        try:
+            return self.table.changes_between(pos, cur), cur
+        except FileNotFoundError:
+            # a retention hole INSIDE (pos, cur] (tag-pinned survivor
+            # with expired neighbours) — same remedy as an expired cursor
+            raise ChangeFeedLagError(
+                f"retained snapshots have a hole in ({pos}, {cur}] at "
+                f"{self.table.path}; resync from a full read"
+            ) from None
 
     # --------------------------------------------------------- metrics
 

@@ -194,19 +194,23 @@ class MaterializedLshIndex:
         log and the index can never desync under a concurrent commit).
 
         First call bootstraps through the CDF from the source's earliest
-        retained snapshot (identical math — inserts only). Raises
-        :class:`ChangeFeedLagError` when ``expire_snapshots`` outran the
-        cursor; :meth:`rebuild` resyncs from a full read.
+        retained snapshot when that snapshot is EMPTY (identical math —
+        inserts only); a NON-empty earliest (post-``expire_snapshots``,
+        or a clone's v0) falls back to :meth:`rebuild`'s full read — the
+        CDF alone cannot see rows already live at the cut (review fix).
+        Raises :class:`ChangeFeedLagError` when ``expire_snapshots``
+        outran the cursor; :meth:`rebuild` resyncs from a full read.
         """
         src = LakeTable.load(self.spark, self.source_path)
         cur = src.current_version() if to_version is None else int(to_version)
         m = self._manifest()
         if m is None:
-            pos = min(
-                int(f[1:-5])
-                for f in os.listdir(src.meta_dir)
-                if f.startswith("v") and f.endswith(".json")
-            )
+            pos = src.earliest_version()
+            if src.manifest(pos)["files"]:
+                out = self.rebuild(to_version=cur)
+                return {"refreshed": True,
+                        "source_version": out["source_version"],
+                        "from_version": None, "bootstrapped_full": True}
         else:
             pos = int(m["source_version"])
         if cur <= pos:
@@ -220,9 +224,22 @@ class MaterializedLshIndex:
             ) from None
 
         key = src.key
-        ch = src.changes_between(pos, cur).where(
-            F.col("_change_type") != "update_preimage"
-        )
+        # the index's bucket layout is pinned at its own birth: source
+        # rebucket / spec evolution must not re-address stored dirs
+        # (review fix — a source-current bucket expr would orphan old
+        # keys' band rows and leave stale candidates behind)
+        nb = int(m.get("n_buckets") or self._source_n_buckets(src)) if m \
+            else self._source_n_buckets(src)
+        ib = F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int")
+        try:
+            ch = src.changes_between(pos, cur).where(
+                F.col("_change_type") != "update_preimage"
+            )
+        except FileNotFoundError:
+            raise ChangeFeedLagError(
+                f"retained snapshots have a hole in ({pos}, {cur}] at "
+                f"{src.path}; call rebuild() to resync from a full read"
+            ) from None
         # last image per key in the span: at most one non-preimage row per
         # key per commit (the MERGE is LWW-compacted), so max_by over the
         # commit version is unambiguous.
@@ -239,7 +256,7 @@ class MaterializedLshIndex:
             key,
             F.col("f.ct").alias("_ct"),
             F.col("f.txt").alias(self.text_col),
-            src.bucket_expr(key).alias("_ib"),
+            ib.alias("_ib"),
         ).localCheckpoint(eager=True)  # reused 3×: touched set, anti-join, live rows
 
         touched = sorted(
@@ -248,9 +265,7 @@ class MaterializedLshIndex:
         live = final.where(F.col("_ct").isin(*_LIVE_TYPES)).select(
             key, self.text_col
         )
-        new_rows = self._band_rows(live, key).withColumn(
-            "_ib", src.bucket_expr(key)
-        )
+        new_rows = self._band_rows(live, key).withColumn("_ib", ib)
 
         kept = self._read_buckets(m or {"buckets": {}}, key, touched).join(
             final.select(key), key, "left_anti"
@@ -268,7 +283,8 @@ class MaterializedLshIndex:
                 buckets[str(b)] = sub
             else:  # bucket emptied (all its keys deleted)
                 buckets.pop(str(b), None)
-        self._commit({"source_version": cur, "buckets": buckets})
+        self._commit({"source_version": cur, "buckets": buckets,
+                      "n_buckets": nb})
         return {
             "refreshed": True,
             "source_version": cur,
@@ -276,15 +292,19 @@ class MaterializedLshIndex:
             "touched_buckets": touched,
         }
 
-    def rebuild(self) -> dict[str, Any]:
+    def rebuild(self, to_version: int | None = None) -> dict[str, Any]:
         """Recompute the index from a full source read (resync path after
         retention outran the cursor — also the oracle the tests compare
-        incremental maintenance against)."""
+        incremental maintenance against). ``to_version`` pins the
+        snapshot (bootstrap-fallback path); default = current."""
         src = LakeTable.load(self.spark, self.source_path)
-        cur = src.current_version()
+        cur = src.current_version() if to_version is None else int(to_version)
         key = src.key
+        nb = self._source_n_buckets(src)
         full = src.read(version=cur).select(key, self.text_col)
-        rows = self._band_rows(full, key).withColumn("_ib", src.bucket_expr(key))
+        rows = self._band_rows(full, key).withColumn(
+            "_ib", F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int")
+        )
 
         rel = f"state-{cur}-{str(uuid.uuid4())[:8]}"
         rows.write.partitionBy("_ib").parquet(os.path.join(self.view_path, rel))
@@ -293,8 +313,13 @@ class MaterializedLshIndex:
             for d in os.listdir(os.path.join(self.view_path, rel))
             if d.startswith("_ib=")
         }
-        self._commit({"source_version": cur, "buckets": buckets})
+        self._commit({"source_version": cur, "buckets": buckets,
+                      "n_buckets": nb})
         return {"rebuilt": True, "source_version": cur}
+
+    @staticmethod
+    def _source_n_buckets(src: "LakeTable") -> int:
+        return int(src.n_buckets)
 
     # ------------------------------------------------------------- commit
 
@@ -401,13 +426,7 @@ class NearDupMonitor:
 
     def _cursor(self, src: LakeTable) -> int:
         v = self._manifest()["source_version"]
-        if v is not None:
-            return int(v)
-        return min(
-            int(f[1:-5])
-            for f in os.listdir(src.meta_dir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        return int(v) if v is not None else src.earliest_version()
 
     def refresh(self) -> dict[str, Any]:
         src = LakeTable.load(self.spark, self.source_path)
@@ -441,13 +460,16 @@ class NearDupMonitor:
         span = f"span-{pos}-{cur}"
         span_path = os.path.join(self.view_path, span)
         if self.index.position() is None:
-            # Bootstrap: the index consumes (earliest, cur] in one hop —
-            # by definition nothing pre-existed the first span, so its
-            # log is empty (span-internal pairs are the documented gap).
-            self.index.refresh(to_version=cur)
+            # Bootstrap: everything live at the cut IS the pre-existing
+            # corpus, so the first span's log is empty by definition
+            # (span-internal pairs are the documented gap). Write the
+            # empty log BEFORE advancing the index — the reverse order
+            # had a crash window that permanently wedged the monitor on
+            # the line-below recovery check (review fix).
             self.spark.createDataFrame(
                 [], self._flags_schema()
             ).write.mode("overwrite").parquet(span_path)
+            self.index.refresh(to_version=cur)
         else:
             key = src.key
             ch = src.changes_between(pos, cur).where(

@@ -131,7 +131,7 @@ def plan_maintenance(
         if n_expirable:
             plan.append({
                 "action": "expire_rows",
-                "reason": f"{n_expirable} file(s) hold only rows older "
+                "reason": f"{n_expirable} file(s) hold rows older "
                           f"than {cutoff.isoformat()}",
                 "params": {"older_than": cutoff.isoformat()},
             })

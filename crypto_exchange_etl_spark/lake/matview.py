@@ -126,7 +126,11 @@ class MaterializedAggregate:
         """Advance the view to the source's current version.
 
         First call bootstraps through the CDF from the source's earliest
-        retained snapshot (identical math — inserts only). Raises
+        retained snapshot when that snapshot is EMPTY (identical math —
+        inserts only); a NON-empty earliest (post-``expire_snapshots``,
+        or a clone's v0) holds rows no retained change feed covers, so
+        bootstrap falls back to :meth:`rebuild`'s full read (review fix —
+        the CDF-only bootstrap silently missed those rows). Raises
         :class:`ChangeFeedLagError` when ``expire_snapshots`` outran the
         cursor; :meth:`rebuild` resyncs from a full read.
         """
@@ -134,11 +138,12 @@ class MaterializedAggregate:
         cur = src.current_version()
         m = self._manifest()
         if m is None:
-            pos = min(
-                int(f[1:-5])
-                for f in os.listdir(src.meta_dir)
-                if f.startswith("v") and f.endswith(".json")
-            )
+            pos = src.earliest_version()
+            if src.manifest(pos)["files"]:
+                out = self.rebuild()
+                return {"refreshed": True, "source_version":
+                        out["source_version"], "from_version": None,
+                        "bootstrapped_full": True}
         else:
             pos = int(m["source_version"])
         if cur <= pos:
@@ -151,7 +156,17 @@ class MaterializedAggregate:
                 f"{src.path}; call rebuild() to resync from a full read"
             ) from None
 
-        delta = self._delta_agg(self._signed(src.changes_between(pos, cur)))
+        try:
+            delta = self._delta_agg(
+                self._signed(src.changes_between(pos, cur))
+            )
+        except FileNotFoundError:
+            # a retention hole INSIDE (pos, cur] (tag-pinned survivor) —
+            # same remedy as an expired cursor
+            raise ChangeFeedLagError(
+                f"retained snapshots have a hole in ({pos}, {cur}] at "
+                f"{src.path}; call rebuild() to resync from a full read"
+            ) from None
         state = None if m is None else self.read()
         if state is not None:
             g = self.group_col
@@ -184,9 +199,19 @@ class MaterializedAggregate:
         with open(tmp, "w") as fh:
             json.dump({"source_version": cur, "data": rel}, fh)
         os.replace(tmp, self._manifest_path)  # atomic state+cursor commit
-        if old:
-            shutil.rmtree(os.path.join(self.view_path, old), ignore_errors=True)
+        self._sweep_unreferenced(keep=rel)
         return {"refreshed": True, "source_version": cur, "from_version": pos}
+
+    def _sweep_unreferenced(self, keep: str) -> None:
+        """Delete every ``state-*`` dir the just-committed manifest does
+        not reference — a crash between state write and manifest replace
+        leaves an orphan that would otherwise accumulate forever (same
+        sweep the LSH index commit does)."""
+        for d in os.listdir(self.view_path):
+            if d.startswith("state-") and d != keep:
+                shutil.rmtree(
+                    os.path.join(self.view_path, d), ignore_errors=True
+                )
 
     def rebuild(self) -> dict[str, Any]:
         """Recompute the view from a full source read (resync path after
@@ -208,8 +233,5 @@ class MaterializedAggregate:
         with open(tmp, "w") as fh:
             json.dump({"source_version": cur, "data": rel}, fh)
         os.replace(tmp, self._manifest_path)
-        if m:
-            shutil.rmtree(
-                os.path.join(self.view_path, m["data"]), ignore_errors=True
-            )
+        self._sweep_unreferenced(keep=rel)
         return {"rebuilt": True, "source_version": cur}

@@ -242,6 +242,21 @@ class LakeTable:
         ]
         return max(versions) if versions else None
 
+    def earliest_version(self) -> int | None:
+        """Oldest RETAINED version (``expire_snapshots`` advances it).
+        Incremental consumers bootstrapping from here must check whether
+        that snapshot is EMPTY — a non-empty earliest (post-expiry, or a
+        clone's v0) means rows exist that no retained change feed covers,
+        and the consumer needs a full-read seed instead."""
+        if not os.path.isdir(self.meta_dir):
+            return None
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(self.meta_dir)
+            if (m := re.fullmatch(r"v(\d+)\.json", f))
+        ]
+        return min(versions) if versions else None
+
     def version_as_of(self, ts: "_dt.datetime | float") -> int:
         """Latest RETAINED version committed at or before ``ts`` (Iceberg
         ``timestamp_ms`` time travel analogue). ``ts`` is a datetime

@@ -166,6 +166,13 @@ class CdcPipeline:
                         publish=False,
                     )
                     if out.get("skipped"):
+                        # same metrics contract as the non-audit path: a
+                        # replayed batch still lands a record if its
+                        # original one was lost with the crash
+                        if self.metrics_dir is not None:
+                            self._record_metrics(
+                                table, batch_id, out, _time.time() - t_start
+                            )
                         return out
                     token = out["staged_token"]
                     if not self.audit(table.read(version=token), out):
@@ -345,11 +352,15 @@ class CdcPipeline:
         Copying only the checkpoint would skip batches the fork never
         applied; cloning only the table would re-consume the whole feed.
         With both, the order of operations is crash-shaped in the safe
-        direction — the clone is taken FIRST, so the checkpoint can only
-        be at-or-behind the table, and any batch Structured Streaming
-        replays on the fork is skipped (or LWW re-applied to the same
-        bytes) by the carried guard. Resuming both sides against the same
-        feed therefore converges them to identical state (tested).
+        direction — the CHECKPOINT is copied FIRST, so it can only be
+        at-or-behind the cloned table (a batch the live stream applies
+        between the two steps lands in the clone but not in the copied
+        checkpoint), and any batch Structured Streaming replays on the
+        fork is skipped (or LWW re-applied to the same bytes) by the
+        carried guard. The reverse order would be the unsafe one: a
+        checkpoint AHEAD of the table silently drops the gap batches.
+        Resuming both sides against the same feed therefore converges
+        them to identical state (tested).
 
         Always forks the CURRENT version: a pinned older snapshot paired
         with a newer checkpoint would silently drop the batches between
@@ -363,8 +374,8 @@ class CdcPipeline:
             raise FileExistsError(
                 f"checkpoint dir already exists at {checkpoint_dst}"
             )
-        self.table.clone_to(table_path)
         shutil.copytree(checkpoint_src, checkpoint_dst, dirs_exist_ok=True)
+        self.table.clone_to(table_path)
         kw = dict(
             n_buckets=self.n_buckets,
             key=self.key,
