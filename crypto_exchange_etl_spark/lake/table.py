@@ -2656,15 +2656,40 @@ class LakeTable:
             ledger_add=[ledger_rel],
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        older_than: "_dt.datetime | float | None" = None,
+    ) -> int:
         """Delete manifests older than the last ``keep_last`` and any data
         files no longer referenced (Iceberg ``expire_snapshots`` analogue —
         the reference's hourly-partition TTL,
-        /root/reference/fintick/bqloader/bqloader.py:9-13)."""
+        /root/reference/fintick/bqloader/bqloader.py:9-13).
+
+        ``older_than`` (datetime, naive = UTC, or unix seconds) adds
+        Iceberg's age form: only snapshots COMMITTED before it are
+        eligible, so ``keep_last`` becomes a floor rather than the
+        policy — ``expire_snapshots(keep_last=1, older_than=now-5d)``
+        is Iceberg's default "expire older than 5 days" shape. A recent
+        snapshot is never dropped by count alone when it is younger
+        than the cutoff."""
         cur = self.current_version()
         if cur is None:
             return 0
         keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        if older_than is not None:
+            cutoff = (
+                float(older_than) if isinstance(older_than, (int, float))
+                else self._to_micros(older_than) / 1_000_000
+            )
+            for f in os.listdir(self.meta_dir):
+                mm = re.fullmatch(r"v(\d+)\.json", f)
+                if not mm:
+                    continue
+                v = int(mm.group(1))
+                committed = self.manifest(v).get("committed_at_unix")
+                if committed is None or float(committed) >= cutoff:
+                    keep_versions.add(v)  # too young to expire
         # named refs pin snapshots: a tag's version stays readable until
         # the tag is dropped; a branch's base version stays so its staged
         # chain can still publish/diff against it

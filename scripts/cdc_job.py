@@ -121,6 +121,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="bin-pack small files per bucket")
     mt.add_argument("--expire-snapshots", type=int, default=None,
                     metavar="KEEP_LAST", help="drop old snapshots + orphans")
+    mt.add_argument("--expire-older-than-secs", type=float, default=None,
+                    metavar="SECS",
+                    help="with --expire-snapshots: only snapshots committed "
+                    "more than SECS seconds ago are eligible (Iceberg age "
+                    "form; KEEP_LAST becomes a floor)")
     mt.add_argument("--expire-rows-before", default=None, metavar="ISO_TS",
                     help="row-level TTL cutoff (settled rows only)")
     mt.add_argument("--rewrite-clustered", default=None, metavar="COLUMN",
@@ -284,8 +289,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.compact_files:
             did.append(table.compact_files())
         if args.expire_snapshots is not None:
+            import time as _time
+            older = (
+                _time.time() - args.expire_older_than_secs
+                if args.expire_older_than_secs is not None else None
+            )
             did.append({"operation": "expire_snapshots",
-                        "files_removed": table.expire_snapshots(args.expire_snapshots)})
+                        "files_removed": table.expire_snapshots(
+                            args.expire_snapshots, older_than=older)})
         if args.expire_rows_before:
             did.append(
                 table.expire_rows(_dt.datetime.fromisoformat(args.expire_rows_before))

@@ -219,3 +219,36 @@ def test_audited_skip_still_lands_metrics(spark, tmpdir_path):
     with open(f) as fh:
         doc = json.load(fh)
     assert doc["skipped"] is True and doc["batch_id"] == 0
+
+
+def test_expire_snapshots_by_age(spark, tmpdir_path):
+    """Iceberg's age form: snapshots younger than the cutoff survive
+    regardless of keep_last; older ones expire."""
+    import time as _time
+    path = os.path.join(tmpdir_path, "t")
+    pipe = CdcPipeline(spark, path, n_buckets=2)
+    for b in range(4):
+        _apply(spark, pipe, b, [
+            (10 + b, 0, "I" if b == 0 else "U", "u0",
+             TS + dt.timedelta(days=b), b"<p>x</p>", f"l{b}"),
+        ])
+    t = pipe.table
+    vs = sorted(
+        int(f[1:-5]) for f in os.listdir(t.meta_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    # cutoff in the past: nothing is old enough — everything survives
+    t.expire_snapshots(keep_last=1, older_than=_time.time() - 3600)
+    vs_after = sorted(
+        int(f[1:-5]) for f in os.listdir(t.meta_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    assert vs_after == vs
+    # cutoff in the future: age no longer protects; count floor applies
+    t.expire_snapshots(keep_last=2, older_than=_time.time() + 3600)
+    vs_final = sorted(
+        int(f[1:-5]) for f in os.listdir(t.meta_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    assert vs_final == vs[-2:]
+    assert t.read().count() == 1  # state intact
