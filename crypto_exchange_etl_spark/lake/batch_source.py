@@ -1,0 +1,464 @@
+"""``lake`` — the table itself as a PySpark Python Data Source.
+
+Makes the snapshot lake a FIRST-CLASS Spark format, SQL-composable with
+no engine imports on the query side::
+
+    spark.dataSource.register(LakeDataSource)
+    df = spark.read.format("lake").option("path", table_path).load()
+    df.createOrReplaceTempView("pages")
+    spark.sql("SELECT lang, count(*) FROM pages GROUP BY lang")
+
+Options (all metadata-resolved at planning time, no Spark job):
+
+- ``path``           table root (required)
+- ``versionAsOf``    int snapshot version, or a named ref (tag/branch) or
+                     staged WAP token — anything :meth:`LakeTable.manifest`
+                     accepts
+- ``timestampAsOf``  ISO-8601 datetime or unix seconds — resolved via
+                     :meth:`LakeTable.version_as_of`
+
+Semantics: exactly ``LakeTable.read(version)`` — tombstones hidden,
+internal columns hidden, merge-on-read deltas LWW-folded, column
+renames/drops/re-adds resolved by field id per file epoch, Iceberg-v3
+initial defaults filled (the complement of the ``lake_cdf`` source,
+which streams the table's CHANGES; this reads its STATE).
+
+Filter pushdown (Spark 4.1 ``pushFilters``): the source consumes
+predicates for PLANNING-TIME FILE PRUNING only and returns every filter
+back to Spark for residual evaluation — pruning can therefore only ever
+skip files, never change results (the same posture as parquet row-group
+skipping). Three tiers mirror the engine's own read paths:
+
+- key equality / IN  → bucket-hash prune (``pmod(xxhash64(key), n)`` per
+  file's own spec — exact across spec evolution), manifest key min/max,
+  z-order ``__key_hash__`` bounds, and per-file bloom filters: the
+  ``lookup`` path (lake/table.py:3718) expressed through a Spark scan.
+- ``warc_ts`` range  → manifest-stats pruning with the MOR-safe rules of
+  ``scan_file_plan`` (lake/table.py:591): a lower bound prunes any file,
+  an upper bound only files no surviving delta could supersede.
+- everything else    → returned untouched.
+
+Residual-filter soundness of the fold (why pruning + per-group LWW still
+agrees with global LWW): under ``(warc_ts, lsn)`` rank order a
+superseding row never has a LOWER ``warc_ts`` than the row it replaces,
+so every file a time bound prunes holds only rows that are BOTH
+out-of-range and outranked by any surviving in-range version — whatever
+a partially-pruned fold emits for such keys is itself out-of-range and
+dies on Spark's residual predicate. Key pruning keeps every file that
+could contain a probed key (bloom/min-max never false-prune), so probed
+keys fold over their complete version set; unprobed keys are dropped by
+the residual equality. Pinned by tests against unpruned reads.
+
+Scale: planning is O(files) driver-side JSON work against the manifest
+column stats (the Iceberg model — no footer opens for stats-bearing
+manifests); each surviving base-only file becomes one input partition
+(task granularity = file, like any parquet scan), and merge-on-read
+bucket classes fold as one partition per connected class group — the
+same co-location invariant ``changes_between`` plans by. Workers read
+only their files with pyarrow and emit Arrow RecordBatches (vectorized
+end-to-end; no per-row Python).
+
+Reference analogue: ad-hoc BigQuery SQL over the tick tables
+(/root/reference/README.md:17, fintick/bqloader/base.py:60-88) — the
+"query it like any table" face of the lake.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from typing import Any, Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from .cdf_source import _coerce_default, _table
+from .xxh64 import SPARK_SEED, spark_xxhash64
+
+
+def _resolve_version(t, options: dict) -> int | str | None:
+    """Pin the snapshot the whole query reads (schema + partitions)."""
+    v = options.get("versionAsOf", options.get("versionasof"))
+    ts = options.get("timestampAsOf", options.get("timestampasof"))
+    if v is not None and ts is not None:
+        raise ValueError("versionAsOf and timestampAsOf are mutually exclusive")
+    if v is not None:
+        return int(v) if str(v).lstrip("-").isdigit() else str(v)
+    if ts is not None:
+        try:
+            when: _dt.datetime | float = float(ts)
+        except ValueError:
+            when = _dt.datetime.fromisoformat(str(ts))
+        return t.version_as_of(when)
+    cur = t.current_version()
+    if cur is None:
+        raise FileNotFoundError(f"no lake table at {t.path}")
+    return cur
+
+
+def lake_schema(options: dict) -> T.StructType:
+    from .table import _INTERNAL_COLS
+
+    t = _table(options["path"])
+    m = t.manifest(_resolve_version(t, options))
+    return T.StructType(
+        [
+            f
+            for f in T.StructType.fromJson(m["schema"]).fields
+            if f.name not in _INTERNAL_COLS
+        ]
+    )
+
+
+class LakePartition(InputPartition):
+    """One fold unit: either a single base file (``fold=False``) or every
+    file of one connected merge-on-read bucket-class group. Self-contained
+    — absolute paths with per-file column maps resolved by field id on
+    the driver (same contract as ``CdfPartition``)."""
+
+    def __init__(
+        self,
+        files: list[tuple[str, dict[str, str | None]]],
+        fold: bool,
+        key: str,
+        order_cols: list[str],
+        public_cols: list[str],
+        defaults: dict[str, Any],
+        key_values: list[Any] | None,
+    ):
+        self.files = files
+        self.fold = fold
+        self.key = key
+        self.order_cols = order_cols
+        self.public_cols = public_cols
+        self.defaults = defaults
+        # pushed key-equality probe set: safe to pre-filter BEFORE the
+        # fold (fold is per-key) — cuts the pandas working set to the
+        # probed keys; ts bounds are NOT pre-applied (unsafe pre-fold;
+        # Spark's residual filter owns them)
+        self.key_values = key_values
+
+
+class LakeReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.path = options["path"]
+        self.schema = schema
+        self.public_cols = [f.name for f in schema.fields]
+        t = _table(self.path)
+        self.version = _resolve_version(t, options)
+        m = t.manifest(self.version)
+        self._key = m["key"]
+        self._defaults = {
+            f.name: _coerce_default(v, f.dataType)
+            for f in schema.fields
+            if (v := (m.get("column_defaults") or {}).get(f.name)) is not None
+        }
+        self._key_values: list[Any] | None = None  # pushed equality probes
+        self._ts_lo: int | None = None  # inclusive, unix micros
+        self._ts_hi: int | None = None  # inclusive, unix micros
+
+    # ------------------------------------------------------- pushdown
+
+    @staticmethod
+    def _col(f) -> str | None:
+        # attribute is a ColumnPath tuple; nested refs can't prune here
+        cp = getattr(f, "attribute", ())
+        return cp[0] if len(cp) == 1 else None
+
+    def _to_micros(self, v: Any) -> int | None:
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return int(
+                (v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+            )
+        return None
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        for f in filters:
+            col = self._col(f)
+            if col == self._key and isinstance(f, (EqualTo, EqualNullSafe)):
+                vals = [f.value]
+                self._key_values = (
+                    vals
+                    if self._key_values is None
+                    else [v for v in self._key_values if v in vals]
+                )
+            elif col == self._key and isinstance(f, In):
+                vals = list(f.value)
+                self._key_values = (
+                    vals
+                    if self._key_values is None
+                    else [v for v in self._key_values if v in vals]
+                )
+            elif col == "warc_ts" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, EqualTo)
+            ):
+                mu = self._to_micros(f.value)
+                if mu is not None:
+                    lo = mu if not isinstance(f, GreaterThan) else mu + 1
+                    self._ts_lo = lo if self._ts_lo is None else max(self._ts_lo, lo)
+            if col == "warc_ts" and isinstance(
+                f, (LessThan, LessThanOrEqual, EqualTo)
+            ):
+                mu = self._to_micros(f.value)
+                if mu is not None:
+                    hi = mu if not isinstance(f, LessThan) else mu - 1
+                    self._ts_hi = hi if self._ts_hi is None else min(self._ts_hi, hi)
+        # pruning-only pushdown: Spark re-applies EVERY filter (residual),
+        # so planner decisions can never change results
+        return filters
+
+    # ------------------------------------------------------- planning
+
+    def _colmap(self, t, m: dict[str, Any], f: dict[str, Any]) -> dict[str, str | None]:
+        """query-schema column -> physical name in file ``f`` (None =
+        absent at that epoch: default/null-fill). Single-manifest twin of
+        the CDF planner's cross-manifest map."""
+        need = [*self.public_cols, "lsn", "is_deleted"]
+        fids = m.get("field_ids")
+        eps = m.get("schema_epochs")
+        out: dict[str, str | None] = {}
+        for col in need:
+            fid = (fids or {}).get(col)
+            if fid is None or eps is None:
+                out[col] = col
+            else:
+                e = min(t._file_epoch(f), len(eps) - 1)
+                out[col] = eps[e].get(str(fid))
+        return out
+
+    def _bloom_keep(self, m: dict[str, Any], files: list[dict]) -> list[dict]:
+        """Bloom tier of the key prune — pyarrow read of the bloom side
+        table (no SparkSession at planning time); same Kirsch-Mitzenmacher
+        positions as ``LakeTable._bloom_prune``."""
+        bl = m.get("blooms")
+        if not bl or not files or not self._key_values:
+            return files
+        bloom_dir = os.path.join(self.path, bl["dir"])
+        if not os.path.isdir(bloom_dir):
+            return files
+        import pyarrow.dataset as pads
+
+        from .table import LakeTable
+
+        salt_seed = spark_xxhash64(LakeTable._BLOOM_SALT) & 0xFFFFFFFFFFFFFFFF
+        probes = [
+            (spark_xxhash64(v), spark_xxhash64(v, seed=salt_seed))
+            for v in self._key_values
+            if isinstance(v, (str, bytes, int))
+        ]
+        if not probes:
+            return files
+        rels = {f["path"] for f in files}
+        rows = {}
+        for b in pads.dataset(bloom_dir, format="parquet").to_batches():
+            d = b.to_pydict()
+            for p, nb, bits in zip(d["path"], d["n_bits"], d["bloom"]):
+                if p in rels:
+                    rows[p] = (nb, bits)
+        kept = []
+        for f in files:
+            row = rows.get(f["path"])
+            if row is None:
+                kept.append(f)  # no bloom row ⇒ cannot prune
+                continue
+            n_bits, bits = row
+            hit = any(
+                all(
+                    bits[p // 8] & (1 << (p % 8))
+                    for p in LakeTable._bloom_positions(
+                        h1, h2, bl["n_hashes"], n_bits
+                    )
+                )
+                for h1, h2 in probes
+            )
+            if hit:
+                kept.append(f)
+        return kept
+
+    def partitions(self) -> list[LakePartition]:
+        t = _table(self.path)
+        m = t.manifest(self.version)
+        specs = t._specs(m)
+        files = list(m["files"])
+
+        # --- tier 1: key bucket-hash + stats + key-hash-bounds prune
+        if self._key_values is not None:
+            hashed = [
+                (v, spark_xxhash64(v))
+                for v in self._key_values
+                if isinstance(v, (str, bytes, int))
+            ]
+            if len(hashed) == len(self._key_values):
+                b_for = {
+                    sid: {h % nb for _v, h in hashed}
+                    for sid, nb in specs.items()
+                }
+                kept = []
+                for f in files:
+                    if f["bucket"] not in b_for[t._file_spec(f)]:
+                        continue
+                    hst = (f.get("stats") or {}).get("__key_hash__")
+                    if hst is not None and not any(
+                        hst[0] <= h <= hst[1] for _v, h in hashed
+                    ):
+                        continue
+                    mst = (f.get("stats") or {}).get(self._key)
+                    if mst is not None and not any(
+                        mst[0] <= v <= mst[1]
+                        for v, _h in hashed
+                        if isinstance(v, type(mst[0]))
+                    ):
+                        continue
+                    kept.append(f)
+                files = self._bloom_keep(m, kept)
+
+        # --- tier 2: warc_ts range prune (scan_file_plan's MOR-safe rules)
+        if self._ts_lo is not None or self._ts_hi is not None:
+            deltas = [
+                (specs[t._file_spec(f)], f["bucket"])
+                for f in files
+                if f.get("delta")
+            ]
+
+            def mor_affected(f) -> bool:
+                nb_f = specs[t._file_spec(f)]
+                return any(
+                    t._buckets_intersect(nb_f, f["bucket"], nb_d, b_d)
+                    for nb_d, b_d in deltas
+                )
+
+            kept = []
+            for f in files:
+                st = (f.get("stats") or {}).get("warc_ts")
+                fmin, fmax = (st[0], st[1]) if st else (None, None)
+                if self._ts_lo is not None and fmax is not None and fmax < self._ts_lo:
+                    continue
+                if (
+                    self._ts_hi is not None
+                    and fmin is not None
+                    and fmin > self._ts_hi
+                    and not (deltas and mor_affected(f))
+                ):
+                    continue
+                kept.append(f)
+            files = kept
+
+        # --- partition assembly: connected MOR groups fold together
+        delta_classes = sorted(
+            {
+                (specs[t._file_spec(f)], f["bucket"])
+                for f in files
+                if f.get("delta")
+            }
+        )
+        parent = list(range(len(delta_classes)))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(len(delta_classes)):
+            for j in range(i + 1, len(delta_classes)):
+                (na, ba), (nb, bb) = delta_classes[i], delta_classes[j]
+                if t._buckets_intersect(na, ba, nb, bb):
+                    parent[find(i)] = find(j)
+
+        def group_of(f) -> int | None:
+            nb_f = specs[t._file_spec(f)]
+            for i, (nb_d, b_d) in enumerate(delta_classes):
+                if t._buckets_intersect(nb_f, f["bucket"], nb_d, b_d):
+                    return find(i)
+            return None
+
+        base_kwargs = dict(
+            key=self._key,
+            order_cols=["warc_ts", "lsn"],
+            public_cols=self.public_cols,
+            defaults=self._defaults,
+            key_values=self._key_values,
+        )
+        groups: dict[int, list] = {}
+        parts: list[LakePartition] = []
+        for f in files:
+            g = group_of(f) if delta_classes else None
+            entry = (os.path.join(self.path, f["path"]), self._colmap(t, m, f))
+            if g is None:
+                parts.append(LakePartition([entry], fold=False, **base_kwargs))
+            else:
+                groups.setdefault(g, []).append(entry)
+        for g in sorted(groups):
+            parts.append(LakePartition(groups[g], fold=True, **base_kwargs))
+        return parts
+
+    # -------------------------------------------------------- reading
+
+    def read(self, partition: LakePartition) -> Iterator:
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        p = partition
+        cols = [*p.public_cols, "lsn", "is_deleted"]
+        frames = []
+        for path, colmap in p.files:
+            phys = [c for c in colmap.values() if c is not None]
+            pf = pq.ParquetFile(path)
+            avail = set(pf.schema_arrow.names)
+            df = pf.read(columns=[c for c in phys if c in avail]).to_pandas()
+            out = pd.DataFrame(index=df.index)
+            for cur, ph in colmap.items():
+                if ph is not None and ph in df.columns:
+                    out[cur] = df[ph]
+                else:
+                    out[cur] = p.defaults.get(cur)
+            if p.key_values is not None:
+                out = out[out[p.key].isin(p.key_values)]
+            frames.append(out)
+        df = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=cols)
+        )
+        if df.empty:
+            return
+        if p.fold:
+            df = df.sort_values(
+                [p.key, *p.order_cols], ascending=[True, False, False]
+            ).drop_duplicates(subset=[p.key], keep="first")
+        dele = df["is_deleted"]
+        df = df[~(dele.isna() | (dele == True))]  # noqa: E712 (vector cmp)
+        if df.empty:
+            return
+        target = to_arrow_schema(self.schema)
+        tbl = pa.Table.from_pandas(
+            df[p.public_cols], preserve_index=False
+        ).cast(target)
+        yield from tbl.to_batches(max_chunksize=1 << 16)
+
+
+class LakeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lake"
+
+    def schema(self) -> T.StructType:
+        return lake_schema(dict(self.options))
+
+    def reader(self, schema: T.StructType) -> LakeReader:
+        return LakeReader(schema, dict(self.options))

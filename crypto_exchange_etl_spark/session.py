@@ -80,6 +80,10 @@ def get_spark(
         # metadata-only file drop) — at 100 TB that is the difference
         # between planning on footers and reading data
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # the `lake` batch source prunes data files from pushed predicates
+        # (Python Data Source pushFilters, Spark 4.1) — feature-gated off
+        # by default upstream
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
@@ -115,4 +119,22 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _register_lake_formats(spark)
     return spark
+
+
+def _register_lake_formats(spark: SparkSession) -> None:
+    """Make the lake's three faces available as named formats on every
+    engine session: ``format("lake")`` (batch read, pushdown-pruned),
+    ``format("lake_cdf")`` (change feed, batch + streaming), and
+    ``format("lake_sink")`` (exactly-once streaming append). Idempotent —
+    re-registration just replaces the entry with the same class."""
+    try:
+        from .lake.batch_source import LakeDataSource
+        from .lake.cdf_source import LakeCdfDataSource
+        from .lake.stream_sink import LakeSinkDataSource
+
+        for ds in (LakeDataSource, LakeCdfDataSource, LakeSinkDataSource):
+            spark.dataSource.register(ds)
+    except Exception:  # pragma: no cover - never block session creation
+        pass

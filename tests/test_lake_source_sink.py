@@ -1,0 +1,437 @@
+"""The lake's Spark-format faces: ``format("lake")`` batch source with
+pushdown file pruning, and ``format("lake_sink")`` exactly-once
+streaming sink — plus the pure-Python XXH64 parity both rely on.
+
+Oracles: ``LakeTable.read`` / ``scan`` / ``lookup`` (themselves verified
+against brute-force reads elsewhere), and Spark's own ``xxhash64``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F, types as T
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, LessThan
+
+from crypto_exchange_etl_spark.lake.batch_source import (
+    LakeDataSource,
+    LakeReader,
+    lake_schema,
+)
+from crypto_exchange_etl_spark.lake.stream_sink import LakeSinkDataSource, LakeSinkWriter
+from crypto_exchange_etl_spark.lake.table import LakeTable
+from crypto_exchange_etl_spark.lake.xxh64 import bucket_of, spark_xxhash64
+from crypto_exchange_etl_spark.model import CHANGES_SCHEMA
+from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline
+
+UTC = dt.timezone.utc
+TS = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+SINK_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+    ]
+)
+
+
+def _apply(spark, pipe, batch_id, rows):
+    pipe.apply_batch(spark.createDataFrame(rows, CHANGES_SCHEMA), batch_id=batch_id)
+
+
+def _mk_table(spark, path, n=20, n_buckets=4, mode="cow"):
+    pipe = CdcPipeline(spark, path, n_buckets=n_buckets, write_mode=mode)
+    _apply(spark, pipe, 0, [
+        (i, 0, "I", f"u{i}", TS + dt.timedelta(hours=i),
+         f"<p>{i}</p>".encode(), "en")
+        for i in range(n)
+    ])
+    _apply(spark, pipe, 1, [
+        (1000, 0, "U", "u0", TS + dt.timedelta(days=2), b"<p>v2</p>", "de"),
+        (1001, 0, "D", "u1", TS + dt.timedelta(days=2), None, None),
+    ])
+    return pipe
+
+
+def _canon(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _lake(spark, path, **opts):
+    reader = spark.read.format("lake").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+# ---------------------------------------------------------------- xxh64
+
+
+def test_xxh64_matches_spark_xxhash64(spark):
+    rnd = random.Random(7)
+    strs = ["", "a", "hello", "héllo wörld 𝄞", "x" * 31, "y" * 32, "z" * 100]
+    strs += [
+        "".join(chr(rnd.randint(32, 0x2FFF)) for _ in range(rnd.randint(0, 80)))
+        for _ in range(25)
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s in strs], T.StructType([T.StructField("s", T.StringType())])
+    )
+    got = df.select(
+        F.xxhash64("s").alias("h"),
+        F.xxhash64(F.lit(LakeTable._BLOOM_SALT), F.col("s")).alias("h2"),
+    ).collect()
+    salt_seed = spark_xxhash64(LakeTable._BLOOM_SALT) & 0xFFFFFFFFFFFFFFFF
+    for s, r in zip(strs, got):
+        assert spark_xxhash64(s) == r["h"]
+        assert spark_xxhash64(s, seed=salt_seed) == r["h2"]
+
+
+def test_xxh64_matches_spark_for_longs_and_binary(spark):
+    longs = [0, 1, -1, 42, 2**62, -(2**62), 123456789]
+    df = spark.createDataFrame(
+        [(x,) for x in longs], T.StructType([T.StructField("v", T.LongType())])
+    )
+    for x, r in zip(longs, df.select(F.xxhash64("v").alias("h")).collect()):
+        assert spark_xxhash64(x) == r["h"]
+    bins = [b"", b"\x00", bytes(range(256)), b"abc" * 11]
+    dfb = spark.createDataFrame(
+        [(x,) for x in bins], T.StructType([T.StructField("v", T.BinaryType())])
+    )
+    for x, r in zip(bins, dfb.select(F.xxhash64("v").alias("h")).collect()):
+        assert spark_xxhash64(x) == r["h"]
+
+
+def test_bucket_of_matches_table_bucket_expr(spark):
+    urls = [f"https://e{i}.com/p{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(u,) for u in urls], T.StructType([T.StructField("url", T.StringType())])
+    )
+    got = df.select(
+        F.pmod(F.xxhash64("url"), F.lit(8)).cast("int").alias("b")
+    ).collect()
+    for u, r in zip(urls, got):
+        assert bucket_of(u, 8) == r["b"]
+
+
+# ---------------------------------------------------------- lake source
+
+
+def test_lake_source_full_read_parity_cow(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path)
+    df = _lake(spark, path)
+    assert _canon(df) == _canon(pipe.table.read())
+    # Python data sources surface every column nullable — names and types
+    # must still match the table's logical schema exactly
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in pipe.table.read().schema.fields
+    ]
+
+
+def test_lake_source_full_read_parity_mor(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, mode="mor")
+    t = pipe.table
+    assert any(f.get("delta") for f in t.manifest()["files"])
+    df = _lake(spark, path)
+    assert _canon(df) == _canon(t.read())
+    # key with base+delta versions folds to the delta winner through the
+    # source even when the equality predicate prunes to one bucket class
+    got = _lake(spark, path).where(F.col("url") == "u0").collect()
+    assert len(got) == 1 and bytes(got[0].html) == b"<p>v2</p>"
+    assert _lake(spark, path).where(F.col("url") == "u1").count() == 0
+
+
+def test_lake_source_sql_face(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    _mk_table(spark, path)
+    _lake(spark, path).createOrReplaceTempView("pages_v")
+    got = {
+        r.lang: r.n
+        for r in spark.sql(
+            "SELECT lang, count(*) AS n FROM pages_v GROUP BY lang"
+        ).collect()
+    }
+    assert got == {"en": 18, "de": 1}
+
+
+def test_lake_source_time_travel(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path)
+    t = pipe.table
+    assert _canon(_lake(spark, path, versionAsOf=1)) == _canon(t.read(version=1))
+    t.create_tag("rel", version=1)
+    assert _canon(_lake(spark, path, versionAsOf="rel")) == _canon(t.read(version=1))
+    when = t.manifest(1)["committed_at_unix"]
+    assert _canon(_lake(spark, path, timestampAsOf=str(when))) == _canon(
+        t.read(version=1)
+    )
+    with pytest.raises(Exception):
+        _lake(spark, path, versionAsOf=1, timestampAsOf=str(when)).collect()
+
+
+def test_lake_source_after_ddl(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path)
+    t = pipe.table
+    t.rename_column("lang", "language")
+    t.add_column("grade", T.DoubleType(), default=1.5)
+    df = _lake(spark, path)
+    assert _canon(df) == _canon(t.read())
+    r = df.where(F.col("url") == "u5").collect()[0]
+    assert r.language == "en" and r.grade == 1.5
+
+
+def _planned_files(path, filters):
+    rd = LakeReader(lake_schema({"path": path}), {"path": path})
+    if filters:
+        rd.pushFilters(filters)
+    parts = rd.partitions()
+    return sum(len(p.files) for p in parts), parts
+
+
+def test_lake_source_key_pruning(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, n=40)
+    total, _ = _planned_files(path, None)
+    pruned, _ = _planned_files(path, [EqualTo(("url",), "u5")])
+    assert pruned < total and pruned >= 1
+    # absent key with blooms built: every file pruned
+    pipe.table.build_blooms()
+    none_left, parts = _planned_files(path, [EqualTo(("url",), "nope://x")])
+    assert none_left == 0
+    # IN keeps files for every probed key
+    k, _ = _planned_files(path, [In(("url",), ("u5", "u6"))])
+    assert 1 <= k <= total
+    got = _lake(spark, path).where(F.col("url").isin("u5", "u6"))
+    assert _canon(got) == _canon(
+        pipe.table.read().where(F.col("url").isin("u5", "u6"))
+    )
+
+
+def test_lake_source_ts_pruning_cow_and_mor(spark, tmpdir_path):
+    cow = os.path.join(tmpdir_path, "cow")
+    pipe = _mk_table(spark, cow, n=40)
+    hi = dt.datetime(2023, 12, 31)  # everything is later
+    n, _ = _planned_files(cow, [LessThan(("warc_ts",), hi)])
+    assert n == 0
+    lo = dt.datetime(2024, 6, 1)  # only the day-2 update is NOT before this
+    n2, total = _planned_files(cow, [GreaterThanOrEqual(("warc_ts",), lo)])
+    assert n2 == 0  # update rewrote its bucket; files all end before June
+    # MOR: an upper bound may NOT prune delta-affected buckets
+    mor = os.path.join(tmpdir_path, "mor")
+    mpipe = _mk_table(spark, mor, n=40, mode="mor")
+    want = mpipe.table.read().where(F.col("warc_ts") < dt.datetime(2024, 1, 1, 12))
+    got = _lake(spark, mor).where(F.col("warc_ts") < dt.datetime(2024, 1, 1, 12))
+    assert _canon(got) == _canon(want)
+    # lower bound still prunes settled delta files safely
+    want2 = mpipe.table.read().where(
+        F.col("warc_ts") >= dt.datetime(2024, 1, 2)
+    )
+    got2 = _lake(spark, mor).where(F.col("warc_ts") >= dt.datetime(2024, 1, 2))
+    assert _canon(got2) == _canon(want2)
+
+
+def test_lake_source_registered_by_session(spark, tmpdir_path):
+    # get_spark auto-registers the formats — no manual register() needed
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, n=5)
+    assert _canon(spark.read.format("lake").option("path", path).load()) == _canon(
+        pipe.table.read()
+    )
+
+
+# ------------------------------------------------------------ lake sink
+
+
+def _run_sink(spark, feed, path, ck, sink_id=None):
+    w = (
+        spark.readStream.schema(SINK_SCHEMA)
+        .parquet(feed)
+        .writeStream.format("lake_sink")
+        .option("path", path)
+        .option("checkpointLocation", ck)
+    )
+    if sink_id:
+        w = w.option("sinkId", sink_id)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+
+def test_sink_upsert_delete_insert(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, n=10)
+    t = pipe.table
+    feed = os.path.join(tmpdir_path, "feed")
+    spark.createDataFrame(
+        [
+            ("u2", TS + dt.timedelta(days=3), "fresh", "de", "U", 5000),
+            ("u3", TS + dt.timedelta(days=3), None, None, "D", 5001),
+            ("unew", TS + dt.timedelta(days=3), "brand new", "fr", "I", 5002),
+        ],
+        SINK_SCHEMA,
+    ).write.parquet(feed)
+    v0 = t.current_version()
+    _run_sink(spark, feed, path, os.path.join(tmpdir_path, "ck"))
+    assert t.current_version() == v0 + 1
+    assert t.manifest()["summary"]["operation"] == "sink_append"
+    rows = {r.url: (r.text, r.lang) for r in t.read().collect()}
+    assert rows["u2"] == ("fresh", "de")
+    assert "u3" not in rows
+    assert rows["unew"] == ("brand new", "fr")
+    # untouched keys keep their payload; sink-absent columns null out only
+    # on the keys the sink rewrote
+    html = {r.url: r.html for r in t.read_physical().collect()}
+    assert bytes(html["u5"]) == b"<p>5</p>" and html["u2"] is None
+    # appended as MOR deltas with manifest stats (pruning stays armed)
+    added = [f for f in t.manifest()["files"] if f.get("delta")]
+    assert added and all("stats" in f and f["rows"] >= 1 for f in added)
+    # ledger row recorded under the external-sink lineage partition
+    led = t.ledger().where(F.col("partition") == -2).collect()
+    assert len(led) == 1 and led[0].n_events == 3 and led[0].n_delete == 1
+
+
+def test_sink_exactly_once_and_guard(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, n=6)
+    t = pipe.table
+    feed = os.path.join(tmpdir_path, "feed")
+    spark.createDataFrame(
+        [("u0", TS + dt.timedelta(days=3), "x", "en", "U", 9000)], SINK_SCHEMA
+    ).write.parquet(feed)
+    ck = os.path.join(tmpdir_path, "ck")
+    _run_sink(spark, feed, path, ck)
+    v1 = t.current_version()
+    state = _canon(t.read())
+    # same checkpoint: the stream has nothing new — no commit
+    _run_sink(spark, feed, path, ck)
+    assert t.current_version() == v1
+    # fresh checkpoint, same sinkId: batch 0 replays, the applied-batches
+    # guard eats it and its files
+    _run_sink(spark, feed, path, os.path.join(tmpdir_path, "ck2"))
+    assert t.current_version() == v1 and _canon(t.read()) == state
+    files_on_disk = glob.glob(os.path.join(path, "data", "sink-*", "*", "*.parquet"))
+    assert len(files_on_disk) == sum(
+        1 for f in t.manifest()["files"] if f["path"].startswith("data/sink-")
+    )
+    # a DIFFERENT sinkId is a different producer: its batch 0 applies
+    _run_sink(spark, feed, path, os.path.join(tmpdir_path, "ck3"), sink_id="other")
+    assert t.current_version() == v1 + 1
+    assert _canon(t.read()) == state  # same rows → same LWW state
+
+
+def test_sink_without_op_and_lsn_upserts(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, n=4)
+    t = pipe.table
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    feed = os.path.join(tmpdir_path, "feed")
+    late = TS + dt.timedelta(days=5)
+    spark.createDataFrame([("u0", late, "plain upsert")], schema).write.parquet(feed)
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(feed)
+        .writeStream.format("lake_sink")
+        .option("path", path)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    r = {x.url: x for x in t.read().collect()}["u0"]
+    assert r.text == "plain upsert" and r.lang is None
+    phys = t.read_physical().where(F.col("url") == "u0").collect()[0]
+    # derived lsn = warc_ts unix micros
+    assert phys.lsn == int(late.timestamp() * 1_000_000)
+
+
+def test_sink_validates_input(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    _mk_table(spark, path, n=3)
+    bad = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("bogus", T.StringType()),
+        ]
+    )
+    feed = os.path.join(tmpdir_path, "feed")
+    spark.createDataFrame([("u0", TS, "x")], bad).write.parquet(feed)
+    with pytest.raises(Exception, match="outside the table schema"):
+        q = (
+            spark.readStream.schema(bad)
+            .parquet(feed)
+            .writeStream.format("lake_sink")
+            .option("path", path)
+            .option("checkpointLocation", os.path.join(tmpdir_path, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    no_key = T.StructType([T.StructField("warc_ts", T.TimestampType())])
+    feed2 = os.path.join(tmpdir_path, "feed2")
+    spark.createDataFrame([(TS,)], no_key).write.parquet(feed2)
+    with pytest.raises(Exception, match="must carry"):
+        q = (
+            spark.readStream.schema(no_key)
+            .parquet(feed2)
+            .writeStream.format("lake_sink")
+            .option("path", path)
+            .option("checkpointLocation", os.path.join(tmpdir_path, "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+
+def test_sink_commit_is_idempotent_and_compactable(spark, tmpdir_path):
+    """Direct driver-side commit replay: the second commit of one batch
+    id drops its own files and leaves the version chain alone; a later
+    minor_compact folds the sink deltas like any merge delta."""
+    import pyarrow as pa
+
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, n=8, mode="mor")
+    t = pipe.table
+    w = LakeSinkWriter(SINK_SCHEMA, {"path": path})
+    batch = pa.record_batch(
+        {
+            "url": ["u0", "zz-new"],
+            "warc_ts": pa.array(
+                [TS + dt.timedelta(days=9)] * 2, pa.timestamp("us", tz="UTC")
+            ),
+            "text": ["sinked", "other"],
+            "lang": ["en", "en"],
+            "op": ["U", "I"],
+            "lsn": pa.array([7000, 7001], pa.int64()),
+        }
+    )
+    msg = w.write(iter([batch]))
+    v0 = t.current_version()
+    w.commit([msg], batchId=0)
+    assert t.current_version() == v0 + 1
+    # replay: same batch id, freshly written files
+    msg2 = w.write(iter([batch]))
+    staged = [e["path"] for e in msg2.entries]
+    w.commit([msg2], batchId=0)
+    assert t.current_version() == v0 + 1
+    assert all(not os.path.exists(os.path.join(path, p)) for p in staged)
+    state = _canon(t.read())
+    t.minor_compact()
+    assert _canon(t.read()) == state
+    assert {r.url: r.text for r in t.read().collect()}["u0"] == "sinked"
