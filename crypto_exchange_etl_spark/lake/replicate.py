@@ -1,0 +1,140 @@
+"""Incremental lake→lake replication: ``lake_cdf`` piped into ``lake_sink``.
+
+One Structured Streaming query turns any lake table into a continuously
+maintained READ REPLICA of another::
+
+    q = replicate_stream(spark, src_path, dst_path, checkpoint)
+    q.awaitTermination()
+
+The composition is the point — both ends are the engine's own public
+Spark formats, so replication needs no bespoke machinery:
+
+- source: ``readStream.format("lake_cdf")`` — the change feed with table
+  versions as offsets (exactly-once resume from the ordinary streaming
+  checkpoint; admission control via ``maxVersionsPerBatch``);
+- transform: drop ``update_preimage`` rows, map change types to sink op
+  codes (insert/update_postimage → upsert, delete → tombstone), carry
+  ``_commit_version`` as the replica's ``lsn``;
+- sink: ``writeStream.format("lake_sink")`` — per-batch atomic MOR
+  snapshot commits, replays eaten by the applied-batches guard.
+
+LWW correctness of the lsn mapping: within one source commit the feed
+emits at most one post-image per key (the merge is LWW-compacted per
+commit), and across commits versions are strictly monotone — so
+``(warc_ts, _commit_version)`` ranks replica rows exactly as the source
+ranked them. A delete's tombstone carries the deleted row's ``warc_ts``
+with the HIGHER commit version, so it outranks the row it removes and
+is itself outranked by any later re-insert. The replica must be
+read-only (its own lsn space belongs to the source); direct writes to
+it would interleave foreign lsns — use a distinct ``sinkId`` feed
+instead if mixing is ever intended.
+
+Scale: per micro-batch the source plans O(touched buckets) partitions
+from a manifest diff and the sink writes O(changed rows) delta bytes —
+replication cost tracks the CHANGE RATE, not table size, the same
+property Delta/Iceberg CDF replication has. Bootstrap: create the
+replica empty and start from ``startingVersion=1`` (full history), or
+``clone_to`` a snapshot and start the feed just past the cloned version.
+
+Reference analogue: mirroring tick tables across BigQuery datasets by
+re-running the loaders (/root/reference/fintick/bqloader/base.py:91-112)
+— here it is one checkpointed query with row-level deltas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from .cdf_source import cdf_schema
+
+
+def replicate_changes(changes_df):
+    """The pure transform: CDF rows → sink rows (also usable in batch —
+    ``spark.read.format("lake_cdf")`` output goes straight through)."""
+    return (
+        changes_df.where(F.col("_change_type") != "update_preimage")
+        .withColumn(
+            "op",
+            F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn("lsn", F.col("_commit_version").cast("long"))
+        .drop("_change_type", "_commit_version")
+    )
+
+
+def create_replica(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    n_buckets: int | None = None,
+    write_mode: str = "mor",
+):
+    """Create (or load) the destination table with the source's current
+    schema and key, and additively sync any columns the source gained
+    since (the sink never evolves schemas itself, so the replica's DDL
+    is applied here, at stream (re)start — the same restart-to-pick-up
+    contract the pinned CDF schema has)."""
+    from pyspark.sql import types as T
+
+    from .cdf_source import _table
+    from .table import LakeTable, _INTERNAL_COLS
+
+    sm = _table(src_path).manifest()
+    src_public = [
+        f
+        for f in T.StructType.fromJson(sm["schema"]).fields
+        if f.name not in _INTERNAL_COLS
+    ]
+    dst = LakeTable.create(
+        spark,
+        dst_path,
+        schema=T.StructType(src_public),
+        key=sm["key"],
+        n_buckets=n_buckets or int(sm["n_buckets"]),
+        if_not_exists=True,
+        write_mode=write_mode,
+    )
+    have = set(dst.schema.fieldNames())
+    for f in src_public:
+        if f.name not in have:
+            dst.add_column(f.name, f.dataType)
+    return dst
+
+
+def replicate_stream(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    starting_version: int | None = 1,
+    sink_id: str = "replica",
+    available_now: bool = True,
+    max_versions_per_batch: int | None = None,
+):
+    """Start the replication query (caller awaits/stops it). With
+    ``available_now`` the backlog drains and the query stops — the cron
+    re-invocation pattern; pass ``False`` for a continuous tail."""
+    # fail fast (and schema-pin) before any stream machinery spins up
+    cdf_schema(src_path)
+    reader = (
+        spark.readStream.format("lake_cdf")
+        .option("path", src_path)
+    )
+    if starting_version is not None:
+        reader = reader.option("startingVersion", int(starting_version))
+    if max_versions_per_batch is not None:
+        reader = reader.option(
+            "maxVersionsPerBatch", int(max_versions_per_batch)
+        ).option("checkpointLocation", checkpoint)
+    out = replicate_changes(reader.load())
+    w = (
+        out.writeStream.format("lake_sink")
+        .option("path", dst_path)
+        .option("sinkId", sink_id)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
