@@ -136,6 +136,7 @@ class LakePartition(InputPartition):
         public_cols: list[str],
         defaults: dict[str, Any],
         key_values: list[Any] | None,
+        ts_bounds: tuple[int | None, int | None] = (None, None),
     ):
         self.files = files
         self.fold = fold
@@ -145,9 +146,11 @@ class LakePartition(InputPartition):
         self.defaults = defaults
         # pushed key-equality probe set: safe to pre-filter BEFORE the
         # fold (fold is per-key) — cuts the pandas working set to the
-        # probed keys; ts bounds are NOT pre-applied (unsafe pre-fold;
-        # Spark's residual filter owns them)
+        # probed keys; ts bounds are NOT pre-applied on fold groups
+        # (unsafe pre-fold; Spark's residual filter owns them) but ARE
+        # applied on base-only partitions, where each row stands alone
         self.key_values = key_values
+        self.ts_bounds = ts_bounds
 
 
 class LakeReader(DataSourceReader):
@@ -391,6 +394,7 @@ class LakeReader(DataSourceReader):
             public_cols=self.public_cols,
             defaults=self._defaults,
             key_values=self._key_values,
+            ts_bounds=(self._ts_lo, self._ts_hi),
         )
         groups: dict[int, list] = {}
         parts: list[LakePartition] = []
@@ -407,42 +411,83 @@ class LakeReader(DataSourceReader):
 
     # -------------------------------------------------------- reading
 
-    def read(self, partition: LakePartition) -> Iterator:
+    @staticmethod
+    def _select_row_groups(md, phys_key, key_values, phys_ts, lo, hi, use_ts):
+        """Row groups that could hold a probed key / an in-range row —
+        the footer-stats skip tier below the manifest's file-level prune.
+        No stats ⇒ kept; only ever removes provably-irrelevant groups."""
+        import datetime as dtm
+
+        def micros(v):
+            if isinstance(v, dtm.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(dtm.timezone.utc).replace(tzinfo=None)
+                return int((v - dtm.datetime(1970, 1, 1)).total_seconds() * 1e6)
+            return None
+
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out = []
+        for rg in range(md.num_row_groups):
+            keep = True
+            if key_values and phys_key in idx:
+                st = md.row_group(rg).column(idx[phys_key]).statistics
+                if st is not None and st.has_min_max:
+                    keep = any(
+                        st.min <= v <= st.max
+                        for v in key_values
+                        if isinstance(v, type(st.min))
+                    )
+            if keep and use_ts and (lo is not None or hi is not None) and phys_ts in idx:
+                st = md.row_group(rg).column(idx[phys_ts]).statistics
+                if st is not None and st.has_min_max:
+                    mn, mx = micros(st.min), micros(st.max)
+                    if lo is not None and mx is not None and mx < lo:
+                        keep = False
+                    if hi is not None and mn is not None and mn > hi:
+                        keep = False
+            if keep:
+                out.append(rg)
+        return out
+
+    def _frame(self, batch, colmap, p):
+        """Arrow batch/table → pandas under CURRENT names, pre-filtered
+        by whatever predicates are safe for this partition kind."""
         import pandas as pd
+
+        df = batch.to_pandas()
+        out = pd.DataFrame(index=df.index)
+        for cur, ph in colmap.items():
+            if ph is not None and ph in df.columns:
+                out[cur] = df[ph]
+            else:
+                out[cur] = p.defaults.get(cur)
+        if p.key_values is not None:
+            out = out[out[p.key].isin(p.key_values)]
+        return out
+
+    def _emit(self, df, p):
         import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        p = partition
-        cols = [*p.public_cols, "lsn", "is_deleted"]
-        frames = []
-        for path, colmap in p.files:
-            phys = [c for c in colmap.values() if c is not None]
-            pf = pq.ParquetFile(path)
-            avail = set(pf.schema_arrow.names)
-            df = pf.read(columns=[c for c in phys if c in avail]).to_pandas()
-            out = pd.DataFrame(index=df.index)
-            for cur, ph in colmap.items():
-                if ph is not None and ph in df.columns:
-                    out[cur] = df[ph]
-                else:
-                    out[cur] = p.defaults.get(cur)
-            if p.key_values is not None:
-                out = out[out[p.key].isin(p.key_values)]
-            frames.append(out)
-        df = (
-            pd.concat(frames, ignore_index=True)
-            if frames
-            else pd.DataFrame(columns=cols)
-        )
-        if df.empty:
-            return
-        if p.fold:
-            df = df.sort_values(
-                [p.key, *p.order_cols], ascending=[True, False, False]
-            ).drop_duplicates(subset=[p.key], keep="first")
         dele = df["is_deleted"]
         df = df[~(dele.isna() | (dele == True))]  # noqa: E712 (vector cmp)
+        if p.ts_bounds != (None, None) and not p.fold and not df.empty:
+            # base-only rows stand alone: the pushed ts range applies
+            # directly (fold groups leave it to Spark's residual filter)
+            import pandas as pd
+
+            mu = (
+                pd.to_datetime(df["warc_ts"], utc=True)
+                .dt.as_unit("us")
+                .astype("int64")
+            )
+            lo, hi = p.ts_bounds
+            mask = pd.Series(True, index=df.index)
+            if lo is not None:
+                mask &= mu >= lo
+            if hi is not None:
+                mask &= mu <= hi
+            df = df[mask]
         if df.empty:
             return
         target = to_arrow_schema(self.schema)
@@ -450,6 +495,60 @@ class LakeReader(DataSourceReader):
             df[p.public_cols], preserve_index=False
         ).cast(target)
         yield from tbl.to_batches(max_chunksize=1 << 16)
+
+    def read(self, partition: LakePartition) -> Iterator:
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        p = partition
+        if not p.fold:
+            # base-only files STREAM row-group by row-group — worker
+            # memory is O(row group), not O(file), which is what lets one
+            # task own an arbitrarily large rewritten bucket file
+            for path, colmap in p.files:
+                pf = pq.ParquetFile(path)
+                avail = set(pf.schema_arrow.names)
+                phys = [c for c in colmap.values() if c is not None and c in avail]
+                rgs = self._select_row_groups(
+                    pf.metadata,
+                    colmap.get(p.key),
+                    p.key_values,
+                    colmap.get("warc_ts"),
+                    p.ts_bounds[0],
+                    p.ts_bounds[1],
+                    use_ts=True,
+                )
+                if not rgs:
+                    continue
+                for batch in pf.iter_batches(row_groups=rgs, columns=phys):
+                    yield from self._emit(self._frame(batch, colmap, p), p)
+            return
+        # merge-on-read fold group: materialize the connected bucket
+        # class (the same working-set bound the CDF diff kernel has),
+        # fold LWW, then emit. Row-group skipping by probed key is safe
+        # here (min/max never false-prunes a key's versions); ts skipping
+        # is NOT (it could drop a superseding row pre-fold).
+        frames = []
+        for path, colmap in p.files:
+            pf = pq.ParquetFile(path)
+            avail = set(pf.schema_arrow.names)
+            phys = [c for c in colmap.values() if c is not None and c in avail]
+            rgs = self._select_row_groups(
+                pf.metadata, colmap.get(p.key), p.key_values,
+                None, None, None, use_ts=False,
+            )
+            if not rgs:
+                continue
+            frames.append(self._frame(pf.read_row_groups(rgs, columns=phys), colmap, p))
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        if df.empty:
+            return
+        df = df.sort_values(
+            [p.key, *p.order_cols], ascending=[True, False, False]
+        ).drop_duplicates(subset=[p.key], keep="first")
+        yield from self._emit(df, p)
 
 
 class LakeDataSource(DataSource):
