@@ -551,13 +551,63 @@ class LakeReader(DataSourceReader):
         yield from self._emit(df, p)
 
 
+class LakeMetadataReader(DataSourceReader):
+    """``option("metadataTable", "files"|"snapshots"|"refs"|"partitions"|
+    "columns"|"ledger")`` — the Iceberg-metadata-tables face of the
+    format, sharing :meth:`LakeTable._metadata_rows` with the Python API.
+    Metadata kinds are one driver-built partition of O(metadata) tuples;
+    ``ledger`` reads the manifest's ledger parquets with pyarrow in one
+    task (post-``compact_ledger`` that is O(1) files)."""
+
+    def __init__(self, meta: str, options: dict):
+        self.path = options["path"]
+        self.meta = meta
+        t = _table(self.path)
+        self.version = _resolve_version(t, options)
+
+    def schema(self) -> T.StructType:
+        if self.meta == "ledger":
+            from ..model import LEDGER_SCHEMA
+
+            return LEDGER_SCHEMA
+        return _table(self.path)._metadata_rows(self.meta, self.version)[0]
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(0)]
+
+    def read(self, partition) -> Iterator:
+        t = _table(self.path)
+        if self.meta == "ledger":
+            import pyarrow.parquet as pq
+
+            for rel in t.manifest(self.version)["ledger_files"]:
+                yield from pq.ParquetFile(
+                    os.path.join(self.path, rel)
+                ).read().to_batches()
+            return
+        _schema, rows = t._metadata_rows(self.meta, self.version)
+        yield from rows
+
+
 class LakeDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "lake"
 
-    def schema(self) -> T.StructType:
-        return lake_schema(dict(self.options))
+    @staticmethod
+    def _meta_opt(options: dict) -> str | None:
+        return options.get("metadataTable", options.get("metadatatable"))
 
-    def reader(self, schema: T.StructType) -> LakeReader:
-        return LakeReader(schema, dict(self.options))
+    def schema(self) -> T.StructType:
+        opts = dict(self.options)
+        meta = self._meta_opt(opts)
+        if meta is not None:
+            return LakeMetadataReader(meta, opts).schema()
+        return lake_schema(opts)
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        opts = dict(self.options)
+        meta = self._meta_opt(opts)
+        if meta is not None:
+            return LakeMetadataReader(meta, opts)
+        return LakeReader(schema, opts)

@@ -3400,9 +3400,22 @@ class LakeTable:
         - ``ledger``: alias for :meth:`ledger`.
 
         All driver-side manifest reads parallelized by Spark only at
-        query time — O(files) rows of metadata, never data bytes."""
+        query time — O(files) rows of metadata, never data bytes.
+
+        Also reachable with no ``LakeTable`` handle at all through the
+        ``lake`` format: ``spark.read.format("lake").option("path", …)
+        .option("metadataTable", "files")`` (lake/batch_source.py) —
+        both faces share :meth:`_metadata_rows`."""
         if name == "ledger":
             return self.ledger()
+        schema, rows = self._metadata_rows(name, version)
+        return self.spark.createDataFrame(rows, schema)
+
+    def _metadata_rows(
+        self, name: str, version: int | str | None = None
+    ) -> tuple[T.StructType, list[tuple]]:
+        """(schema, rows) for the pure-metadata tables — no SparkSession
+        needed (the ``lake`` format's planner runs without one)."""
         if name == "files":
             m = self.manifest(version)
             rows = [
@@ -3425,7 +3438,7 @@ class LakeTable:
                 T.StructField("is_delta", T.BooleanType(), False),
                 T.StructField("stats_json", T.StringType(), True),
             ])
-            return self.spark.createDataFrame(rows, schema)
+            return schema, rows
         if name == "snapshots":
             rows = [
                 (
@@ -3446,7 +3459,7 @@ class LakeTable:
                 T.StructField("n_files", T.LongType(), False),
                 T.StructField("summary_json", T.StringType(), False),
             ])
-            return self.spark.createDataFrame(rows, schema)
+            return schema, rows
         if name == "refs":
             rows = [
                 (
@@ -3464,7 +3477,7 @@ class LakeTable:
                 T.StructField("base_version", T.LongType(), True),
                 T.StructField("staged_tokens", T.LongType(), True),
             ])
-            return self.spark.createDataFrame(rows, schema)
+            return schema, rows
         if name == "partitions":
             m = self.manifest(version)
             agg: dict[tuple[int, int], list[int]] = {}
@@ -3490,7 +3503,7 @@ class LakeTable:
                 T.StructField("n_delta_files", T.LongType(), False),
                 T.StructField("rows", T.LongType(), True),
             ])
-            return self.spark.createDataFrame(rows, schema)
+            return schema, rows
         if name == "columns":
             m = self.manifest(version)
             sch = T.StructType.fromJson(m["schema"])
@@ -3518,7 +3531,7 @@ class LakeTable:
                 T.StructField("is_structural", T.BooleanType(), False),
                 T.StructField("is_internal", T.BooleanType(), False),
             ])
-            return self.spark.createDataFrame(rows, schema)
+            return schema, rows
         raise ValueError(
             f"unknown metadata table {name!r}; one of files, snapshots, "
             "refs, partitions, columns, ledger"

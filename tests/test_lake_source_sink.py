@@ -435,3 +435,28 @@ def test_sink_commit_is_idempotent_and_compactable(spark, tmpdir_path):
     t.minor_compact()
     assert _canon(t.read()) == state
     assert {r.url: r.text for r in t.read().collect()}["u0"] == "sinked"
+
+
+def test_lake_source_metadata_tables(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, n=10)
+    t = pipe.table
+    t.create_tag("rel", version=1)
+    for kind in ("files", "snapshots", "refs", "partitions", "columns", "ledger"):
+        got = (
+            spark.read.format("lake")
+            .option("path", path)
+            .option("metadataTable", kind)
+            .load()
+        )
+        want = t.metadata_table(kind)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), kind
+        assert [f.name for f in got.schema.fields] == [f.name for f in want.schema.fields]
+    # SQL-composable: files-per-bucket straight from SQL
+    (
+        spark.read.format("lake").option("path", path)
+        .option("metadataTable", "files").load()
+        .createOrReplaceTempView("t_files")
+    )
+    n = spark.sql("SELECT sum(bytes) FROM t_files").collect()[0][0]
+    assert n == sum(f["bytes"] for f in t.manifest()["files"])
