@@ -319,12 +319,17 @@ class LakeReader(DataSourceReader):
                     ):
                         continue
                     mst = (f.get("stats") or {}).get(self._key)
-                    if mst is not None and not any(
-                        mst[0] <= v <= mst[1]
-                        for v, _h in hashed
-                        if isinstance(v, type(mst[0]))
-                    ):
-                        continue
+                    if mst is not None:
+                        cmp = [
+                            v for v, _h in hashed
+                            if isinstance(v, type(mst[0]))
+                        ]
+                        # only prune when ≥1 probe was actually comparable
+                        # (a type-incomparable probe must keep the file)
+                        if cmp and not any(
+                            mst[0] <= v <= mst[1] for v in cmp
+                        ):
+                            continue
                     kept.append(f)
                 files = self._bloom_keep(m, kept)
 
@@ -432,11 +437,9 @@ class LakeReader(DataSourceReader):
             if key_values and phys_key in idx:
                 st = md.row_group(rg).column(idx[phys_key]).statistics
                 if st is not None and st.has_min_max:
-                    keep = any(
-                        st.min <= v <= st.max
-                        for v in key_values
-                        if isinstance(v, type(st.min))
-                    )
+                    cmp = [v for v in key_values if isinstance(v, type(st.min))]
+                    if cmp:  # incomparable probes cannot prune
+                        keep = any(st.min <= v <= st.max for v in cmp)
             if keep and use_ts and (lo is not None or hi is not None) and phys_ts in idx:
                 st = md.row_group(rg).column(idx[phys_ts]).statistics
                 if st is not None and st.has_min_max:

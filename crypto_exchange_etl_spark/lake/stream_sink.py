@@ -183,11 +183,17 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
         else:
             lsn = _to_unix_micros(df["warc_ts"])
 
+        # build STRICTLY in physical-field order: the arrow cast below is
+        # order-sensitive, and an evolved schema can carry ``lsn`` between
+        # payload columns (merge appends new payload cols after it)
         out = pd.DataFrame(index=df.index)
-        for c in self._public:
-            out[c] = df[c] if c in df.columns else None
-        out["lsn"] = lsn
-        out["is_deleted"] = deleted.astype(bool)
+        for name, _dt in self._phys_fields:
+            if name == "lsn":
+                out[name] = lsn
+            elif name == "is_deleted":
+                out[name] = deleted.astype(bool)
+            else:
+                out[name] = df[name] if name in df.columns else None
         # tombstones carry no payload bytes (merge-path convention)
         for c in self._public:
             if c not in (self._key, "warc_ts"):

@@ -212,6 +212,23 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--batch-id", type=int, default=None,
                     help="exactly-once id (re-running the same id is a no-op)")
 
+    rpl = sub.add_parser(
+        "replicate",
+        help="incremental lake→lake replication (lake_cdf → lake_sink): "
+        "creates/loads the replica, syncs additive schema, drains the "
+        "source's change feed exactly-once (re-run on a schedule, or "
+        "--follow to tail continuously)",
+    )
+    rpl.add_argument("--source", required=True, help="source table path")
+    rpl.add_argument("--target", required=True, help="replica table path")
+    rpl.add_argument("--checkpoint", required=True)
+    rpl.add_argument("--sink-id", default="replica")
+    rpl.add_argument("--buckets", type=int, default=None,
+                     help="replica bucket count (default: source's)")
+    rpl.add_argument("--follow", action="store_true",
+                     help="continuous tail instead of drain-and-stop")
+    rpl.add_argument("--timeout-secs", type=float, default=None)
+
     ins = sub.add_parser("inspect", help="print table history and health stats")
     ins.add_argument("--table", required=True)
     ins.add_argument("--verify", action="store_true",
@@ -249,6 +266,32 @@ def main(argv: list[str] | None = None) -> int:
                 sums={"n_chars": "length(text)"},
             )
         )
+
+    if args.cmd == "replicate":
+        from crypto_exchange_etl_spark.lake.replicate import (
+            create_replica,
+            replicate_stream,
+        )
+
+        rep = create_replica(
+            spark, args.source, args.target, n_buckets=args.buckets
+        )
+        q = replicate_stream(
+            spark,
+            args.source,
+            args.target,
+            args.checkpoint,
+            sink_id=args.sink_id,
+            available_now=not args.follow,
+        )
+        q.awaitTermination(args.timeout_secs)
+        if args.follow and args.timeout_secs is not None:
+            q.stop()
+        print(_json.dumps({
+            "replica_version": rep.current_version(),
+            "replica_rows": rep.read().count(),
+        }))
+        return 0
 
     if args.cmd == "merge":
         from crypto_exchange_etl_spark.lake.table import LakeTable

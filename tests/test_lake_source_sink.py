@@ -460,3 +460,43 @@ def test_lake_source_metadata_tables(spark, tmpdir_path):
     )
     n = spark.sql("SELECT sum(bytes) FROM t_files").collect()[0][0]
     assert n == sum(f["bytes"] for f in t.manifest()["files"])
+
+
+def test_sink_after_schema_evolution_column_order(spark, tmpdir_path):
+    """Evolved tables interleave lsn between payload columns in the
+    stored physical schema; the sink's parquet layout must follow it
+    (the arrow cast is order-sensitive — regression guard)."""
+    import pyarrow as pa
+
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, n=4)
+    t = pipe.table
+    extra = spark.createDataFrame(
+        [("u9", TS + dt.timedelta(days=1), 0.7)],
+        T.StructType([
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("grade", T.DoubleType()),
+        ]),
+    )
+    t.merge_into(extra, when_matched_update="*", when_not_matched_insert="*")
+    in_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("grade", T.DoubleType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    w = LakeSinkWriter(in_schema, {"path": path})
+    batch = pa.record_batch({
+        "url": ["u0"],
+        "warc_ts": pa.array([TS + dt.timedelta(days=3)], pa.timestamp("us", tz="UTC")),
+        "grade": pa.array([0.25], pa.float64()),
+        "lsn": pa.array([8000], pa.int64()),
+    })
+    msg = w.write(iter([batch]))
+    w.commit([msg], batchId=0)
+    rows = {r.url: r for r in t.read().collect()}
+    assert rows["u0"].grade == 0.25 and rows["u9"].grade == 0.7
+    # full read still parses every file (mixed pre/post-evolution
+    # layouts); u1 was deleted in _mk_table → u0, u2, u3, u9 live
+    assert t.read().count() == 4

@@ -103,3 +103,29 @@ def test_replica_follows_schema_evolution(spark, tmpdir_path):
     want = {r.url: r.grade for r in src_t.read().collect()}
     got = {r.url: r.grade for r in rep.read().collect()}
     assert got == want and got["u0"] == 0.9
+
+
+def test_replicate_cli_subcommand(spark, tmpdir_path, monkeypatch):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "cdc_job", os.path.join(os.path.dirname(__file__), "..", "scripts", "cdc_job.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    src = os.path.join(tmpdir_path, "src")
+    dst = os.path.join(tmpdir_path, "dst")
+    pipe = CdcPipeline(spark, src, n_buckets=2)
+    _apply(spark, pipe, 0, [
+        (i, 0, "I", f"u{i}", TS, f"<p>{i}</p>".encode(), "en") for i in range(5)
+    ])
+    rc = mod.main([
+        "replicate", "--source", src, "--target", dst,
+        "--checkpoint", os.path.join(tmpdir_path, "ck"),
+    ])
+    assert rc == 0
+    from crypto_exchange_etl_spark.lake.table import LakeTable
+
+    rep = LakeTable.load(spark, dst)
+    assert _canon(rep.read()) == _canon(pipe.table.read())
