@@ -81,10 +81,35 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
 )
 
 from .cdf_source import _coerce_default, _table
 from .xxh64 import SPARK_SEED, spark_xxhash64
+
+
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string s with s > every string starting with ``prefix``
+    (codepoint-order successor: bump the last bumpable codepoint). None
+    when no successor exists (all U+10FFFF) — then nothing can prune."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
+
+
+def _prefix_range_hits(prefixes: list[str], mn, mx) -> bool:
+    """Could a [mn, mx] string range contain a key matching EVERY pushed
+    prefix? Conjunctive (Spark pushes conjuncts): one miss prunes. A
+    non-string bound cannot prune (unknown collation vs Spark's)."""
+    if not isinstance(mn, str) or not isinstance(mx, str):
+        return True
+    for p in prefixes:
+        up = _prefix_upper(p)
+        if mx < p or (up is not None and mn >= up):
+            return False
+    return True
 
 
 def _resolve_version(t, options: dict) -> int | str | None:
@@ -137,6 +162,7 @@ class LakePartition(InputPartition):
         defaults: dict[str, Any],
         key_values: list[Any] | None,
         ts_bounds: tuple[int | None, int | None] = (None, None),
+        key_prefixes: list[str] | None = None,
     ):
         self.files = files
         self.fold = fold
@@ -151,6 +177,9 @@ class LakePartition(InputPartition):
         # applied on base-only partitions, where each row stands alone
         self.key_values = key_values
         self.ts_bounds = ts_bounds
+        # pushed key-prefix (LIKE 'p%') conjuncts: per-key predicates, so
+        # like key_values they are safe to pre-apply BEFORE the fold
+        self.key_prefixes = key_prefixes or []
 
 
 class LakeReader(DataSourceReader):
@@ -168,6 +197,7 @@ class LakeReader(DataSourceReader):
             if (v := (m.get("column_defaults") or {}).get(f.name)) is not None
         }
         self._key_values: list[Any] | None = None  # pushed equality probes
+        self._key_prefixes: list[str] = []  # pushed StartsWith conjuncts
         self._ts_lo: int | None = None  # inclusive, unix micros
         self._ts_hi: int | None = None  # inclusive, unix micros
 
@@ -205,6 +235,8 @@ class LakeReader(DataSourceReader):
                     if self._key_values is None
                     else [v for v in self._key_values if v in vals]
                 )
+            elif col == self._key and isinstance(f, StringStartsWith):
+                self._key_prefixes.append(str(f.value))
             elif col == "warc_ts" and isinstance(
                 f, (GreaterThan, GreaterThanOrEqual, EqualTo)
             ):
@@ -333,6 +365,28 @@ class LakeReader(DataSourceReader):
                     kept.append(f)
                 files = self._bloom_keep(m, kept)
 
+        # --- tier 1.5: key-prefix prune on manifest key min/max stats.
+        # Per-key predicate ⇒ MOR-safe even inside fold groups: a pruned
+        # file provably holds NO version (incl. tombstones) of any key
+        # matching every prefix, so folds of matching keys are unchanged
+        # and non-matching keys die in Spark's residual filter anyway.
+        # Conjunctive normalization: startswith(p1) AND startswith(p2)
+        # is satisfiable iff the longest prefix extends every other —
+        # then it subsumes them; otherwise NO key matches at all.
+        prefixes = self._key_prefixes
+        if prefixes:
+            longest = max(prefixes, key=len)
+            if all(longest.startswith(p) for p in prefixes):
+                prefixes = [longest]
+                files = [
+                    f
+                    for f in files
+                    if (mst := (f.get("stats") or {}).get(self._key)) is None
+                    or _prefix_range_hits(prefixes, mst[0], mst[1])
+                ]
+            else:
+                files = []
+
         # --- tier 2: warc_ts range prune (scan_file_plan's MOR-safe rules)
         if self._ts_lo is not None or self._ts_hi is not None:
             deltas = [
@@ -400,6 +454,7 @@ class LakeReader(DataSourceReader):
             defaults=self._defaults,
             key_values=self._key_values,
             ts_bounds=(self._ts_lo, self._ts_hi),
+            key_prefixes=prefixes,
         )
         groups: dict[int, list] = {}
         parts: list[LakePartition] = []
@@ -417,7 +472,9 @@ class LakeReader(DataSourceReader):
     # -------------------------------------------------------- reading
 
     @staticmethod
-    def _select_row_groups(md, phys_key, key_values, phys_ts, lo, hi, use_ts):
+    def _select_row_groups(
+        md, phys_key, key_values, phys_ts, lo, hi, use_ts, key_prefixes=()
+    ):
         """Row groups that could hold a probed key / an in-range row —
         the footer-stats skip tier below the manifest's file-level prune.
         No stats ⇒ kept; only ever removes provably-irrelevant groups."""
@@ -440,6 +497,12 @@ class LakeReader(DataSourceReader):
                     cmp = [v for v in key_values if isinstance(v, type(st.min))]
                     if cmp:  # incomparable probes cannot prune
                         keep = any(st.min <= v <= st.max for v in cmp)
+            if keep and key_prefixes and phys_key in idx:
+                st = md.row_group(rg).column(idx[phys_key]).statistics
+                if st is not None and st.has_min_max:
+                    keep = _prefix_range_hits(
+                        list(key_prefixes), st.min, st.max
+                    )
             if keep and use_ts and (lo is not None or hi is not None) and phys_ts in idx:
                 st = md.row_group(rg).column(idx[phys_ts]).statistics
                 if st is not None and st.has_min_max:
@@ -466,6 +529,10 @@ class LakeReader(DataSourceReader):
                 out[cur] = p.defaults.get(cur)
         if p.key_values is not None:
             out = out[out[p.key].isin(p.key_values)]
+        for pre in p.key_prefixes:
+            ks = out[p.key]
+            if ks.dtype == object or str(ks.dtype).startswith("str"):
+                out = out[ks.str.startswith(pre).fillna(False)]
         return out
 
     def _emit(self, df, p):
@@ -520,6 +587,7 @@ class LakeReader(DataSourceReader):
                     p.ts_bounds[0],
                     p.ts_bounds[1],
                     use_ts=True,
+                    key_prefixes=p.key_prefixes,
                 )
                 if not rgs:
                     continue
@@ -539,6 +607,7 @@ class LakeReader(DataSourceReader):
             rgs = self._select_row_groups(
                 pf.metadata, colmap.get(p.key), p.key_values,
                 None, None, None, use_ts=False,
+                key_prefixes=p.key_prefixes,
             )
             if not rgs:
                 continue

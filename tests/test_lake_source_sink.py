@@ -15,7 +15,13 @@ import random
 
 import pytest
 from pyspark.sql import functions as F, types as T
-from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, LessThan
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    In,
+    LessThan,
+    StringStartsWith,
+)
 
 from crypto_exchange_etl_spark.lake.batch_source import (
     LakeDataSource,
@@ -216,6 +222,50 @@ def test_lake_source_key_pruning(spark, tmpdir_path):
     assert _canon(got) == _canon(
         pipe.table.read().where(F.col("url").isin("u5", "u6"))
     )
+
+
+def test_lake_source_prefix_pruning(spark, tmpdir_path):
+    # url LIKE 'prefix%' — the dominant selective predicate on a
+    # url-keyed web-pages table (domain scans). Planning prunes files
+    # whose manifest key min/max range cannot contain ANY key matching
+    # every pushed prefix; per-key predicate ⇒ safe even in MOR folds.
+    path = os.path.join(tmpdir_path, "t")
+    pipe = CdcPipeline(spark, path, n_buckets=8, write_mode="mor")
+    _apply(spark, pipe, 0, [
+        (i, 0, "I", f"https://{d}.example/p{i}", TS + dt.timedelta(hours=i),
+         f"<p>{i}</p>".encode(), "en")
+        for i, d in enumerate(["aaa"] * 6 + ["zzz"] * 6)
+    ])
+    # a MOR delta touching both domains: update one zzz key, delete another
+    _apply(spark, pipe, 1, [
+        (100, 0, "U", "https://zzz.example/p6", TS + dt.timedelta(days=1),
+         b"<p>v2</p>", "de"),
+        (101, 0, "D", "https://zzz.example/p7", TS + dt.timedelta(days=1),
+         None, None),
+    ])
+    total, _ = _planned_files(path, None)
+    pruned, _ = _planned_files(
+        path, [StringStartsWith(("url",), "https://zzz")]
+    )
+    assert pruned < total
+    got = _lake(spark, path).where(F.col("url").startswith("https://zzz"))
+    want = pipe.table.read().where(F.col("url").startswith("https://zzz"))
+    assert _canon(got) == _canon(want)
+    r = {x.url: x for x in got.collect()}
+    assert bytes(r["https://zzz.example/p6"].html) == b"<p>v2</p>"  # LWW won
+    assert "https://zzz.example/p7" not in r  # tombstone not resurrected
+    # prefix matching nothing: stats alone prune every file
+    n0, _ = _planned_files(path, [StringStartsWith(("url",), "urn:")])
+    assert n0 == 0
+    # conjunctive prefixes: contradictory pair prunes everything too
+    n1, _ = _planned_files(
+        path,
+        [
+            StringStartsWith(("url",), "https://aaa"),
+            StringStartsWith(("url",), "https://zzz"),
+        ],
+    )
+    assert n1 == 0
 
 
 def test_lake_source_ts_pruning_cow_and_mor(spark, tmpdir_path):
