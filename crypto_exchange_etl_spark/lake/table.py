@@ -3573,7 +3573,10 @@ class LakeTable:
     # ------------------------------------------------------- change feed
 
     def changes_between(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        row_meta: bool = False,
     ) -> DataFrame:
         """Row-level change feed between two snapshots (Delta/Iceberg CDF
         analogue, computed from snapshots rather than stored): one row per
@@ -3587,6 +3590,20 @@ class LakeTable:
         downstream incremental consumer reads instead of re-scanning the
         table — the engine's own ledger gives per-batch counts; this gives
         the rows.
+
+        ``row_meta=True`` (additive, off by default — existing consumers
+        see the identical schema) appends two lineage columns an SCD2 /
+        history consumer needs:
+
+        - ``_row_lsn`` — the emitted image's OWN ``lsn`` (pre-images the
+          old version's, post-images/inserts the new one's): a stable
+          identity for "the version of this key that this image shows",
+          which the public payload cannot provide (``lsn`` is internal).
+        - ``_tombstone_ts`` — for ``delete`` rows, the deletion event's
+          timestamp (the tombstone row's ``warc_ts`` — the payload is the
+          pre-image, whose ``warc_ts`` is the *deleted version's* time,
+          not the deletion's). Null otherwise, and for deletes whose
+          tombstone was physically dropped in the same commit (row TTL).
 
         Scale design: for each commit the diff touches ONLY the buckets
         whose file set changed at that commit (a pure manifest diff — no
@@ -3682,28 +3699,45 @@ class LakeTable:
             )
             updated = old_live & new_live & (F.col("_olsn") != F.col("_nlsn"))
 
-            def _entry(cond, ctype: str, payload: str):
+            def _entry(cond, ctype: str, payload: str, lsn: str, tts=None):
                 return F.when(
                     cond,
                     F.struct(
                         F.lit(ctype).alias("_change_type"),
                         F.col(payload).alias("_payload"),
+                        F.col(lsn).alias("_rl"),
+                        (
+                            tts if tts is not None
+                            else F.lit(None).cast("timestamp")
+                        ).alias("_tts"),
                     ),
                 )
 
             arr = F.array_compact(
                 F.array(
-                    _entry(~old_live & new_live, "insert", "_np"),
-                    _entry(updated, "update_preimage", "_op"),
-                    _entry(updated, "update_postimage", "_np"),
-                    _entry(old_live & ~new_live, "delete", "_op"),
+                    _entry(~old_live & new_live, "insert", "_np", "_nlsn"),
+                    _entry(updated, "update_preimage", "_op", "_olsn"),
+                    _entry(updated, "update_postimage", "_np", "_nlsn"),
+                    _entry(
+                        old_live & ~new_live, "delete", "_op", "_olsn",
+                        tts=F.col("_np.warc_ts"),
+                    ),
                 )
+            )
+            meta = (
+                [
+                    F.col("_e._rl").alias("_row_lsn"),
+                    F.col("_e._tts").alias("_tombstone_ts"),
+                ]
+                if row_meta
+                else []
             )
             parts.append(
                 j.select(F.explode(arr).alias("_e")).select(
                     *[F.col(f"_e._payload.{c}").alias(c) for c in public],
                     F.col("_e._change_type").alias("_change_type"),
                     F.lit(v).alias("_commit_version"),
+                    *meta,
                 )
             )
         if not parts:
@@ -3719,6 +3753,14 @@ class LakeTable:
                     T.StructField("_change_type", T.StringType(), False),
                     T.StructField("_commit_version", T.IntegerType(), False),
                 ]
+                + (
+                    [
+                        T.StructField("_row_lsn", T.LongType()),
+                        T.StructField("_tombstone_ts", T.TimestampType()),
+                    ]
+                    if row_meta
+                    else []
+                )
             )
             return self.spark.createDataFrame([], empty)
         out = parts[0]
