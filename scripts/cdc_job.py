@@ -229,6 +229,21 @@ def main(argv: list[str] | None = None) -> int:
                      help="continuous tail instead of drain-and-stop")
     rpl.add_argument("--timeout-secs", type=float, default=None)
 
+    s2 = sub.add_parser(
+        "scd2",
+        help="maintain a type-2 history table from a lake table's change "
+        "feed: refresh advances to the source head at O(changed rows) "
+        "(re-run on a schedule); --resync repairs after source snapshot "
+        "retention outran the cursor",
+    )
+    s2.add_argument("--source", required=True, help="source table path")
+    s2.add_argument("--history", required=True, help="history table path")
+    s2.add_argument("--payload-cols", default=None,
+                    help="comma-separated source columns to carry "
+                    "(default: all public except key/warc_ts)")
+    s2.add_argument("--buckets", type=int, default=16)
+    s2.add_argument("--resync", action="store_true")
+
     ins = sub.add_parser("inspect", help="print table history and health stats")
     ins.add_argument("--table", required=True)
     ins.add_argument("--verify", action="store_true",
@@ -291,6 +306,23 @@ def main(argv: list[str] | None = None) -> int:
             "replica_version": rep.current_version(),
             "replica_rows": rep.read().count(),
         }))
+        return 0
+
+    if args.cmd == "scd2":
+        from crypto_exchange_etl_spark.lake.scd2 import Scd2History
+
+        h = Scd2History(
+            spark,
+            args.source,
+            args.history,
+            payload_cols=(
+                args.payload_cols.split(",") if args.payload_cols else None
+            ),
+            n_buckets=args.buckets,
+        )
+        out = h.resync() if args.resync else h.refresh()
+        out["intervals"] = h.history().count()
+        print(_json.dumps(out))
         return 0
 
     if args.cmd == "merge":

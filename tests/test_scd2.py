@@ -186,6 +186,29 @@ def test_scd2_lag_then_resync(spark, tmpdir_path):
     assert ("C", _t(6), None, 6) in _ivals(h)
 
 
+def test_scd2_cli_subcommand(spark, tmpdir_path):
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import scripts.cdc_job as cli
+
+    src = os.path.join(tmpdir_path, "src")
+    _mk(spark, src)
+    hist = os.path.join(tmpdir_path, "hist")
+    rc = cli.main(
+        ["scd2", "--source", src, "--history", hist, "--payload-cols", "lang"]
+    )
+    assert rc == 0
+    h = Scd2History(spark, src, hist, payload_cols=["lang"])
+    assert {(r.url, r.valid_from, r.valid_to, r.src_lsn)
+            for r in h.history().collect()} == EXPECTED
+    # no-advance re-run is a no-op with the same interval count
+    assert rc == cli.main(
+        ["scd2", "--source", src, "--history", hist, "--payload-cols", "lang"]
+    )
+
+
 def test_scd2_in_stream_maintenance(spark, tmpdir_path):
     # plugs into CdcPipeline(views=[...]) like the other consumers
     import tempfile
