@@ -112,6 +112,58 @@ def _prefix_range_hits(prefixes: list[str], mn, mx) -> bool:
     return True
 
 
+def _norm_stat_probe(v: Any) -> Any:
+    """Filter value → the manifest-stats encoding (`_json_stat`):
+    timestamps as unix micros, dates as ISO strings."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def _cmp_ok(a: Any, b: Any) -> bool:
+    """Can a filter value be ordered against a JSON stat bound? Strings
+    with strings, real numbers with real numbers — a mismatch (or bool
+    vs number: Spark would not push it on a bool column anyway) keeps
+    the file."""
+    if isinstance(a, str) and isinstance(b, str):
+        return True
+    num = (int, float)
+    return (
+        isinstance(a, num) and isinstance(b, num)
+        and not isinstance(a, bool) and not isinstance(b, bool)
+    )
+
+
+def _stat_excludes(lo: Any, hi: Any, op: str, val: Any) -> bool:
+    """True iff a file whose column spans [lo, hi] provably holds NO row
+    satisfying `col <op> val`. Conservative: any doubt keeps the file."""
+    if op == "sw":
+        return isinstance(val, str) and not _prefix_range_hits([val], lo, hi)
+    if op == "in":
+        probes = [_norm_stat_probe(v) for v in val]
+        if not all(_cmp_ok(p, lo) for p in probes):
+            return False
+        return all(p < lo or p > hi for p in probes)
+    v = _norm_stat_probe(val)
+    if not _cmp_ok(v, lo):
+        return False
+    if op == "eq":
+        return v < lo or v > hi
+    if op == "gt":
+        return hi <= v
+    if op == "ge":
+        return hi < v
+    if op == "lt":
+        return lo >= v
+    if op == "le":
+        return lo > v
+    return False
+
+
 def _resolve_version(t, options: dict) -> int | str | None:
     """Pin the snapshot the whole query reads (schema + partitions)."""
     v = options.get("versionAsOf", options.get("versionasof"))
@@ -200,6 +252,9 @@ class LakeReader(DataSourceReader):
         self._key_prefixes: list[str] = []  # pushed StartsWith conjuncts
         self._ts_lo: int | None = None  # inclusive, unix micros
         self._ts_hi: int | None = None  # inclusive, unix micros
+        # any-column predicates for the generic manifest-stats tier:
+        # (column, op, value) conjuncts
+        self._generic: list[tuple[str, str, Any]] = []
 
     # ------------------------------------------------------- pushdown
 
@@ -218,9 +273,34 @@ class LakeReader(DataSourceReader):
             )
         return None
 
+    @staticmethod
+    def _generic_entry(f, col: str):
+        """(col, op, value) conjunct for the any-column stats tier, or
+        None when stats cannot speak to the predicate (nulls, unknown
+        filter classes)."""
+        if isinstance(f, (EqualTo, EqualNullSafe)):
+            return (col, "eq", f.value) if f.value is not None else None
+        if isinstance(f, In):
+            vals = list(f.value)
+            if vals and all(v is not None for v in vals):
+                return (col, "in", vals)
+            return None  # a null probe can match rows stats cannot see
+        if isinstance(f, GreaterThan):
+            return (col, "gt", f.value)
+        if isinstance(f, GreaterThanOrEqual):
+            return (col, "ge", f.value)
+        if isinstance(f, LessThan):
+            return (col, "lt", f.value)
+        if isinstance(f, LessThanOrEqual):
+            return (col, "le", f.value)
+        if isinstance(f, StringStartsWith):
+            return (col, "sw", str(f.value))
+        return None
+
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         for f in filters:
             col = self._col(f)
+            handled = False
             if col == self._key and isinstance(f, (EqualTo, EqualNullSafe)):
                 vals = [f.value]
                 self._key_values = (
@@ -228,6 +308,7 @@ class LakeReader(DataSourceReader):
                     if self._key_values is None
                     else [v for v in self._key_values if v in vals]
                 )
+                handled = True
             elif col == self._key and isinstance(f, In):
                 vals = list(f.value)
                 self._key_values = (
@@ -235,8 +316,10 @@ class LakeReader(DataSourceReader):
                     if self._key_values is None
                     else [v for v in self._key_values if v in vals]
                 )
+                handled = True
             elif col == self._key and isinstance(f, StringStartsWith):
                 self._key_prefixes.append(str(f.value))
+                handled = True
             elif col == "warc_ts" and isinstance(
                 f, (GreaterThan, GreaterThanOrEqual, EqualTo)
             ):
@@ -244,6 +327,7 @@ class LakeReader(DataSourceReader):
                 if mu is not None:
                     lo = mu if not isinstance(f, GreaterThan) else mu + 1
                     self._ts_lo = lo if self._ts_lo is None else max(self._ts_lo, lo)
+                    handled = True
             if col == "warc_ts" and isinstance(
                 f, (LessThan, LessThanOrEqual, EqualTo)
             ):
@@ -251,6 +335,11 @@ class LakeReader(DataSourceReader):
                 if mu is not None:
                     hi = mu if not isinstance(f, LessThan) else mu - 1
                     self._ts_hi = hi if self._ts_hi is None else min(self._ts_hi, hi)
+                    handled = True
+            if not handled and col is not None:
+                ent = self._generic_entry(f, col)
+                if ent is not None:
+                    self._generic.append(ent)
         # pruning-only pushdown: Spark re-applies EVERY filter (residual),
         # so planner decisions can never change results
         return filters
@@ -416,6 +505,51 @@ class LakeReader(DataSourceReader):
                 ):
                     continue
                 kept.append(f)
+            files = kept
+
+        # --- tier 3: any-column manifest-stats prune (Iceberg column
+        # metrics). Key-column conjuncts are per-key ⇒ fold-safe (same
+        # argument as tier 1.5); payload-column conjuncts prune ONLY
+        # standalone base files — inside a MOR fold group the superseding
+        # version of a key may live in another file, so dropping a file
+        # on payload bounds could resurrect an older, residual-passing
+        # row. String bounds may be truncated (write side): still valid
+        # bounds, pruning only weakens.
+        if self._generic:
+            deltas_g = [
+                (specs[t._file_spec(f)], f["bucket"])
+                for f in files
+                if f.get("delta")
+            ]
+
+            def _standalone(f) -> bool:
+                if f.get("delta"):
+                    return False
+                nb_f = specs[t._file_spec(f)]
+                return not any(
+                    t._buckets_intersect(nb_f, f["bucket"], nb_d, b_d)
+                    for nb_d, b_d in deltas_g
+                )
+
+            kept = []
+            for f in files:
+                st = f.get("stats") or {}
+                cm: dict[str, str | None] | None = None
+                drop = False
+                for col, op, val in self._generic:
+                    if col != self._key and not _standalone(f):
+                        continue
+                    if cm is None:
+                        cm = self._colmap(t, m, f)
+                    phys = cm.get(col, col)
+                    rng = st.get(phys) if phys is not None else None
+                    if rng is not None and _stat_excludes(
+                        rng[0], rng[1], op, val
+                    ):
+                        drop = True
+                        break
+                if not drop:
+                    kept.append(f)
             files = kept
 
         # --- partition assembly: connected MOR groups fold together

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import math
 import os
 import re
 import shutil
@@ -1034,7 +1035,7 @@ class LakeTable:
         _mark("merge_write")
         ka.unpersist()
         new_files = self._scan_files(
-            rel_out, delta=(mode == "mor"), stat_cols=(key, *self._STAT_COLS),
+            rel_out, delta=(mode == "mor"), stat_cols="*", trunc_except=(key,),
             spec=cur_spec, epoch=new_epoch,
         )
         _mark("scan_files")
@@ -1434,23 +1435,48 @@ class LakeTable:
     @staticmethod
     def _json_stat(v: Any) -> Any:
         """JSON-encode a parquet footer min/max: timestamps as unix
-        micros (the manifest is JSON), bytes skipped, rest as-is."""
+        micros, dates as ISO strings (both compare correctly in their
+        encoding — the manifest is JSON), bytes and exotic types skipped,
+        non-finite floats skipped (no sound JSON bound exists)."""
         if isinstance(v, _dt.datetime):
             if v.tzinfo is not None:
                 v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             epoch = _dt.datetime(1970, 1, 1)
             return int((v - epoch).total_seconds() * 1_000_000)
-        if isinstance(v, bytes):
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, float) and not math.isfinite(v):
             return None
-        return v
+        if isinstance(v, (str, bool, int, float)):
+            return v
+        return None
+
+    #: string min/max wider than this are truncated in the manifest
+    #: (Iceberg write.metadata.metrics truncate(16) analogue): lower
+    #: bound = prefix (still ≤ every value), upper bound = prefix with
+    #: last codepoint bumped (still ≥ every value) — pruning stays sound
+    #: and a wide text column cannot bloat the manifest.
+    _STAT_TRUNC = 32
+
+    @classmethod
+    def _stat_upper(cls, s: str) -> str:
+        n = cls._STAT_TRUNC
+        if len(s) <= n:
+            return s
+        p = s[:n]
+        for i in range(len(p) - 1, -1, -1):
+            if ord(p[i]) < 0x10FFFF:
+                return p[:i] + chr(ord(p[i]) + 1)
+        return s  # un-incrementable prefix: keep the exact value
 
     def _scan_files(
         self,
         rel_dir: str,
         delta: bool = False,
-        stat_cols: tuple[str, ...] | None = None,
+        stat_cols: "tuple[str, ...] | str | None" = None,
         spec: int = 0,
         epoch: int = 0,
+        trunc_except: tuple[str, ...] = (),
     ) -> list[dict[str, Any]]:
         """Inventory just-written data files. With ``stat_cols`` the
         parquet footers (hot in page cache — written moments ago) are read
@@ -1459,7 +1485,14 @@ class LakeTable:
         PLANNING time with zero file I/O — the Iceberg manifest
         column-stats model. At 100 TB this is the difference between the
         driver consulting a JSON it already holds and opening 10⁵ footers
-        over the network per query."""
+        over the network per query.
+
+        ``stat_cols="*"`` records min/max for EVERY footer column with
+        usable statistics (full Iceberg column metrics) — binary/nested
+        columns skip themselves (`_json_stat` → None). String bounds
+        outside ``trunc_except`` are truncated to ``_STAT_TRUNC``
+        codepoints (lower = prefix, upper = bumped prefix), so wide text
+        columns cost ~64 chars per file, not two page bodies."""
         import pyarrow.parquet as pq
 
         out = []
@@ -1489,7 +1522,8 @@ class LakeTable:
                         md.schema.column(i).name: i for i in range(md.num_columns)
                     }
                     stats: dict[str, Any] = {}
-                    for col in stat_cols:
+                    cols = list(idx) if stat_cols == "*" else stat_cols
+                    for col in cols:
                         if col not in idx:
                             continue
                         lo = hi = None
@@ -1503,6 +1537,9 @@ class LakeTable:
                             hi = st.max if hi is None else max(hi, st.max)
                         lo, hi = self._json_stat(lo), self._json_stat(hi)
                         if ok and lo is not None and hi is not None:
+                            if isinstance(lo, str) and col not in trunc_except:
+                                lo = lo[: self._STAT_TRUNC]
+                                hi = self._stat_upper(hi)
                             stats[col] = [lo, hi]
                     entry["rows"] = md.num_rows
                     if stats:
@@ -1709,7 +1746,7 @@ class LakeTable:
             .parquet(os.path.join(self.path, rel_out))
         )
         new_files = self._scan_files(
-            rel_out, stat_cols=(m["key"], *self._STAT_COLS), spec=cur_spec,
+            rel_out, stat_cols="*", trunc_except=(m["key"],), spec=cur_spec,
             epoch=self._current_epoch(m),
         )
         in_paths = {f["path"] for f in in_files}
@@ -1759,7 +1796,7 @@ class LakeTable:
             .parquet(os.path.join(self.path, rel_out))
         )
         new_files = self._scan_files(
-            rel_out, stat_cols=(m["key"], *self._STAT_COLS),
+            rel_out, stat_cols="*", trunc_except=(m["key"],),
             spec=self._current_spec(m), epoch=self._current_epoch(m),
         )
         nm = dict(m)
@@ -2607,7 +2644,7 @@ class LakeTable:
             )
             new_files.extend(
                 self._scan_files(
-                    rel_out, delta=flag, stat_cols=(m["key"], *self._STAT_COLS),
+                    rel_out, delta=flag, stat_cols="*", trunc_except=(m["key"],),
                     spec=self._current_spec(m), epoch=self._current_epoch(m),
                 )
             )
@@ -3092,7 +3129,7 @@ class LakeTable:
                 "current_spec": new_spec,
             }
         new_files = self._scan_files(
-            rel_out, stat_cols=(m["key"], *self._STAT_COLS), spec=new_spec,
+            rel_out, stat_cols="*", trunc_except=(m["key"],), spec=new_spec,
             epoch=self._current_epoch(m),
         )
         nm = dict(m)
@@ -3180,7 +3217,7 @@ class LakeTable:
             .parquet(os.path.join(self.path, rel_out))
         )
         new_files = self._scan_files(
-            rel_out, stat_cols=(m["key"], *self._STAT_COLS),
+            rel_out, stat_cols="*", trunc_except=(m["key"],),
             spec=self._current_spec(m), epoch=self._current_epoch(m),
         )
         if zorder:

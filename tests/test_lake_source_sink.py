@@ -268,6 +268,68 @@ def test_lake_source_prefix_pruning(spark, tmpdir_path):
     assert n1 == 0
 
 
+def test_lake_source_generic_column_pruning(spark, tmpdir_path):
+    # Iceberg-column-metrics tier: ANY pushed predicate prunes on the
+    # manifest's per-file min/max. Payload columns prune only standalone
+    # base files (MOR fold groups unsafe); the key column stays fold-safe.
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, n=30)
+    total, _ = _planned_files(path, None)
+    assert total > 0
+    # lang='fr' appears nowhere: stats alone prune every file (CoW table
+    # has no deltas, every base file is standalone)
+    n0, _ = _planned_files(path, [EqualTo(("lang",), "fr")])
+    assert n0 == 0
+    # in-range predicate keeps files and result parity holds end-to-end
+    got = _lake(spark, path).where(F.col("lang") == "de")
+    assert _canon(got) == _canon(pipe.table.read().where(F.col("lang") == "de"))
+    # text-column stats are truncated in the manifest but remain sound:
+    # a startswith on text still prunes when the range excludes it
+    for f in pipe.table.manifest()["files"]:
+        st = (f.get("stats") or {}).get("text")
+        if st is not None:
+            assert len(st[0]) <= 32 and len(st[1]) <= 33
+    n1, _ = _planned_files(path, [StringStartsWith(("text",), "zzzz-no-such")])
+    assert n1 == 0
+    # MOR: payload pruning must not reach into fold groups — u0's lang
+    # changed en→de in a delta; filtering the OLD value must not
+    # resurrect the old row, and the NEW value must fold through
+    mor = os.path.join(tmpdir_path, "mor")
+    mpipe = _mk_table(spark, mor, n=30, mode="mor")
+    for pred in ("en", "de"):
+        got = _lake(spark, mor).where(F.col("lang") == pred)
+        want = mpipe.table.read().where(F.col("lang") == pred)
+        assert _canon(got) == _canon(want)
+    urls_de = {r.url for r in _lake(spark, mor).where(F.col("lang") == "de").collect()}
+    assert urls_de == {"u0"}
+
+
+def test_stat_excludes_unit():
+    from crypto_exchange_etl_spark.lake.batch_source import (
+        _stat_excludes,
+        _norm_stat_probe,
+    )
+    from crypto_exchange_etl_spark.lake.table import LakeTable
+
+    assert _stat_excludes(10, 20, "eq", 25) and not _stat_excludes(10, 20, "eq", 15)
+    assert _stat_excludes(10, 20, "gt", 20) and not _stat_excludes(10, 20, "gt", 19)
+    assert _stat_excludes(10, 20, "ge", 21) and not _stat_excludes(10, 20, "ge", 20)
+    assert _stat_excludes(10, 20, "lt", 10) and not _stat_excludes(10, 20, "lt", 11)
+    assert _stat_excludes(10, 20, "le", 9) and not _stat_excludes(10, 20, "le", 10)
+    assert _stat_excludes(10, 20, "in", [1, 30]) and not _stat_excludes(10, 20, "in", [1, 15])
+    # type mismatch keeps the file
+    assert not _stat_excludes(10, 20, "eq", "x")
+    assert not _stat_excludes("a", "b", "gt", 5)
+    # timestamp probes compare in the stats' micros encoding
+    mu = _norm_stat_probe(dt.datetime(2024, 1, 1))
+    assert _stat_excludes(mu + 1, mu + 9, "eq", dt.datetime(2024, 1, 1))
+    # truncation soundness: bounds widen, never shrink
+    long_s = "x" * 100 + "tail"
+    up = LakeTable._stat_upper(long_s)
+    assert len(up) <= 32 and up > long_s
+    assert long_s[:32] <= long_s
+
+
 def test_lake_source_ts_pruning_cow_and_mor(spark, tmpdir_path):
     cow = os.path.join(tmpdir_path, "cow")
     pipe = _mk_table(spark, cow, n=40)
