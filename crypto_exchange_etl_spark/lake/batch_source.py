@@ -79,6 +79,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
@@ -215,6 +217,7 @@ class LakePartition(InputPartition):
         key_values: list[Any] | None,
         ts_bounds: tuple[int | None, int | None] = (None, None),
         key_prefixes: list[str] | None = None,
+        generic: list[tuple[str, str, Any]] | None = None,
     ):
         self.files = files
         self.fold = fold
@@ -232,6 +235,10 @@ class LakePartition(InputPartition):
         # pushed key-prefix (LIKE 'p%') conjuncts: per-key predicates, so
         # like key_values they are safe to pre-apply BEFORE the fold
         self.key_prefixes = key_prefixes or []
+        # any-column conjuncts for worker-side row-group skipping; fold
+        # groups keep only the key-column ones (payload-stats skipping
+        # inside a fold could drop a key's superseding version)
+        self.generic = generic or []
 
 
 class LakeReader(DataSourceReader):
@@ -295,6 +302,10 @@ class LakeReader(DataSourceReader):
             return (col, "le", f.value)
         if isinstance(f, StringStartsWith):
             return (col, "sw", str(f.value))
+        if isinstance(f, IsNotNull):
+            return (col, "nn", None)
+        if isinstance(f, IsNull):
+            return (col, "nu", None)
         return None
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
@@ -534,6 +545,7 @@ class LakeReader(DataSourceReader):
             kept = []
             for f in files:
                 st = f.get("stats") or {}
+                nulls = f.get("nulls") or {}
                 cm: dict[str, str | None] | None = None
                 drop = False
                 for col, op, val in self._generic:
@@ -542,6 +554,26 @@ class LakeReader(DataSourceReader):
                     if cm is None:
                         cm = self._colmap(t, m, f)
                     phys = cm.get(col, col)
+                    if op in ("nn", "nu"):
+                        # null-count tier: a column absent at the file's
+                        # epoch reads its initial default (non-null by
+                        # construction) or null when there is none
+                        if phys is None:
+                            has_default = col in self._defaults
+                            drop = (op == "nn" and not has_default) or (
+                                op == "nu" and has_default
+                            )
+                        else:
+                            nc = nulls.get(phys)
+                            rows = f.get("rows")
+                            if nc is None or rows is None:
+                                continue
+                            drop = (op == "nn" and nc == rows) or (
+                                op == "nu" and nc == 0
+                            )
+                        if drop:
+                            break
+                        continue
                     rng = st.get(phys) if phys is not None else None
                     if rng is not None and _stat_excludes(
                         rng[0], rng[1], op, val
@@ -589,6 +621,7 @@ class LakeReader(DataSourceReader):
             key_values=self._key_values,
             ts_bounds=(self._ts_lo, self._ts_hi),
             key_prefixes=prefixes,
+            generic=self._generic,
         )
         groups: dict[int, list] = {}
         parts: list[LakePartition] = []
@@ -601,13 +634,18 @@ class LakeReader(DataSourceReader):
                 groups.setdefault(g, []).append(entry)
         for g in sorted(groups):
             parts.append(LakePartition(groups[g], fold=True, **base_kwargs))
+        if not parts:
+            # pruned-to-nothing plans still need ONE (empty) partition:
+            # Spark invokes read(None) on an empty partition list
+            parts.append(LakePartition([], fold=False, **base_kwargs))
         return parts
 
     # -------------------------------------------------------- reading
 
     @staticmethod
     def _select_row_groups(
-        md, phys_key, key_values, phys_ts, lo, hi, use_ts, key_prefixes=()
+        md, phys_key, key_values, phys_ts, lo, hi, use_ts,
+        key_prefixes=(), generic=(), colmap=None,
     ):
         """Row groups that could hold a probed key / an in-range row —
         the footer-stats skip tier below the manifest's file-level prune.
@@ -645,6 +683,33 @@ class LakeReader(DataSourceReader):
                         keep = False
                     if hi is not None and mn is not None and mn > hi:
                         keep = False
+            if keep and generic:
+                for col, op, val in generic:
+                    phys = (colmap or {}).get(col)
+                    if phys is None or phys not in idx:
+                        continue
+                    st = md.row_group(rg).column(idx[phys]).statistics
+                    if st is None:
+                        continue
+                    if op in ("nn", "nu"):
+                        if not st.has_null_count:
+                            continue
+                        n = md.row_group(rg).num_rows
+                        if (op == "nn" and st.null_count == n) or (
+                            op == "nu" and st.null_count == 0
+                        ):
+                            keep = False
+                            break
+                        continue
+                    if not st.has_min_max:
+                        continue
+                    smn = micros(st.min) if isinstance(st.min, dtm.datetime) else st.min
+                    smx = micros(st.max) if isinstance(st.max, dtm.datetime) else st.max
+                    if isinstance(smn, bytes) or isinstance(smx, bytes):
+                        continue
+                    if _stat_excludes(smn, smx, op, val):
+                        keep = False
+                        break
             if keep:
                 out.append(rg)
         return out
@@ -705,6 +770,8 @@ class LakeReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         p = partition
+        if p is None:  # empty partition list ⇒ Spark calls read(None)
+            return
         if not p.fold:
             # base-only files STREAM row-group by row-group — worker
             # memory is O(row group), not O(file), which is what lets one
@@ -722,6 +789,8 @@ class LakeReader(DataSourceReader):
                     p.ts_bounds[1],
                     use_ts=True,
                     key_prefixes=p.key_prefixes,
+                    generic=p.generic,  # base-only: every conjunct safe
+                    colmap=colmap,
                 )
                 if not rgs:
                     continue
@@ -742,6 +811,9 @@ class LakeReader(DataSourceReader):
                 pf.metadata, colmap.get(p.key), p.key_values,
                 None, None, None, use_ts=False,
                 key_prefixes=p.key_prefixes,
+                # fold group: only per-key conjuncts may skip row groups
+                generic=[g for g in p.generic if g[0] == p.key],
+                colmap=colmap,
             )
             if not rgs:
                 continue

@@ -281,6 +281,8 @@ class _CdfPlannerBase:
         import pyarrow.parquet as pq
 
         p = partition
+        if p is None:  # Spark hands read(None) for an EMPTY partition
+            return  # list (e.g. a metadata-only commit range)
         cols = [*p.public_cols, "lsn", "is_deleted"]
 
         def load(files) -> "pd.DataFrame":

@@ -1522,25 +1522,39 @@ class LakeTable:
                         md.schema.column(i).name: i for i in range(md.num_columns)
                     }
                     stats: dict[str, Any] = {}
+                    nulls: dict[str, int] = {}
                     cols = list(idx) if stat_cols == "*" else stat_cols
                     for col in cols:
                         if col not in idx:
                             continue
                         lo = hi = None
                         ok = True
+                        nc = 0
+                        ok_n = True
                         for rg in range(md.num_row_groups):
                             st = md.row_group(rg).column(idx[col]).statistics
-                            if st is None or not st.has_min_max:
-                                ok = False
+                            if st is None:
+                                ok = ok_n = False
                                 break
+                            if st.has_null_count:
+                                nc += st.null_count
+                            else:
+                                ok_n = False
+                            if not st.has_min_max:
+                                ok = False
+                                continue
                             lo = st.min if lo is None else min(lo, st.min)
                             hi = st.max if hi is None else max(hi, st.max)
+                        if ok_n:  # exact per-file null count (Iceberg
+                            nulls[col] = nc  # value_counts/null_value_counts)
                         lo, hi = self._json_stat(lo), self._json_stat(hi)
                         if ok and lo is not None and hi is not None:
                             if isinstance(lo, str) and col not in trunc_except:
                                 lo = lo[: self._STAT_TRUNC]
                                 hi = self._stat_upper(hi)
                             stats[col] = [lo, hi]
+                    if nulls:
+                        entry["nulls"] = nulls
                     entry["rows"] = md.num_rows
                     if stats:
                         entry["stats"] = stats

@@ -19,6 +19,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThanOrEqual,
     In,
+    IsNull,
     LessThan,
     StringStartsWith,
 )
@@ -302,6 +303,34 @@ def test_lake_source_generic_column_pruning(spark, tmpdir_path):
         assert _canon(got) == _canon(want)
     urls_de = {r.url for r in _lake(spark, mor).where(F.col("lang") == "de").collect()}
     assert urls_de == {"u0"}
+    # null-count tier: only the tombstone-bearing file has lang nulls, so
+    # IS NULL prunes the rest; result parity (empty — tombstones hidden)
+    n_null, _ = _planned_files(path, [IsNull(("lang",))])
+    assert 0 < n_null < total
+    assert _lake(spark, path).where(F.col("lang").isNull()).count() == 0
+    got = _lake(spark, path).where(F.col("lang").isNotNull())
+    assert _canon(got) == _canon(pipe.table.read().where(F.col("lang").isNotNull()))
+
+
+def test_lake_source_pruned_to_zero_executes(spark, tmpdir_path):
+    # planning that prunes EVERY file must still execute: Spark hands
+    # read(None) to a source whose partitions() returned an empty list
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, n=8)
+    df = _lake(spark, path)
+    assert df.where(F.col("url") == "nope://x").count() == 0
+    assert df.where(F.col("lang") == "fr").count() == 0
+    # lake_cdf batch face over a metadata-only commit range, same shape
+    pipe.table.rename_column("lang", "language")
+    v = pipe.table.current_version()
+    n = (
+        spark.read.format("lake_cdf")
+        .option("path", path)
+        .option("startingVersion", v)
+        .load()
+        .count()
+    )
+    assert n == 0
 
 
 def test_stat_excludes_unit():
