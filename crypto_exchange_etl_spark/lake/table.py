@@ -3476,6 +3476,7 @@ class LakeTable:
                     int(f["rows"]) if "rows" in f else None,
                     bool(f.get("delta")),
                     json.dumps(f["stats"]) if f.get("stats") else None,
+                    json.dumps(f["nulls"]) if f.get("nulls") else None,
                 )
                 for f in m["files"]
             ]
@@ -3488,6 +3489,7 @@ class LakeTable:
                 T.StructField("rows", T.LongType(), True),
                 T.StructField("is_delta", T.BooleanType(), False),
                 T.StructField("stats_json", T.StringType(), True),
+                T.StructField("null_counts_json", T.StringType(), True),
             ])
             return schema, rows
         if name == "snapshots":
