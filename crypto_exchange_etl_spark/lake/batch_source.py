@@ -115,14 +115,13 @@ def _prefix_range_hits(prefixes: list[str], mn, mx) -> bool:
 
 
 def _norm_stat_probe(v: Any) -> Any:
-    """Filter value → the manifest-stats encoding (`_json_stat`):
-    timestamps as unix micros, dates as ISO strings."""
-    if isinstance(v, _dt.datetime):
-        if v.tzinfo is not None:
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
-    if isinstance(v, _dt.date):
-        return v.isoformat()
+    """Filter value → the manifest-stats encoding. Delegates temporal
+    values to the WRITE side's encoder (`LakeTable._json_stat`) so probe
+    and manifest can never drift apart."""
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        from .table import LakeTable
+
+        return LakeTable._json_stat(v)
     return v
 
 
@@ -142,7 +141,14 @@ def _cmp_ok(a: Any, b: Any) -> bool:
 
 def _stat_excludes(lo: Any, hi: Any, op: str, val: Any) -> bool:
     """True iff a file whose column spans [lo, hi] provably holds NO row
-    satisfying `col <op> val`. Conservative: any doubt keeps the file."""
+    satisfying `col <op> val`. Conservative: any doubt keeps the file.
+
+    NaN blind spot (Spark orders NaN ABOVE every number, parquet min/max
+    statistics do not see NaN at all): on float bounds a hidden NaN row
+    satisfies ``> v`` / ``>= v`` for ANY v, so gt/ge must never exclude a
+    float-statted file. The other ops stay sound — NaN satisfies none of
+    eq/in (probe non-NaN; a NaN probe compares False everywhere and
+    keeps the file) nor lt/le (NaN is the maximum)."""
     if op == "sw":
         return isinstance(val, str) and not _prefix_range_hits([val], lo, hi)
     if op == "in":
@@ -155,10 +161,10 @@ def _stat_excludes(lo: Any, hi: Any, op: str, val: Any) -> bool:
         return False
     if op == "eq":
         return v < lo or v > hi
-    if op == "gt":
-        return hi <= v
-    if op == "ge":
-        return hi < v
+    if op == "gt" or op == "ge":
+        if isinstance(lo, float) or isinstance(hi, float):
+            return False  # stats-invisible NaN could satisfy the filter
+        return hi <= v if op == "gt" else hi < v
     if op == "lt":
         return lo >= v
     if op == "le":
@@ -547,10 +553,14 @@ class LakeReader(DataSourceReader):
                 st = f.get("stats") or {}
                 nulls = f.get("nulls") or {}
                 cm: dict[str, str | None] | None = None
+                alone: bool | None = None  # memoized per file
                 drop = False
                 for col, op, val in self._generic:
-                    if col != self._key and not _standalone(f):
-                        continue
+                    if col != self._key:
+                        if alone is None:
+                            alone = _standalone(f)
+                        if not alone:
+                            continue
                     if cm is None:
                         cm = self._colmap(t, m, f)
                     phys = cm.get(col, col)

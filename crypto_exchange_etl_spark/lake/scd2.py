@@ -171,11 +171,27 @@ class Scd2History:
 
     def history(self) -> DataFrame:
         """Every captured interval: ``valid_from``/``valid_to`` +
-        ``is_current`` over the key and payload columns."""
+        ``is_current`` over the key and payload columns.
+
+        Payload columns come from the HISTORY table's own schema (the
+        union of everything ever captured), not the source's current one
+        — source schema evolution between refreshes can neither crash
+        reads nor hide previously captured columns. After a source
+        ``rename_column``, mirror it with ``rename_column`` on the
+        history table to keep old and new intervals under one column;
+        un-mirrored, the history additively gains the new name and old
+        intervals keep the old one (both visible, nothing lost)."""
         src = self._source()
-        key, payload = self._payload(src)
+        key, _ = self._payload(src)
+        hist = self._history_table(src)
+        hist_public = [f.name for f in hist.read().schema.fields]
+        payload = [
+            c
+            for c in hist_public
+            if c not in ("_hist_id", key, "warc_ts", "valid_to", "_src_lsn")
+        ]
         return (
-            self._history_table(src)
+            hist
             .read()
             .select(
                 F.col(key),
@@ -315,14 +331,31 @@ class Scd2History:
         payload: list[str], version: int,
     ) -> None:
         """Open an interval per live row of snapshot ``version`` (lsn from
-        the physical read — the CDF cannot see pre-cut rows)."""
+        the physical read — the CDF cannot see pre-cut rows). Payload
+        columns added to the source AFTER ``version`` do not exist in
+        that snapshot's schema — they open with the column's declared
+        initial default (what the engine reads for pre-add rows under
+        the current schema), else null."""
+        from .cdf_source import _coerce_default
+
+        m = src.manifest()
+        src_schema = T.StructType.fromJson(m["schema"])
+        col_defaults = m.get("column_defaults") or {}
         live = src.read_physical(version=version).where(
             ~F.coalesce(F.col("is_deleted"), F.lit(True))
         )
+        have = set(live.columns)
+
+        def _fill(c: str):
+            dt_ = src_schema[c].dataType
+            d = col_defaults.get(c)
+            v = _coerce_default(d, dt_) if d is not None else None
+            return F.lit(v).cast(dt_).alias(c)
+
         rows = live.select(
             F.col(key),
             F.col("warc_ts"),
-            *[F.col(c) for c in payload],
+            *[F.col(c) if c in have else _fill(c) for c in payload],
             F.lit(None).cast("timestamp").alias("valid_to"),
             F.col("lsn").alias("_src_lsn"),
         ).withColumn("_hist_id", _hist_id(key))
@@ -384,7 +417,7 @@ class Scd2History:
                 F.lit(None).cast("timestamp").alias("valid_to"),
                 F.col("_llsn").alias("_src_lsn"),
             )
-            .dropDuplicates(["_k" if key == "_k" else key, "_src_lsn"])
+            .dropDuplicates([key, "_src_lsn"])
             .withColumn("_hist_id", _hist_id(key))
         )
         # b) open interval whose version is gone → close it
@@ -402,10 +435,20 @@ class Scd2History:
         n_unknown = stale.where(
             F.col("_lts").isNull() & F.col("_tts").isNull()
         ).count()
-        # partial source rows: UPDATE SET * keeps unlisted target columns,
-        # so closes need only the id, the order column, and valid_to
+        # closes re-carry the open row's own values; payload columns the
+        # source gained since the interval was captured null-fill (the
+        # target row holds no value for them either — no-op overwrite)
+        src_schema = T.StructType.fromJson(src.manifest()["schema"])
+        hist_public = set(f.name for f in hist.read().schema.fields)
         hist_rows = hist.read().select(
-            "_hist_id", "warc_ts", *[F.col(c) for c in [key, "_src_lsn", *payload]]
+            "_hist_id",
+            "warc_ts",
+            *[
+                F.col(c)
+                if c in hist_public
+                else F.lit(None).cast(src_schema[c].dataType).alias(c)
+                for c in [key, "_src_lsn", *payload]
+            ],
         )
         closes = (
             stale.select("_hist_id", close_ts.alias("valid_to"))

@@ -243,6 +243,10 @@ def main(argv: list[str] | None = None) -> int:
                     "(default: all public except key/warc_ts)")
     s2.add_argument("--buckets", type=int, default=16)
     s2.add_argument("--resync", action="store_true")
+    s2.add_argument("--count", action="store_true",
+                    help="also count history intervals (O(history) scan "
+                    "— off by default so scheduled refreshes stay "
+                    "O(changed rows))")
 
     ins = sub.add_parser("inspect", help="print table history and health stats")
     ins.add_argument("--table", required=True)
@@ -321,7 +325,8 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.buckets,
         )
         out = h.resync() if args.resync else h.refresh()
-        out["intervals"] = h.history().count()
+        if args.count:
+            out["intervals"] = h.history().count()
         print(_json.dumps(out))
         return 0
 

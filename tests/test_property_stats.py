@@ -98,6 +98,40 @@ def test_stat_excludes_numeric_soundness(vals, op, probe):
         assert not _stat_excludes(lo, hi, op, probe)
 
 
+_FLOATS_NAN = st.lists(
+    st.floats(allow_nan=True, allow_infinity=False, width=64),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_FLOATS_NAN, _OPS, st.floats(allow_nan=False, allow_infinity=False))
+def test_stat_excludes_nan_blindspot_soundness(vals, op, probe):
+    """Parquet min/max statistics do NOT see NaN, yet Spark orders NaN
+    above every number (NaN > v is TRUE for all v, NaN = NaN is TRUE).
+    Pruning from NaN-blind stats must still never drop a satisfying row."""
+    import math
+
+    finite = [v for v in vals if not math.isnan(v)]
+    if not finite:
+        return  # all-NaN column: parquet writes no min/max at all
+    lo, hi = min(finite), max(finite)  # what the footer records
+
+    def spark_sat(v):
+        if math.isnan(v):
+            # Spark NaN semantics: greatest value, equal to itself
+            return {"eq": False, "gt": True, "ge": True,
+                    "lt": False, "le": False}[op]
+        return {
+            "eq": v == probe, "gt": v > probe, "ge": v >= probe,
+            "lt": v < probe, "le": v <= probe,
+        }[op]
+
+    if any(spark_sat(v) for v in vals):
+        assert not _stat_excludes(lo, hi, op, probe)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.lists(_TXT, min_size=2, max_size=6), _OPS, _TXT)
 def test_stat_excludes_string_soundness_with_truncation(vals, op, probe):

@@ -186,6 +186,52 @@ def test_scd2_lag_then_resync(spark, tmpdir_path):
     assert ("C", _t(6), None, 6) in _ivals(h)
 
 
+def test_scd2_source_schema_evolution(spark, tmpdir_path):
+    from pyspark.sql import types as T
+
+    src = os.path.join(tmpdir_path, "src")
+    pipe = _mk(spark, src)
+    h = Scd2History(spark, src, os.path.join(tmpdir_path, "hist"))
+    h.refresh()
+    # source gains a column AFTER intervals were captured: reads must
+    # neither crash nor hide captured columns (payload comes from the
+    # history table's own schema)
+    pipe.table.add_column("grade", T.DoubleType(), default=1.5)
+    hist_before = _ivals(h)
+    assert hist_before == EXPECTED  # no crash, nothing lost
+    assert "grade" not in h.history().columns  # not captured yet
+    # a post-DDL change flows the new column into new intervals only
+    _apply(spark, pipe, 3, [(7, 0, "U", "A", _t(7), b"<p>a4</p>", "en")])
+    h.refresh()
+    rows = {r.src_lsn: r for r in h.history().collect()}
+    assert "grade" in h.history().columns
+    # post-add rows stay null unless the feed supplies a value (the
+    # engine's documented add_column semantics); pre-DDL intervals were
+    # captured without the column and read null too
+    assert rows[7].grade is None and rows[1].grade is None
+    assert rows[7].text == "a4"  # the new interval itself is correct
+    # mirrored rename keeps every interval under one column
+    pipe.table.rename_column("lang", "language")
+    h._history_table(h._source()).rename_column("lang", "language")
+    langs = {r.src_lsn: r.language for r in h.history().collect()}
+    assert langs[1] == "en" and langs[5] == "de"
+
+
+def test_scd2_bootstrap_after_ddl_on_expired_source(spark, tmpdir_path):
+    from pyspark.sql import types as T
+
+    src = os.path.join(tmpdir_path, "src")
+    pipe = _mk(spark, src)
+    pipe.table.add_column("grade", T.DoubleType(), default=1.5)
+    pipe.table.expire_snapshots(keep_last=1)
+    # bootstrap over the non-empty earliest snapshot must fill the
+    # post-cut column with its declared initial default, not crash
+    h = Scd2History(spark, src, os.path.join(tmpdir_path, "hist"))
+    h.refresh()
+    cur = {(r.url, r.grade) for r in h.current().collect()}
+    assert cur == {("A", 1.5), ("B", 1.5)}
+
+
 def test_scd2_cli_subcommand(spark, tmpdir_path):
     import json
     import sys
