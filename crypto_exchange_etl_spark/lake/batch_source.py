@@ -90,15 +90,7 @@ from .cdf_source import _coerce_default, _table
 from .xxh64 import SPARK_SEED, spark_xxhash64
 
 
-def _prefix_upper(prefix: str) -> str | None:
-    """Smallest string s with s > every string starting with ``prefix``
-    (codepoint-order successor: bump the last bumpable codepoint). None
-    when no successor exists (all U+10FFFF) — then nothing can prune."""
-    for i in range(len(prefix) - 1, -1, -1):
-        c = ord(prefix[i])
-        if c < 0x10FFFF:
-            return prefix[:i] + chr(c + 1)
-    return None
+from .strstat import prefix_successor as _prefix_upper
 
 
 def _prefix_range_hits(prefixes: list[str], mn, mx) -> bool:
@@ -435,6 +427,28 @@ class LakeReader(DataSourceReader):
         specs = t._specs(m)
         files = list(m["files"])
 
+        # THE MOR-safety predicate every tier below hangs on, in one
+        # place: the delta bucket-classes of a given (post-prune) file
+        # list, and whether a file's class could share keys with one.
+        # Each tier recomputes against ITS current list on purpose — a
+        # delta pruned by an earlier tier provably lacks the relevant
+        # keys, shrinking the unsafe set.
+        def _delta_classes(fs) -> list[tuple[int, int]]:
+            return sorted(
+                {
+                    (specs[t._file_spec(f)], f["bucket"])
+                    for f in fs
+                    if f.get("delta")
+                }
+            )
+
+        def _affected(f, classes) -> bool:
+            nb_f = specs[t._file_spec(f)]
+            return any(
+                t._buckets_intersect(nb_f, f["bucket"], nb_d, b_d)
+                for nb_d, b_d in classes
+            )
+
         # --- tier 1: key bucket-hash + stats + key-hash-bounds prune
         if self._key_values is not None:
             hashed = [
@@ -495,19 +509,7 @@ class LakeReader(DataSourceReader):
 
         # --- tier 2: warc_ts range prune (scan_file_plan's MOR-safe rules)
         if self._ts_lo is not None or self._ts_hi is not None:
-            deltas = [
-                (specs[t._file_spec(f)], f["bucket"])
-                for f in files
-                if f.get("delta")
-            ]
-
-            def mor_affected(f) -> bool:
-                nb_f = specs[t._file_spec(f)]
-                return any(
-                    t._buckets_intersect(nb_f, f["bucket"], nb_d, b_d)
-                    for nb_d, b_d in deltas
-                )
-
+            deltas = _delta_classes(files)
             kept = []
             for f in files:
                 st = (f.get("stats") or {}).get("warc_ts")
@@ -518,7 +520,7 @@ class LakeReader(DataSourceReader):
                     self._ts_hi is not None
                     and fmin is not None
                     and fmin > self._ts_hi
-                    and not (deltas and mor_affected(f))
+                    and not (deltas and _affected(f, deltas))
                 ):
                     continue
                 kept.append(f)
@@ -533,20 +535,10 @@ class LakeReader(DataSourceReader):
         # row. String bounds may be truncated (write side): still valid
         # bounds, pruning only weakens.
         if self._generic:
-            deltas_g = [
-                (specs[t._file_spec(f)], f["bucket"])
-                for f in files
-                if f.get("delta")
-            ]
+            deltas_g = _delta_classes(files)
 
             def _standalone(f) -> bool:
-                if f.get("delta"):
-                    return False
-                nb_f = specs[t._file_spec(f)]
-                return not any(
-                    t._buckets_intersect(nb_f, f["bucket"], nb_d, b_d)
-                    for nb_d, b_d in deltas_g
-                )
+                return not f.get("delta") and not _affected(f, deltas_g)
 
             kept = []
             for f in files:
@@ -569,7 +561,10 @@ class LakeReader(DataSourceReader):
                         # epoch reads its initial default (non-null by
                         # construction) or null when there is none
                         if phys is None:
-                            has_default = col in self._defaults
+                            # a default that failed coercion reads null
+                            # at scan time, so presence alone is not
+                            # enough — the COERCED value must be non-null
+                            has_default = self._defaults.get(col) is not None
                             drop = (op == "nn" and not has_default) or (
                                 op == "nu" and has_default
                             )
@@ -595,13 +590,7 @@ class LakeReader(DataSourceReader):
             files = kept
 
         # --- partition assembly: connected MOR groups fold together
-        delta_classes = sorted(
-            {
-                (specs[t._file_spec(f)], f["bucket"])
-                for f in files
-                if f.get("delta")
-            }
-        )
+        delta_classes = _delta_classes(files)
         parent = list(range(len(delta_classes)))
 
         def find(i):

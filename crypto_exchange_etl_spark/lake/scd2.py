@@ -144,6 +144,16 @@ class Scd2History:
             return key, list(self._payload_opt)
         return key, [c for c in public if c not in (key, "warc_ts")]
 
+    @staticmethod
+    def _hist_public(hist: LakeTable) -> list[str]:
+        """History table's public columns from its manifest (no Spark
+        plan construction — read faces call this on every query)."""
+        return [
+            f.name
+            for f in T.StructType.fromJson(hist.manifest()["schema"]).fields
+            if f.name not in _INTERNAL_COLS
+        ]
+
     def _history_table(self, src: LakeTable) -> LakeTable:
         key, payload = self._payload(src)
         src_schema = T.StructType.fromJson(src.manifest()["schema"])
@@ -184,10 +194,9 @@ class Scd2History:
         src = self._source()
         key, _ = self._payload(src)
         hist = self._history_table(src)
-        hist_public = [f.name for f in hist.read().schema.fields]
         payload = [
             c
-            for c in hist_public
+            for c in self._hist_public(hist)
             if c not in ("_hist_id", key, "warc_ts", "valid_to", "_src_lsn")
         ]
         return (
@@ -224,7 +233,71 @@ class Scd2History:
         LATEST image per ``_hist_id`` (a close always out-commits the
         open it supersedes; re-consumed spans re-derive identical rows)."""
         cdf = src.changes_between(pos, cur, row_meta=True)
-        base = [F.col(key), F.col("warc_ts"), *[F.col(c) for c in payload]]
+        # The CDF emits each commit's rows under THAT commit's column
+        # names (pinned-schema contract), and the cross-commit union
+        # null-fills the others. A rename inside the span therefore
+        # splits one field's values across two columns — and a re-added
+        # old name makes the old column AMBIGUOUS (different field ids
+        # per commit). Resolve exactly: for every payload column, read
+        # each row's value from the name its FIELD ID had at that row's
+        # commit (null where the field did not exist yet) — the same
+        # by-id resolution the engine's readers use, keyed on
+        # _commit_version.
+        m_cur = src.manifest(cur)
+        fids = m_cur.get("field_ids") or {}
+        eps = m_cur.get("schema_epochs") or []
+        have = set(cdf.columns)
+
+        def _name_at(fid, v: int) -> str | None:
+            mv = src.manifest(v)
+            fv = mv.get("field_ids")
+            if fv:
+                return {f: n for n, f in fv.items()}.get(fid)
+            # pre-DDL manifests carry no ids; every then-present column
+            # keeps its epoch-0 physical name
+            return eps[0].get(str(fid)) if eps else None
+
+        def _pcol(c: str) -> F.Column:
+            fid = fids.get(c)
+            if fid is None or not eps:
+                return F.col(c)  # no DDL ever happened: names are stable
+            by_name: dict[str | None, list[int]] = {}
+            for v in range(pos + 1, cur + 1):
+                by_name.setdefault(_name_at(fid, v), []).append(v)
+            if set(by_name) == {c}:
+                return F.col(c)
+            src_schema = T.StructType.fromJson(m_cur["schema"])
+            expr = F.lit(None).cast(src_schema[c].dataType)
+            for name, vers in by_name.items():
+                src_col = (
+                    F.col(name)
+                    if name is not None and name in have
+                    else F.lit(None)
+                )
+                expr = F.when(
+                    F.col("_commit_version").isin(vers), src_col
+                ).otherwise(expr)
+            return expr.alias(c)
+
+        # deletes whose tombstone was physically dropped in the same
+        # commit (row TTL) carry no tombstone timestamp — close those at
+        # the commit's wall time so the interval cannot stay open forever
+        commit_ts = F.create_map(
+            *[
+                x
+                for v in range(pos + 1, cur + 1)
+                for x in (
+                    F.lit(v),
+                    F.lit(
+                        _dt.datetime.fromtimestamp(
+                            src.manifest(v)["committed_at_unix"],
+                            tz=_dt.timezone.utc,
+                        ).replace(tzinfo=None)
+                    ),
+                )
+            ]
+        )
+        base = [F.col(key), F.col("warc_ts"), *[_pcol(c) for c in payload]]
 
         opens = cdf.where(
             F.col("_change_type").isin("insert", "update_postimage")
@@ -250,7 +323,10 @@ class Scd2History:
         )
         closes_d = cdf.where(F.col("_change_type") == "delete").select(
             *base,
-            F.col("_tombstone_ts").alias("valid_to"),
+            F.coalesce(
+                F.col("_tombstone_ts"),
+                F.element_at(commit_ts, F.col("_commit_version")),
+            ).alias("valid_to"),
             F.col("_row_lsn").alias("_src_lsn"),
             F.col("_commit_version"),
         )
@@ -439,7 +515,7 @@ class Scd2History:
         # source gained since the interval was captured null-fill (the
         # target row holds no value for them either — no-op overwrite)
         src_schema = T.StructType.fromJson(src.manifest()["schema"])
-        hist_public = set(f.name for f in hist.read().schema.fields)
+        hist_public = set(self._hist_public(hist))
         hist_rows = hist.read().select(
             "_hist_id",
             "warc_ts",

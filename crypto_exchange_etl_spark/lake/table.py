@@ -54,6 +54,7 @@ from ..operators.compaction import (
     lww_unpack,
 )
 from .schema_evolution import conform, resolve_schema
+from .strstat import prefix_successor
 
 _INTERNAL_COLS = [f.name for f in PAGES_INTERNAL_FIELDS]  # lsn, is_deleted
 
@@ -1460,14 +1461,10 @@ class LakeTable:
 
     @classmethod
     def _stat_upper(cls, s: str) -> str:
-        n = cls._STAT_TRUNC
-        if len(s) <= n:
+        if len(s) <= cls._STAT_TRUNC:
             return s
-        p = s[:n]
-        for i in range(len(p) - 1, -1, -1):
-            if ord(p[i]) < 0x10FFFF:
-                return p[:i] + chr(ord(p[i]) + 1)
-        return s  # un-incrementable prefix: keep the exact value
+        up = prefix_successor(s[: cls._STAT_TRUNC])
+        return up if up is not None else s  # un-incrementable: keep exact
 
     def _scan_files(
         self,

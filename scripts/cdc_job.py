@@ -320,7 +320,9 @@ def main(argv: list[str] | None = None) -> int:
             args.source,
             args.history,
             payload_cols=(
-                args.payload_cols.split(",") if args.payload_cols else None
+                [c.strip() for c in args.payload_cols.split(",") if c.strip()]
+                if args.payload_cols
+                else None
             ),
             n_buckets=args.buckets,
         )

@@ -232,6 +232,57 @@ def test_scd2_bootstrap_after_ddl_on_expired_source(spark, tmpdir_path):
     assert cur == {("A", 1.5), ("B", 1.5)}
 
 
+def test_scd2_row_ttl_closes_interval(spark, tmpdir_path):
+    # a row physically dropped by retention (expire_rows) produces a CDF
+    # delete with NO tombstone timestamp — the interval must still close
+    # (at the commit's wall time), never stay "current" forever
+    src = os.path.join(tmpdir_path, "src")
+    pipe = CdcPipeline(spark, src, n_buckets=4)
+    _apply(spark, pipe, 0, [
+        (1, 0, "I", "A", _t(1), b"<p>a1</p>", "en"),
+        (2, 0, "I", "B", dt.datetime(2025, 6, 1), b"<p>b1</p>", "en"),
+    ])
+    h = Scd2History(spark, src, os.path.join(tmpdir_path, "hist"))
+    h.refresh()
+    pipe.table.expire_rows(older_than=dt.datetime(2025, 1, 1))
+    h.refresh()
+    rows = {r.url: r for r in h.history().collect()}
+    assert rows["A"].valid_to is not None and not rows["A"].is_current
+    assert rows["B"].is_current
+    assert {r.url for r in h.current().collect()} == {"B"}
+
+
+def test_scd2_refresh_span_across_rename(spark, tmpdir_path):
+    # one refresh span containing a rename commit: pre-rename intervals
+    # must keep their values under the current column name (field-id
+    # coalesce), not null out
+    src = os.path.join(tmpdir_path, "src")
+    pipe = CdcPipeline(spark, src, n_buckets=4)
+    _apply(spark, pipe, 0, [
+        (1, 0, "I", "A", _t(1), b"<p>a1</p>", "en"),
+        (2, 0, "I", "B", _t(2), b"<p>b1</p>", "de"),
+    ])
+    pipe.table.rename_column("lang", "language")
+    _apply(spark, pipe, 1, [(3, 0, "U", "A", _t(3), b"<p>a2</p>", "fr")])
+    h = Scd2History(spark, src, os.path.join(tmpdir_path, "hist"))
+    h.refresh()  # single span (0, 3]
+    # by-field-id resolution: pre-rename intervals keep their values
+    # under the renamed column...
+    langs = {r.src_lsn: r.language for r in h.history().collect()}
+    assert langs == {1: "en", 2: "de", 3: None}
+    # ...and the feed's re-added 'lang' (a NEW field id) is a separate
+    # column — history's current face mirrors the source's live state
+    # exactly, including the split
+    cur = {
+        (r.url, r.language, r.lang) for r in h.current().collect()
+    }
+    live = {
+        (r.url, r.language, r.lang) for r in pipe.table.read().collect()
+    }
+    assert cur == live
+    assert ("A", None, "fr") in cur
+
+
 def test_scd2_cli_subcommand(spark, tmpdir_path):
     import json
     import sys
