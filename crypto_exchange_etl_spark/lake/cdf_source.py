@@ -327,7 +327,14 @@ class _CdfPlannerBase:
             return lsn.notna() & ~dele
 
         old_live, new_live = live("_o"), live("_n")
-        updated = old_live & new_live & (j["lsn_o"] != j["lsn_n"])
+        # full LWW-rank compare (warc_ts, lsn) — lsn alone misses an
+        # update that won on warc_ts with an equal lsn (same rule as
+        # LakeTable.changes_between)
+        updated = (
+            old_live
+            & new_live
+            & ((j["lsn_o"] != j["lsn_n"]) | (j["warc_ts_o"] != j["warc_ts_n"]))
+        )
 
         def payload(row, side: str):
             vals = []

@@ -43,6 +43,8 @@ re-running the loaders (/root/reference/fintick/bqloader/base.py:91-112)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession, functions as F
 
 from .cdf_source import cdf_schema
@@ -96,6 +98,15 @@ def create_replica(
         if_not_exists=True,
         write_mode=write_mode,
     )
+    dst_key = dst.manifest()["key"]
+    if dst_key != sm["key"]:
+        # fail fast with the real cause — an existing dst keyed
+        # differently would otherwise surface as a confusing sink-side
+        # error, or silently replicate under the WRONG LWW key
+        raise ValueError(
+            f"existing table at {dst_path} is keyed on {dst_key!r} but "
+            f"the source is keyed on {sm['key']!r} — not a replica of it"
+        )
     have = set(dst.schema.fieldNames())
     for f in src_public:
         if f.name not in have:
@@ -109,13 +120,30 @@ def replicate_stream(
     dst_path: str,
     checkpoint: str,
     starting_version: int | None = 1,
-    sink_id: str = "replica",
+    sink_id: str | None = None,
     available_now: bool = True,
     max_versions_per_batch: int | None = None,
 ):
     """Start the replication query (caller awaits/stops it). With
     ``available_now`` the backlog drains and the query stops — the cron
-    re-invocation pattern; pass ``False`` for a continuous tail."""
+    re-invocation pattern; pass ``False`` for a continuous tail. NOTE:
+    with ``max_versions_per_batch`` set, one availableNow invocation
+    advances at most that many source versions (the cap latches the
+    drain target — `lake_cdf`'s admission-control contract); re-invoke
+    until the replica's version stops advancing, or leave the cap unset
+    for a true single-shot drain.
+
+    ``sink_id`` defaults to a value derived from the CHECKPOINT path, so
+    the exactly-once guard is scoped to this checkpoint's batch-id
+    sequence: re-bootstrapping with a FRESH checkpoint gets a fresh
+    guard namespace (re-emitted batch ids apply instead of being
+    silently swallowed by a previous bootstrap's guards), while restarts
+    on the same checkpoint keep exactly-once."""
+    if sink_id is None:
+        from .xxh64 import spark_xxhash64
+
+        ck = os.path.abspath(checkpoint)
+        sink_id = f"replica-{spark_xxhash64(ck) & 0xFFFFFFFFFFFFFFFF:016x}"
     # fail fast (and schema-pin) before any stream machinery spins up
     cdf_schema(src_path)
     reader = (

@@ -135,6 +135,23 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
                 raise ValueError(f"lake_sink input must carry {req!r}")
         self._has_op = "op" in in_cols
         self._has_lsn = "lsn" in in_cols
+        # validate TYPES, not just names: a mis-typed key hashes to a
+        # different bucket than the JVM merge path (int 123 vs "123"),
+        # and the final arrow cast would coerce silently — the row would
+        # commit where no reader folds or finds it
+        want = dict(self._phys_fields)
+        want["op"] = T.StringType()
+        mism = [
+            f"{f.name}: input {f.dataType.simpleString()} vs table "
+            f"{want[f.name].simpleString()}"
+            for f in schema.fields
+            if f.name in want and f.dataType != want[f.name]
+        ]
+        if mism:
+            raise ValueError(
+                "lake_sink input column types do not match the table "
+                f"schema — cast upstream: {mism}"
+            )
 
     # ------------------------------------------------------ executor side
 
@@ -194,10 +211,17 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
                 out[name] = deleted.astype(bool)
             else:
                 out[name] = df[name] if name in df.columns else None
-        # tombstones carry no payload bytes (merge-path convention)
-        for c in self._public:
-            if c not in (self._key, "warc_ts"):
-                out.loc[out["is_deleted"], c] = None
+        # tombstones carry no payload bytes (merge-path convention).
+        # Null via object dtype: a plain loc[...]=None on an int64 column
+        # upcasts the WHOLE column to float64, silently corrupting
+        # payload longs above 2^53 for every row in the batch (the cast
+        # back to int64 is then "safe" and hides it)
+        dele_mask = out["is_deleted"].to_numpy()
+        if dele_mask.any():
+            keep = ~out["is_deleted"]
+            for c in self._public:
+                if c not in (self._key, "warc_ts"):
+                    out[c] = out[c].astype(object).where(keep, None)
         # the one per-row Python loop in the engine's write paths — the
         # documented cost of a generic sink (the CDC pipeline's JVM
         # xxhash64 stays the hot path)
@@ -206,8 +230,9 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
 
         token = uuid.uuid4().hex[:12]
         aschema = self._arrow_schema()
-        for b in sorted(set(buckets)):
-            grp = out[out["__b__"] == b].drop(columns="__b__")
+        # one groupby pass, not one full-frame boolean mask per bucket
+        for b, grp in out.groupby("__b__", sort=True):
+            grp = grp.drop(columns="__b__")
             rel_dir = f"data/sink-{token}/bucket={b}"
             full_dir = os.path.join(self.path, rel_dir)
             os.makedirs(full_dir, exist_ok=True)

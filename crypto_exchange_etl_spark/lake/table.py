@@ -3747,7 +3747,18 @@ class LakeTable:
             new_live = F.col("_nlsn").isNotNull() & ~F.coalesce(
                 F.col("_ndel"), F.lit(True)
             )
-            updated = old_live & new_live & (F.col("_olsn") != F.col("_nlsn"))
+            # change detection compares the LWW ORDER RANK (warc_ts, lsn)
+            # — never payload bytes. lsn alone misses an update that won
+            # on warc_ts with an equal lsn (possible from feeds that
+            # derive/reuse lsn, e.g. lake_sink with a coarse lsn column)
+            updated = (
+                old_live
+                & new_live
+                & (
+                    (F.col("_olsn") != F.col("_nlsn"))
+                    | (F.col("_op.warc_ts") != F.col("_np.warc_ts"))
+                )
+            )
 
             def _entry(cond, ctype: str, payload: str, lsn: str, tts=None):
                 return F.when(

@@ -222,7 +222,10 @@ def main(argv: list[str] | None = None) -> int:
     rpl.add_argument("--source", required=True, help="source table path")
     rpl.add_argument("--target", required=True, help="replica table path")
     rpl.add_argument("--checkpoint", required=True)
-    rpl.add_argument("--sink-id", default="replica")
+    rpl.add_argument("--sink-id", default=None,
+                     help="exactly-once guard namespace (default: derived "
+                     "from the checkpoint path, so a fresh checkpoint "
+                     "gets a fresh guard namespace)")
     rpl.add_argument("--buckets", type=int, default=None,
                      help="replica bucket count (default: source's)")
     rpl.add_argument("--follow", action="store_true",

@@ -540,6 +540,94 @@ def test_sink_validates_input(spark, tmpdir_path):
         q.awaitTermination(300)
 
 
+def test_sink_preserves_big_longs_alongside_tombstones(spark, tmpdir_path):
+    # nulling tombstone payloads must not upcast sibling int64 values
+    # through float64 (2^53+1 would silently round to 2^53)
+    path = os.path.join(tmpdir_path, "t")
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("big", T.LongType()),
+    ])
+    LakeTable.create(spark, path, schema, key="url", n_buckets=2)
+    feed_schema = T.StructType([
+        *schema.fields,
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    big = (1 << 53) + 1
+    feed = os.path.join(tmpdir_path, "feed")
+    spark.createDataFrame(
+        [
+            ("a", TS, big, "U", 1),
+            ("b", TS, 7, "D", 2),
+            ("c", TS, -big, "I", 3),
+        ],
+        feed_schema,
+    ).write.parquet(feed)
+    q = (
+        spark.readStream.schema(feed_schema).parquet(feed)
+        .writeStream.format("lake_sink")
+        .option("path", path)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.url: r.big for r in LakeTable.load(spark, path).read().collect()}
+    assert got == {"a": big, "c": -big}
+
+
+def test_sink_rejects_mistyped_columns(spark, tmpdir_path):
+    # a mis-typed key/payload would hash to the wrong bucket and be
+    # coerced silently by the arrow cast — the writer must refuse upfront
+    path = os.path.join(tmpdir_path, "t")
+    _mk_table(spark, path, n=3)
+    bad = T.StructType([
+        T.StructField("url", T.LongType()),  # table key is string
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    feed = os.path.join(tmpdir_path, "feed")
+    spark.createDataFrame([(123, TS, "en")], bad).write.parquet(feed)
+    with pytest.raises(Exception, match="types do not match"):
+        q = (
+            spark.readStream.schema(bad).parquet(feed)
+            .writeStream.format("lake_sink")
+            .option("path", path)
+            .option("checkpointLocation", os.path.join(tmpdir_path, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+
+def test_cdf_detects_equal_lsn_warc_ts_update(spark, tmpdir_path):
+    # an update that won LWW on warc_ts with an EQUAL lsn must still
+    # emit a change (rank compare, not lsn compare)
+    path = os.path.join(tmpdir_path, "t")
+    pipe = CdcPipeline(spark, path, n_buckets=2)
+    _apply(spark, pipe, 0, [(5, 0, "I", "k", TS, b"<p>v1</p>", "en")])
+    _apply(spark, pipe, 1, [
+        (5, 0, "U", "k", TS + dt.timedelta(hours=1), b"<p>v2</p>", "en")
+    ])
+    assert bytes(pipe.table.read().collect()[0].html) == b"<p>v2</p>"
+    ch = pipe.table.changes_between(1, 2).collect()
+    kinds = {r._change_type for r in ch}
+    assert kinds == {"update_preimage", "update_postimage"}
+    post = [r for r in ch if r._change_type == "update_postimage"][0]
+    assert bytes(post.html) == b"<p>v2</p>"
+    # and the streaming CDF worker applies the same rank rule
+    n = (
+        spark.read.format("lake_cdf")
+        .option("path", path)
+        .option("startingVersion", 2)
+        .load()
+        .count()
+    )
+    assert n == 2
+
+
 def test_sink_commit_is_idempotent_and_compactable(spark, tmpdir_path):
     """Direct driver-side commit replay: the second commit of one batch
     id drops its own files and leaves the version chain alone; a later

@@ -61,9 +61,16 @@ def test_replica_tracks_source_exactly_once(spark, tmpdir_path):
     _sync(spark, src, dst, ck)
     assert rep.current_version() == v
 
-    # replays from a lost checkpoint are eaten by the sink guard
+    # a FRESH checkpoint is a new producer (sinkId derives from the
+    # checkpoint path): its replay re-applies CONVERGENTLY (LWW
+    # idempotent) instead of being silently swallowed by the previous
+    # bootstrap's guards — what makes re-bootstrapping from a later
+    # startingVersion safe. Same state, new commits.
     _sync(spark, src, dst, os.path.join(tmpdir_path, "ck2"))
-    assert rep.current_version() == v
+    assert rep.current_version() > v
+    assert _canon(rep.read()) == _canon(pipe.table.read())
+    # while the SAME checkpoint stays exactly-once (no churn)
+    _sync(spark, src, dst, ck)
     assert _canon(rep.read()) == _canon(pipe.table.read())
 
 
@@ -92,10 +99,9 @@ def test_replica_follows_schema_evolution(spark, tmpdir_path):
     assert "grade" in src_t.schema.fieldNames()
 
     # restart contract: re-create syncs the replica's DDL, then a NEW
-    # query on the SAME checkpoint re-pins the CDF schema (now with the
-    # column) and resumes past the already-replicated versions — a fresh
-    # checkpoint would restart batch ids at 0 and the sink guard (same
-    # sinkId = same producer) would rightly eat the replay
+    # query on the SAME checkpoint (= same derived sinkId, same
+    # producer) re-pins the CDF schema (now with the column) and resumes
+    # past the already-replicated versions
     rep = create_replica(spark, src, dst)
     assert "grade" in rep.schema.fieldNames()
     q = replicate_stream(spark, src, dst, ck)
