@@ -3659,9 +3659,10 @@ class LakeTable:
         whose file set changed at that commit (a pure manifest diff — no
         data read for untouched buckets), reads the two adjacent versions
         of just those buckets, and classifies via a full-outer join on the
-        key. Change detection compares the ``lsn`` lineage column — never
-        payload bytes — so unchanged keys inside a rewritten bucket cost
-        one long comparison. Per-commit cost is O(live rows of touched
+        key. Change detection compares the LWW order rank (``warc_ts``,
+        ``lsn``) — never payload bytes — so unchanged keys inside a
+        rewritten bucket cost two scalar comparisons. Per-commit cost is
+        O(live rows of touched
         buckets), the same bound as the merge that produced the commit.
         """
         cur = self.current_version()
