@@ -165,13 +165,31 @@ def _stat_excludes(lo: Any, hi: Any, op: str, val: Any) -> bool:
 
 
 def _resolve_version(t, options: dict) -> int | str | None:
-    """Pin the snapshot the whole query reads (schema + partitions)."""
+    """Pin the snapshot the whole query reads (schema + partitions).
+
+    ``LakeDataSource`` resolves ONCE per query and stashes the result
+    under ``__pinnedVersion`` so schema and scan always come from the
+    same snapshot (a commit landing between the two calls must not split
+    them — snapshot isolation within one query)."""
+    pv = options.get("__pinnedVersion")
+    if pv is not None:
+        return pv
     v = options.get("versionAsOf", options.get("versionasof"))
     ts = options.get("timestampAsOf", options.get("timestampasof"))
     if v is not None and ts is not None:
         raise ValueError("versionAsOf and timestampAsOf are mutually exclusive")
     if v is not None:
-        return int(v) if str(v).lstrip("-").isdigit() else str(v)
+        s = str(v)
+        if not s.lstrip("-").isdigit():
+            return s
+        # mirror LakeTable.manifest's resolution order: a tag/branch (or
+        # staged WAP token) named like '123' must reach that ref, not
+        # silently read snapshot version 123
+        if t._load_ref(s, missing_ok=True) is not None or os.path.exists(
+            os.path.join(t.meta_dir, f"staged-{s}.json")
+        ):
+            return s
+        return int(s)
     if ts is not None:
         try:
             when: _dt.datetime | float = float(ts)
@@ -875,15 +893,49 @@ class LakeDataSource(DataSource):
     def _meta_opt(options: dict) -> str | None:
         return options.get("metadataTable", options.get("metadatatable"))
 
-    def schema(self) -> T.StructType:
+    def _pinned_opts(self) -> dict:
+        """Options with the snapshot resolved exactly once per query.
+
+        ``schema()`` and ``reader()`` each need the snapshot; resolving
+        independently lets a commit land in between and plan the scan at
+        a newer snapshot than the schema was pinned to (and a mid-window
+        rename would resolve stale names). The first call resolves — and
+        walks moving refs (branch heads) down to their immutable anchor:
+        a committed version int or a staged WAP token — and memoizes on
+        the DataSource instance, which Spark holds for the whole query.
+        """
         opts = dict(self.options)
+        pin = getattr(self, "_pin", None)
+        if pin is None:
+            t = _table(opts["path"])
+            pin = _resolve_version(t, opts)
+            seen: set[str] = set()
+            while isinstance(pin, str) and pin not in seen:
+                seen.add(pin)
+                ref = t._load_ref(pin, missing_ok=True)
+                if ref is None:
+                    break  # staged token (immutable file) — stable
+                if ref["type"] == "tag":
+                    pin = int(ref["version"])
+                else:
+                    pin = (
+                        ref["tokens"][-1]
+                        if ref["tokens"]
+                        else int(ref["base_version"])
+                    )
+            self._pin = pin
+        opts["__pinnedVersion"] = pin
+        return opts
+
+    def schema(self) -> T.StructType:
+        opts = self._pinned_opts()
         meta = self._meta_opt(opts)
         if meta is not None:
             return LakeMetadataReader(meta, opts).schema()
         return lake_schema(opts)
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
-        opts = dict(self.options)
+        opts = self._pinned_opts()
         meta = self._meta_opt(opts)
         if meta is not None:
             return LakeMetadataReader(meta, opts)

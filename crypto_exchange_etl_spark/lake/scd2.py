@@ -66,10 +66,22 @@ _SEP = "\x00"
 
 
 def _hist_id(key_col: str) -> F.Column:
-    # fixed-width lsn keeps _hist_id order ≡ (key, lsn) order; lsn ≥ 0 by
-    # the change-envelope contract (binlog sequence numbers)
+    # fixed-width (warc_ts micros, lsn) keeps _hist_id order ≡ the FULL
+    # LWW rank (key, warc_ts, lsn): an update that wins LWW on warc_ts
+    # with an EQUAL lsn (rank-based change detection emits these, e.g. a
+    # lake_sink feed with a coarse derived lsn) closes the old interval
+    # and opens a DISTINCT history row instead of colliding on one id,
+    # where the max_by collapse would arbitrarily keep either image.
+    # lsn ≥ 0 by the change-envelope contract (binlog sequence numbers).
     return F.concat(
         F.col(key_col),
+        F.lit(_SEP),
+        F.lpad(
+            F.coalesce(F.unix_micros(F.col("warc_ts")), F.lit(-1))
+            .cast("string"),
+            20,
+            "0",
+        ),
         F.lit(_SEP),
         F.lpad(F.col("_src_lsn").cast("string"), 20, "0"),
     )
@@ -333,12 +345,21 @@ class Scd2History:
         rows = opens.unionByName(closes_u).unionByName(closes_d)
         rows = rows.withColumn("_hist_id", _hist_id(key))
         # latest image per interval: max_by over the whole row — a plain
-        # two-phase HashAggregate (no window sort), O(span rows)
+        # two-phase HashAggregate (no window sort), O(span rows). The
+        # rank is (_commit_version, is_close): _hist_id carries the full
+        # LWW rank so a close and an open sharing an id are the SAME
+        # version (e.g. delete + later re-insert of an identical rank);
+        # on an equal commit the close wins deterministically instead of
+        # leaving the tie to hash order.
         val = F.struct(
             *[F.col(c) for c in rows.columns if c != "_hist_id"]
         )
+        rank = F.struct(
+            F.col("_commit_version"),
+            F.col("valid_to").isNotNull().cast("int").alias("_is_close"),
+        )
         collapsed = rows.groupBy("_hist_id").agg(
-            F.max_by(val, F.col("_commit_version")).alias("_v")
+            F.max_by(val, rank).alias("_v")
         )
         return collapsed.select(
             "_hist_id", *[F.col(f"_v.{c}").alias(c)
@@ -408,19 +429,40 @@ class Scd2History:
     ) -> None:
         """Open an interval per live row of snapshot ``version`` (lsn from
         the physical read — the CDF cannot see pre-cut rows). Payload
-        columns added to the source AFTER ``version`` do not exist in
-        that snapshot's schema — they open with the column's declared
-        initial default (what the engine reads for pre-add rows under
-        the current schema), else null."""
+        columns resolve by FIELD ID against snapshot ``version``'s
+        manifest (same by-id resolution as ``_interval_rows``): a column
+        renamed after the earliest retained version still bootstraps its
+        values from the snapshot's old physical name instead of silently
+        opening with the default. Columns whose field did not exist at
+        ``version`` open with the column's declared initial default (what
+        the engine reads for pre-add rows under the current schema), else
+        null."""
         from .cdf_source import _coerce_default
 
         m = src.manifest()
         src_schema = T.StructType.fromJson(m["schema"])
         col_defaults = m.get("column_defaults") or {}
+        fids = m.get("field_ids") or {}
+        eps = m.get("schema_epochs") or []
+        m_v = src.manifest(version)
+        rev_v = {f: n for n, f in (m_v.get("field_ids") or {}).items()}
         live = src.read_physical(version=version).where(
             ~F.coalesce(F.col("is_deleted"), F.lit(True))
         )
         have = set(live.columns)
+
+        def _phys_name(c: str) -> str | None:
+            """Column ``c``'s physical name at snapshot ``version`` (by
+            field id, mirroring ``_interval_rows._name_at``); None when
+            the field did not exist yet."""
+            fid = fids.get(c)
+            if fid is None or not eps:
+                return c  # no DDL ever happened: names are stable
+            if rev_v:
+                return rev_v.get(fid)
+            # pre-DDL manifests carry no ids; every then-present column
+            # keeps its epoch-0 physical name
+            return eps[0].get(str(fid))
 
         def _fill(c: str):
             dt_ = src_schema[c].dataType
@@ -428,10 +470,16 @@ class Scd2History:
             v = _coerce_default(d, dt_) if d is not None else None
             return F.lit(v).cast(dt_).alias(c)
 
+        def _sel(c: str):
+            phys = _phys_name(c)
+            if phys is not None and phys in have:
+                return F.col(phys).cast(src_schema[c].dataType).alias(c)
+            return _fill(c)
+
         rows = live.select(
             F.col(key),
             F.col("warc_ts"),
-            *[F.col(c) if c in have else _fill(c) for c in payload],
+            *[_sel(c) for c in payload],
             F.lit(None).cast("timestamp").alias("valid_to"),
             F.col("lsn").alias("_src_lsn"),
         ).withColumn("_hist_id", _hist_id(key))
@@ -467,6 +515,7 @@ class Scd2History:
         open_iv = hist.read().where(F.col("valid_to").isNull()).select(
             F.col("_hist_id"),
             F.col(key).alias("_k"),
+            F.col("warc_ts").alias("_sts"),
             F.col("_src_lsn"),
         )
         lv = live.select(
@@ -477,14 +526,16 @@ class Scd2History:
         )
         j = open_iv.join(lv, on="_k", how="full_outer")
 
+        # version identity is the FULL LWW rank (warc_ts, lsn) — an
+        # equal-lsn update that won on warc_ts is a different version
+        same_version = (F.col("_src_lsn") == F.col("_llsn")) & (
+            F.col("_sts") == F.col("_lts")
+        )
         # a) live version with no matching open interval → open it
         opens = (
             j.where(
                 F.col("_llsn").isNotNull()
-                & (
-                    F.col("_src_lsn").isNull()
-                    | (F.col("_src_lsn") != F.col("_llsn"))
-                )
+                & (F.col("_src_lsn").isNull() | ~same_version)
             )
             .select(
                 F.col("_k").alias(key),
@@ -493,7 +544,7 @@ class Scd2History:
                 F.lit(None).cast("timestamp").alias("valid_to"),
                 F.col("_llsn").alias("_src_lsn"),
             )
-            .dropDuplicates([key, "_src_lsn"])
+            .dropDuplicates([key, "warc_ts", "_src_lsn"])
             .withColumn("_hist_id", _hist_id(key))
         )
         # b) open interval whose version is gone → close it
@@ -505,7 +556,7 @@ class Scd2History:
         )
         stale = j.where(
             F.col("_src_lsn").isNotNull()
-            & (F.col("_llsn").isNull() | (F.col("_llsn") != F.col("_src_lsn")))
+            & (F.col("_llsn").isNull() | ~same_version)
         ).join(tb, on="_k", how="left")
         close_ts = F.coalesce(F.col("_lts"), F.col("_tts"), F.lit(head_ts))
         n_unknown = stale.where(

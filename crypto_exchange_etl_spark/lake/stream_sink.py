@@ -82,6 +82,7 @@ from pyspark.sql.datasource import (
 from .xxh64 import bucket_of
 
 _OPS_DELETE = {"d", "delete"}
+_OPS_UPDATE = {"u", "update"}
 _OPS_OK = {"i", "u", "d", "c", "r", "insert", "update", "delete"}
 
 
@@ -103,6 +104,10 @@ class SinkCommit(WriterCommitMessage):
     entries: list = field(default_factory=list)
     n_rows: int = 0
     n_insert: int = 0
+    # 'U'-op rows, tallied as UPSERTS (the sink appends deltas without
+    # probing the table, so this is the feed's claimed update count, not
+    # a matched-key count — the merge path classifies exactly)
+    n_update: int = 0
     n_delete: int = 0
 
 
@@ -191,8 +196,10 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
             if bad:
                 raise ValueError(f"lake_sink unknown op codes: {sorted(bad)}")
             deleted = ops.isin(_OPS_DELETE)
+            updated = ops.isin(_OPS_UPDATE) & ~deleted
         else:
             deleted = pd.Series(False, index=df.index)
+            updated = pd.Series(False, index=df.index)
         if self._has_lsn:
             if df["lsn"].isna().any():
                 raise ValueError("lake_sink 'lsn' column must be non-null")
@@ -262,7 +269,8 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
             msg.entries.append(entry)
         msg.n_rows = int(len(out))
         msg.n_delete = int(out["is_deleted"].sum())
-        msg.n_insert = msg.n_rows - msg.n_delete
+        msg.n_update = int(updated.sum())
+        msg.n_insert = msg.n_rows - msg.n_delete - msg.n_update
         return msg
 
     # -------------------------------------------------------- driver side
@@ -291,6 +299,7 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
         ]
         n_rows = sum(getattr(m, "n_rows", 0) for m in messages if m)
         n_ins = sum(getattr(m, "n_insert", 0) for m in messages if m)
+        n_upd = sum(getattr(m, "n_update", 0) for m in messages if m)
         n_del = sum(getattr(m, "n_delete", 0) for m in messages if m)
         guard = self._guard(batchId)
         for _attempt in range(64):
@@ -320,7 +329,11 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
                         ),
                         "n_events": n_rows,
                         "n_insert": n_ins,
-                        "n_update": 0,
+                        # upsert count by the feed's own op codes ('U'
+                        # rows), not a matched-key count: sink_append
+                        # never probes the table (the merge path's
+                        # ledger rows carry exact classification)
+                        "n_update": n_upd,
                         "n_delete": n_del,
                         "n_dedup": 0,
                         "ok": True,
@@ -351,6 +364,7 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
                     "batch_id": int(batchId),
                     "n_events": n_rows,
                     "n_insert": n_ins,
+                    "n_update": n_upd,
                     "n_delete": n_del,
                     "files_added": len(entries),
                 },

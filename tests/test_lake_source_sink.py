@@ -436,9 +436,13 @@ def test_sink_upsert_delete_insert(spark, tmpdir_path):
     # appended as MOR deltas with manifest stats (pruning stays armed)
     added = [f for f in t.manifest()["files"] if f.get("delta")]
     assert added and all("stats" in f and f["rows"] >= 1 for f in added)
-    # ledger row recorded under the external-sink lineage partition
+    # ledger row recorded under the external-sink lineage partition; ops
+    # classified by the feed's own codes (U tallies as upsert, not insert)
     led = t.ledger().where(F.col("partition") == -2).collect()
     assert len(led) == 1 and led[0].n_events == 3 and led[0].n_delete == 1
+    assert led[0].n_insert == 1 and led[0].n_update == 1
+    summ = t.manifest()["summary"]
+    assert summ["n_insert"] == 1 and summ["n_update"] == 1
 
 
 def test_sink_exactly_once_and_guard(spark, tmpdir_path):

@@ -252,3 +252,55 @@ def test_expire_snapshots_by_age(spark, tmpdir_path):
     )
     assert vs_final == vs[-2:]
     assert t.read().count() == 1  # state intact
+
+
+def test_lake_format_digit_named_ref_resolves_as_ref(spark, tmpdir_path):
+    """A tag/branch named like '123' must reach that ref through the lake
+    format, mirroring LakeTable.manifest's resolution order — not be
+    int-coerced into (a different) snapshot version 123."""
+    path = os.path.join(tmpdir_path, "t")
+    pipe = CdcPipeline(spark, path, n_buckets=2)
+    _apply(spark, pipe, 0, [(1, 0, "I", "u1", TS, b"<p>a</p>", "en")])
+    t = pipe.table
+    v1 = t.current_version()
+    t.create_tag("3", version=v1)  # digit-only name, legal ref
+    _apply(spark, pipe, 1, [
+        (2, 0, "U", "u1", TS + dt.timedelta(days=1), b"<p>b</p>", "de"),
+    ])
+    _apply(spark, pipe, 2, [
+        (3, 0, "I", "u2", TS + dt.timedelta(days=2), b"<p>c</p>", "en"),
+    ])
+    assert t.current_version() >= 3  # version 3 exists — the trap is armed
+    got = {
+        (r.url, r.lang)
+        for r in spark.read.format("lake")
+        .option("path", path)
+        .option("versionAsOf", "3")
+        .load()
+        .collect()
+    }
+    assert got == {("u1", "en")}  # the tag's snapshot, not version 3's
+
+
+def test_lake_format_snapshot_pinned_across_schema_and_scan(spark, tmpdir_path):
+    """schema() and reader() must read the SAME snapshot even when a
+    commit (here: a rename + a data commit) lands between the two calls —
+    snapshot isolation within one query."""
+    from crypto_exchange_etl_spark.lake.batch_source import LakeDataSource
+
+    path = os.path.join(tmpdir_path, "t")
+    pipe = CdcPipeline(spark, path, n_buckets=2)
+    _apply(spark, pipe, 0, [(1, 0, "I", "u1", TS, b"<p>a</p>", "en")])
+    t = pipe.table
+    v_before = t.current_version()
+
+    ds = LakeDataSource(options={"path": path})
+    sch = ds.schema()
+    assert "lang" in sch.fieldNames()
+    # the race: a rename and new data land after schema() resolved
+    t.rename_column("lang", "language")
+    _apply(spark, pipe, 1, [
+        (2, 0, "U", "u1", TS + dt.timedelta(days=1), b"<p>b</p>", "de"),
+    ])
+    r = ds.reader(sch)
+    assert r.version == v_before  # scan pinned to the schema's snapshot

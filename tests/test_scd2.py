@@ -283,6 +283,45 @@ def test_scd2_refresh_span_across_rename(spark, tmpdir_path):
     assert ("A", None, "fr") in cur
 
 
+def test_scd2_equal_lsn_warc_ts_win_splits_interval(spark, tmpdir_path):
+    # an update that wins LWW on warc_ts with an EQUAL lsn (rank-based
+    # change detection emits these, e.g. a feed with a coarse derived
+    # lsn) must close the old interval AND open a new one — the history
+    # identity is the full LWW rank (key, warc_ts, lsn), so the two rows
+    # cannot collide on one _hist_id and race in the max_by collapse
+    src = os.path.join(tmpdir_path, "src")
+    pipe = CdcPipeline(spark, src, n_buckets=4)
+    _apply(spark, pipe, 0, [(1, 0, "I", "A", _t(1), b"<p>a1</p>", "en")])
+    h = Scd2History(spark, src, os.path.join(tmpdir_path, "hist"))
+    h.refresh()
+    _apply(spark, pipe, 1, [(1, 0, "U", "A", _t(2), b"<p>a2</p>", "de")])
+    h.refresh()
+    assert _ivals(h) == {
+        ("A", _t(1), _t(2), 1),  # old version closed at the winner's ts
+        ("A", _t(2), None, 1),   # new version open, same lsn
+    }
+    cur = h.current().collect()
+    assert len(cur) == 1 and cur[0].lang == "de" and cur[0].text == "a2"
+    # single-shot consumer over the full feed converges identically
+    one = Scd2History(spark, src, os.path.join(tmpdir_path, "one"))
+    one.refresh()
+    assert _ivals(one) == _ivals(h)
+
+
+def test_scd2_bootstrap_after_rename_on_expired_source(spark, tmpdir_path):
+    # rename AFTER the earliest retained snapshot: bootstrap reads the
+    # snapshot's OLD physical name by field id (like _interval_rows),
+    # instead of silently opening intervals with the default/null
+    src = os.path.join(tmpdir_path, "src")
+    pipe = _mk(spark, src)
+    pipe.table.expire_snapshots(keep_last=1)  # earliest snapshot has rows
+    pipe.table.rename_column("lang", "language")
+    h = Scd2History(spark, src, os.path.join(tmpdir_path, "hist"))
+    h.refresh()
+    cur = {(r.url, r.language, r.text) for r in h.current().collect()}
+    assert cur == {("A", "en", "a3"), ("B", "de", "b2")}
+
+
 def test_scd2_cli_subcommand(spark, tmpdir_path):
     import json
     import sys
