@@ -43,13 +43,54 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
-def decode_image(data: bytes):  # pragma: no cover - stub by design
-    """STUB: real image decode (PIL/cv2 are not in this container).
+try:  # optional codec — this container ships no image library
+    from PIL import Image as _PIL_Image
+except ImportError:  # pragma: no cover - absent in the build container
+    _PIL_Image = None
 
-    The Spark plumbing around it (:func:`decoded_meta`) is real; swap this
-    function for an actual codec to productionize.
-    """
-    raise NotImplementedError("image codecs not available in this environment")
+
+def decode_image(data: bytes) -> tuple[int, int, str]:
+    """Real image decode → ``(width, height, mode)`` when PIL is
+    installed; otherwise raises ``NotImplementedError`` (declared stub —
+    no image codec ships in this container). The Spark plumbing around
+    it (:func:`decoded_meta`, :func:`real_image_meta`) is real either
+    way; installing pillow productionizes the column with no code
+    change."""
+    if _PIL_Image is None:
+        raise NotImplementedError(
+            "image codecs not available in this environment "
+            "(install pillow to enable decode_image)"
+        )
+    import io
+
+    with _PIL_Image.open(io.BytesIO(data)) as im:
+        return im.width, im.height, im.mode
+
+
+def real_image_meta(
+    df: DataFrame, binary_col: str = "media", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """:func:`decoded_meta`'s shape with the REAL codec: id_cols +
+    (n_bytes, digest, width, height) where width/height come from
+    :func:`decode_image` (PIL). Same mapInPandas batch contract; raises
+    at task time when no codec is installed."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + list(MEDIA_META_SCHEMA.fields)
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[list(id_cols)].copy()
+            out["n_bytes"] = pdf[binary_col].map(len).astype("int64")
+            out["digest"] = pdf[binary_col].map(
+                lambda b: hashlib.md5(b).hexdigest()
+            )
+            dims = pdf[binary_col].map(decode_image)
+            out["width"] = dims.map(lambda d: d[0]).astype("int32")
+            out["height"] = dims.map(lambda d: d[1]).astype("int32")
+            yield out
+
+    return df.select(*id_cols, binary_col).mapInPandas(_decode, out_schema)
 
 
 def fake_decode_meta(data: bytes) -> tuple[int, str, int, int]:

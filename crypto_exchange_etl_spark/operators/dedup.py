@@ -376,6 +376,8 @@ def dedup_components(
     id_b: str = "id_b",
     pointer_jump: bool = True,
     return_rounds: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS: the connected
     components of the pair graph, labelled by each component's minimum
@@ -405,6 +407,16 @@ def dedup_components(
     round. The fixpoint (min reachable id per vertex) is unique, so the
     result is deterministic regardless of execution order.
 
+    Durability: ``localCheckpoint`` blocks are EXECUTOR-resident — the
+    lineage is truncated, so an executor loss mid-iteration aborts the
+    whole job (a deterministic rerun is safe, but at 100× restarting a
+    multi-hour job is not a plan). Pass ``checkpoint_dir`` to truncate
+    with RELIABLE ``df.checkpoint()`` onto that filesystem instead
+    (sets the context's checkpoint dir): a lost executor's blocks are
+    re-read from storage and the iteration survives. ``checkpoint_every
+    = k`` amortizes the write — rounds in between keep their (bounded,
+    ≤ k rounds deep, fully recomputable-from-checkpoint) lineage.
+
     Output: (id, component) — one row per vertex of ``pairs``;
     ``component`` = min id in the vertex's component.
 
@@ -412,12 +424,22 @@ def dedup_components(
     P7); this is the cluster-resolution step every content-level dedup
     pipeline needs between "candidate pairs" and "rows to drop".
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame, rnd: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        if rnd % max(1, checkpoint_every) == 0:
+            return df.checkpoint(eager=True)
+        return df  # lineage ≤ checkpoint_every rounds deep, recomputable
+
     e = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    e = e.localCheckpoint(eager=True)
+    e = _truncate(e, 0)
     labels = e.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("component")
     )
@@ -451,9 +473,10 @@ def dedup_components(
             )
         else:
             new = l1.select("v", F.col("_c1").alias("component"), "_old")
-        new = new.withColumn(
-            "_chg", F.col("component") < F.col("_old")
-        ).localCheckpoint(eager=True)
+        new = _truncate(
+            new.withColumn("_chg", F.col("component") < F.col("_old")),
+            rounds,
+        )
         changed = new.where(F.col("_chg")).limit(1).count()
         labels = new.select("v", "component")
         if changed == 0:

@@ -179,12 +179,22 @@ def ann_topk_bucketed(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only within the query's SRP bucket.
 
     With n_planes=4 → 16 buckets, each query compares against ~1/16 of
-    the corpus; recall is traded via n_planes (multi-probe would union
-    adjacent buckets). Same output shape as :func:`cosine_topk`.
+    the corpus; recall is traded via n_planes. ``multiprobe=True``
+    additionally probes every Hamming-1 neighbour of the query's bucket
+    (the n_planes+1 probe list): a true neighbour lost to ONE flipped
+    sign bit — the dominant LSH miss mode, since a near-identical vector
+    flips each bit with small independent probability — is recovered at
+    (n_planes+1)× the candidate cost, still a tiny corpus fraction
+    (e.g. 5/16 at n_planes=4 vs 16/16 for brute force). The probe list
+    is exploded on the QUERY side, so the corpus is still scanned once
+    and never reshuffled; per (query, neighbour) at most one probe
+    matches (a corpus vector has exactly one bucket), so no dedup pass
+    is needed. Same output shape as :func:`cosine_topk`.
     """
     planes = hyperplanes(dim, n_planes)
     c = _with_norm(corpus, id_col, vec_col, "nid", "_cv", "_cn").withColumn(
@@ -193,6 +203,15 @@ def ann_topk_bucketed(
     q = _with_norm(queries, id_col, vec_col, "qid", "_qv", "_qn").withColumn(
         "_qb", srp_bucket(F.col("_qv"), planes)
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("_qb"),
+            *[
+                F.col("_qb").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(n_planes)
+            ],
+        )
+        q = q.withColumn("_qb", F.explode(probes))
     sims = (
         c.join(F.broadcast(q), (F.col("_cb") == F.col("_qb")) & (F.col("qid") != F.col("nid")))
         .select("qid", "nid", _sim_hoisted())

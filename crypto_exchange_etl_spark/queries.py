@@ -2006,8 +2006,25 @@ def q_thresh_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.drop("topN")
 
 
+#: Per-symbol row bound for the renko driver query. The DuckDB oracle's
+#: recursion costs O(cuts × scanned rows) per symbol — unbounded in SF it
+#: cannot finish above sf0.01. A fixed per-symbol span makes the oracle's
+#: cost CONSTANT in SF (the sweep is 50/50 at sf0.1 and beyond) while
+#: still covering every cut/level/round-up case; the unbounded sequential
+#: kernel stays pinned by thresh_bars' full-feed oracle and the 440-case
+#: property suite (tests/test_property_bars.py).
+_RENKO_SPAN = 4000
+
+
 def q_renko_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = renko_bars(_ticks(spark, sf_dir), box_size=25.0, top_n=0)
+    t = _ticks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp", "nanoseconds", "index")
+    t = (
+        t.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _RENKO_SPAN)
+        .drop("_rn")
+    )
+    df = renko_bars(t, box_size=25.0, top_n=0)
     return df.drop("topN")
 
 
@@ -2075,6 +2092,7 @@ with recursive t as (
   select *, cast(price as double) as p,
          row_number() over (partition by symbol order by timestamp, nanoseconds, idx) as rn
   from ({_ticks_sql(None)})
+  qualify rn <= {_RENKO_SPAN}
 ),
 cuts as (
   select symbol, cast(0 as bigint) as cut_no, rn, trunc(p / {_RENKO_BOX}) * {_RENKO_BOX} as level

@@ -193,9 +193,56 @@ def test_multimodal_meta_matches_hashlib(docs):
         assert digest == hashlib.md5(raw).hexdigest()
 
 
-def test_decode_image_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+def _tiny_png(width: int = 3, height: int = 2) -> bytes:
+    """A valid RGB PNG from the stdlib alone (zlib + struct) — no image
+    library needed to BUILD the fixture, only to decode it."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_optional_codec():
+    """decode_image is a REAL decoder behind an optional PIL import: with
+    pillow installed it returns (width, height, mode) for an actual PNG;
+    without it, the declared-stub contract (NotImplementedError) holds."""
+    from crypto_exchange_etl_spark.functions import multimodal as mm
+
+    if mm._PIL_Image is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(_tiny_png())
+    else:
+        assert decode_image(_tiny_png(5, 4)) == (5, 4, "RGB")
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="pillow not installed",
+)
+def test_real_image_meta_decodes_png(spark):
+    from crypto_exchange_etl_spark.functions.multimodal import real_image_meta
+
+    png = _tiny_png(7, 3)
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, media binary")
+    row = real_image_meta(df).collect()[0]
+    assert (row.width, row.height) == (7, 3)
+    assert row.n_bytes == len(png)
+    assert row.digest == hashlib.md5(png).hexdigest()
 
 
 def test_lang_id_marker_words(docs):
@@ -301,6 +348,46 @@ def test_dedup_components_path_graph_log_rounds(spark):
     assert rounds <= math.ceil(math.log2(n - 1)) + 3, rounds
 
 
+def test_dedup_components_durable_checkpoint(spark, tmpdir_path):
+    """checkpoint_dir: per-round truncation uses RELIABLE df.checkpoint()
+    on that filesystem (executor loss survivable — the blocks live on
+    storage, not in executor memory), with labels identical to the
+    localCheckpoint path and real checkpoint files on disk."""
+    import os
+
+    from crypto_exchange_etl_spark.operators.dedup import dedup_components
+
+    # chain (multi-round) + clique + isolated edge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)]
+        + [(100, 101), (101, 102), (100, 102), (200, 201)],
+        "id_a long, id_b long",
+    )
+    base = {r.id: r.component for r in dedup_components(pairs).collect()}
+    ck = os.path.join(tmpdir_path, "cc_ck")
+    durable = {
+        r.id: r.component
+        for r in dedup_components(pairs, checkpoint_dir=ck).collect()
+    }
+    assert durable == base
+    # reliable RDD checkpoints actually landed on the checkpoint FS
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(ck)
+        for f in fn
+        if f.startswith("part-")
+    ]
+    assert files, "no reliable checkpoint files written"
+    # amortized variant (every 3rd round) converges identically too
+    every3 = {
+        r.id: r.component
+        for r in dedup_components(
+            pairs, checkpoint_dir=ck, checkpoint_every=3
+        ).collect()
+    }
+    assert every3 == base
+
+
 @pytest.mark.skipif(
     not __import__("os").path.exists("/root/testdata/sf0.001"),
     reason="driver testdata not present",
@@ -334,6 +421,17 @@ def test_ann_recall_floors(spark):
         for r in ivf_topk(emb, qs, n_cells=16, n_probe=8, k=5).collect()
     }
     assert len(ivf8 & exact) >= len(ivf4 & exact)
+    # Hamming-1 multi-probe at EQUAL n_planes: every single-probe result
+    # survives (the probe list contains the exact bucket) and recall
+    # strictly improves on this corpus (neighbours lost to one flipped
+    # sign bit are recovered)
+    srp_mp = {
+        (r.qid, r.nid)
+        for r in ann_topk_bucketed(
+            emb, qs, dim=64, k=5, n_planes=4, multiprobe=True
+        ).collect()
+    }
+    assert len(srp_mp & exact) > len(srp & exact)
 
 
 @pytest.mark.skipif(
