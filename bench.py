@@ -123,15 +123,61 @@ def bench_cdc_replay(spark, n_events: int, n_cpus: int) -> dict:
             if rows is None:
                 rows = pipe.table.read().count()
         dt = min(times)
-        return {
+        out = {
             "cdc_events": n_events,
             "cdc_replay_sec": round(dt, 3),
             "cdc_replay_reps_sec": [round(t, 2) for t in times],
             "cdc_replay_events_per_sec": round(n_events / dt, 1),
             "cdc_live_rows": rows,
         }
+        out.update(
+            bench_replication(spark, os.path.join(tmp, f"pages{n_reps - 1}"), tmp)
+        )
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_replication(spark, src_path: str, tmp: str) -> dict:
+    """Streaming hot path: ``lake_cdf`` → ``lake_sink`` replication of the
+    replayed table (lake/replicate.py). Throughput is CHANGE ROWS applied
+    at the replica per wall-second — the CDF computes the per-commit
+    diffs of the source and the sink lands them as exactly-once MOR
+    commits, so this times the whole streaming format stack (admission
+    control, Arrow writer, manifest commit). Min of 2 fresh-replica runs
+    (same host-interference methodology as the replay timing)."""
+    from crypto_exchange_etl_spark.lake.replicate import (
+        create_replica,
+        replicate_stream,
+    )
+    from crypto_exchange_etl_spark.lake.table import LakeTable
+
+    times, applied = [], None
+    for i in range(2):
+        dst = os.path.join(tmp, f"replica{i}")
+        ck = os.path.join(tmp, f"repl_ck{i}")
+        create_replica(spark, src_path, dst)
+        t0 = time.time()
+        q = replicate_stream(spark, src_path, dst, ck, available_now=True)
+        q.awaitTermination()
+        times.append(time.time() - t0)
+        if applied is None:
+            import pyspark.sql.functions as F
+
+            led = LakeTable.load(spark, dst).ledger()
+            applied = int(
+                led.where(F.col("partition") == -2)
+                .agg(F.sum("n_events"))
+                .collect()[0][0]
+                or 0
+            )
+    dt = min(times)
+    return {
+        "replication_change_rows": applied,
+        "replication_sec": round(dt, 3),
+        "replication_reps_sec": [round(t, 2) for t in times],
+        "replication_events_per_sec": round(applied / dt, 1) if dt else 0.0,
+    }
 
 
 def main() -> None:
