@@ -73,7 +73,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd level 1, chosen by a pinned A/B at 40M events
+        # (evidence/codec_bench_40m.json, BASELINE.md "Payload codec A/B"):
+        # replay time statistically equal to snappy at 2 and 8 cores
+        # (105.5 vs 110.2 s / 33.2 vs 33.6 s best-of-2) while lake files
+        # shrink 2.17x (320 MB -> 148 MB). At 100 TB that is 2x less cold
+        # scan IO and replication egress for free; decode stays page-local.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
         # int64-micros timestamps, not legacy INT96: INT96 carries NO
         # parquet column statistics, which silently disables every
         # footer-stats pruning path (time-range scan pruning, expire_rows'
