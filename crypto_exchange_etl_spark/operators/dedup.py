@@ -414,8 +414,12 @@ def dedup_components(
     with RELIABLE ``df.checkpoint()`` onto that filesystem instead
     (sets the context's checkpoint dir): a lost executor's blocks are
     re-read from storage and the iteration survives. ``checkpoint_every
-    = k`` amortizes the write — rounds in between keep their (bounded,
-    ≤ k rounds deep, fully recomputable-from-checkpoint) lineage.
+    = k`` amortizes the write — rounds in between are ``persist()``-ed
+    (so each round's convergence count and the pointer-jump self-join —
+    which reads the frame twice — execute every join exactly once, not
+    re-derived from the last checkpoint) while keeping their lineage
+    (≤ k rounds deep) as the recompute path on executor loss; the cache
+    is dropped at the next reliable checkpoint.
 
     Output: (id, component) — one row per vertex of ``pairs``;
     ``component`` = min id in the vertex's component.
@@ -427,12 +431,28 @@ def dedup_components(
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
+    _cached: list[DataFrame] = []
+
     def _truncate(df: DataFrame, rnd: int) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=True)
         if rnd % max(1, checkpoint_every) == 0:
-            return df.checkpoint(eager=True)
-        return df  # lineage ≤ checkpoint_every rounds deep, recomputable
+            out = df.checkpoint(eager=True)
+            # a reliable copy now exists on disk — the skipped rounds'
+            # cached blocks are dead weight; drop them
+            for c in _cached:
+                c.unpersist()
+            _cached.clear()
+            return out
+        # skipped round: cache it so the convergence count and the next
+        # round's joins (the pointer-jump self-join reads this frame
+        # TWICE) execute every join exactly once instead of re-deriving
+        # all rounds since the last checkpoint (O(k²) joins otherwise);
+        # lineage stays intact (≤ checkpoint_every rounds deep) as the
+        # recompute path when an executor's cached blocks are lost
+        df = df.persist()
+        _cached.append(df)
+        return df
 
     e = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))

@@ -136,24 +136,19 @@ def q_lww_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to SortAggregate), then the winner keys join back for the
     payload — the same narrow-pass shape the merge path runs at scale.
     Identical result to ``lww_compact`` (lsn = event_id is unique)."""
-    from .operators.compaction import lww_pack_expr
+    from .operators.compaction import lww_winner_keys
 
     e = _t(spark, sf_dir, "events").select(
         "user_id", "ts", F.col("event_id").alias("lsn"), "event_type", "value"
     )
-    packed = lww_pack_expr(ts_col="_ts_ltz", lsn_col="lsn", op_col="op")
-    win = (
+    win_in = (
         # parquet ntz → ltz for unix_micros (same cast the CDC envelope does)
         e.withColumn("_ts_ltz", F.col("ts").cast("timestamp"))
         .withColumn("op", F.lit("U"))
-        .groupBy("user_id")
-        .agg(F.max(packed).alias("_p"))
     )
-    ten = F.lit(10).cast("decimal(38,0)")
-    rem = F.pmod(F.col("_p"), F.lit(str(10**19)).cast("decimal(20,0)").cast("decimal(38,0)"))
-    keys = win.select(
-        "user_id", ((rem - F.pmod(rem, ten)) / 10).cast("long").alias("lsn")
-    )
+    keys = lww_winner_keys(
+        win_in, key="user_id", ts_col="_ts_ltz", lsn_col="lsn", op_col="op"
+    ).select("user_id", "lsn")
     return e.join(keys, on=["user_id", "lsn"]).select(
         "user_id",
         F.col("ts").alias("last_ts"),
@@ -599,17 +594,24 @@ def _text_sql(props: str) -> str:
     )
 
 
-def _two_batch_table(spark: SparkSession, sf_dir: str, prefix: str) -> "CdcPipeline":
+def _two_batch_table(
+    spark: SparkSession, sf_dir: str, prefix: str, second_batch: bool = True
+) -> tuple["CdcPipeline", DataFrame, F.Column, int]:
     """Replay the events feed in TWO commits split at ``_SPLIT_TS`` — the
     stream shape the lake's change-data-capture consumers (CDF, SCD2)
-    derive their per-commit semantics from."""
+    derive their per-commit semantics from. Returns ``(pipe, changes,
+    cut, v1)`` with ``v1`` the snapshot version after commit 1;
+    ``second_batch=False`` stops there (for queries that apply the
+    second half through a different surface, e.g. MERGE INTO)."""
     tmp = os.path.join(tempfile.gettempdir(), f"{prefix}_{uuid.uuid4().hex[:8]}")
     pipe = CdcPipeline(spark, tmp, n_buckets=8)
     ch = _changes_from_events(spark, sf_dir)
     cut = F.lit(_SPLIT_TS).cast("timestamp")
     pipe.apply_batch(ch.where(F.col("warc_ts") < cut), batch_id=0)
-    pipe.apply_batch(ch.where(F.col("warc_ts") >= cut), batch_id=1)
-    return pipe
+    v1 = pipe.table.current_version()
+    if second_batch:
+        pipe.apply_batch(ch.where(F.col("warc_ts") >= cut), batch_id=1)
+    return pipe, ch, cut, v1
 
 
 #: shared oracle CTE: per-url LWW winners of batch 0 (`w0`) and of the
@@ -650,7 +652,7 @@ def q_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     only last state; SCD2 is the history face its lake users expect)."""
     from .lake.scd2 import Scd2History
 
-    pipe = _two_batch_table(spark, sf_dir, "scd2_q")
+    pipe, _, _, _ = _two_batch_table(spark, sf_dir, "scd2_q")
     h = Scd2History(
         spark, pipe.table_path, pipe.table_path + "_hist", payload_cols=["lang"]
     )
@@ -679,13 +681,7 @@ def q_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     by LWW rank against the prior snapshot, reading only changed buckets.
     Reference analogue: re-query consumers fintick/aggregators/base.py:
     136-149 (which rescan; the CDF hands them the rows instead)."""
-    tmp = os.path.join(tempfile.gettempdir(), f"cdf_q_{uuid.uuid4().hex[:8]}")
-    pipe = CdcPipeline(spark, tmp, n_buckets=8)
-    ch = _changes_from_events(spark, sf_dir)
-    cut = F.lit(_SPLIT_TS).cast("timestamp")
-    pipe.apply_batch(ch.where(F.col("warc_ts") < cut), batch_id=0)
-    v1 = pipe.table.current_version()
-    pipe.apply_batch(ch.where(F.col("warc_ts") >= cut), batch_id=1)
+    pipe, _, _, v1 = _two_batch_table(spark, sf_dir, "cdf_q")
     return pipe.table.changes_between(v1).select(
         "url",
         "warc_ts",
@@ -721,11 +717,7 @@ def q_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse the target's LWW order), absent keys insert. Reference
     analogue: none (the reference's only upsert is its replay loop);
     this is the declarative face the north rule's lake users expect."""
-    tmp = os.path.join(tempfile.gettempdir(), f"mrg_q_{uuid.uuid4().hex[:8]}")
-    pipe = CdcPipeline(spark, tmp, n_buckets=8)
-    ch = _changes_from_events(spark, sf_dir)
-    cut = F.lit(_SPLIT_TS).cast("timestamp")
-    pipe.apply_batch(ch.where(F.col("warc_ts") < cut), batch_id=0)
+    pipe, ch, cut, _ = _two_batch_table(spark, sf_dir, "mrg_q", second_batch=False)
     src = lww_compact(
         ch.where(F.col("warc_ts") >= cut).select("url", "warc_ts", "lsn", "lang"),
         key="url",

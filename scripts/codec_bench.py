@@ -12,11 +12,19 @@ Variants (each a separate pinned subprocess, same methodology as
 scripts/scaling_bench.py — min of REPEATS replays, tmpfs scratch, cpuset
 pin covering JVM + python workers):
 
-  base          binlog snappy,  lake snappy           (the shipped config)
+  base          binlog snappy,  lake snappy     (the pre-round-4 config;
+                                                 shipped default is now
+                                                 zstd-1 per the first run)
   lake_zstd1    binlog snappy,  lake zstd level 1
   lake_uncomp   binlog snappy,  lake uncompressed
   lake_nodict   binlog snappy,  lake snappy, parquet dictionary OFF
   binlog_zstd1  binlog zstd-1,  lake snappy
+
+History note: the first recorded run (evidence/codec_bench_40m.json) had
+a bug in gen_binlog — the level conf was never interpolated, so its
+"binlog_zstd1" row actually wrote the binlog at parquet's DEFAULT zstd
+level (3), not 1. The byte/time finding (zstd binlog ~2.4x smaller at
+equal replay) stands for level 3; this script now really pins level 1.
 
 Codec choices change only the FILE encoding — extracted text bytes and
 all logical rows are identical (byte-identity tests are codec-blind), so
@@ -45,14 +53,17 @@ LEVELS = tuple(
 )
 HTML_REPEAT = int(os.environ.get("SPARK_SCALE_HTML_REPEAT", "10"))
 
-#: name -> (binlog_codec, lake_conf_overrides)
+#: name -> (binlog_codec, lake_conf_overrides). Every variant pins the
+#: lake codec EXPLICITLY: session.py's default changed to zstd-1 on the
+#: strength of the first run of this A/B, so an empty override would now
+#: silently compare zstd against zstd.
+_SNAPPY = {"spark.sql.parquet.compression.codec": "snappy"}
 VARIANTS: dict[str, tuple[str, dict[str, str]]] = {
-    "base": ("snappy", {}),
+    "base": ("snappy", dict(_SNAPPY)),
     "lake_zstd1": (
         "snappy",
         {
             "spark.sql.parquet.compression.codec": "zstd",
-            "spark.io.compression.zstd.level": "1",
             "spark.hadoop.parquet.compression.codec.zstd.level": "1",
         },
     ),
@@ -62,9 +73,9 @@ VARIANTS: dict[str, tuple[str, dict[str, str]]] = {
     ),
     "lake_nodict": (
         "snappy",
-        {"spark.hadoop.parquet.enable.dictionary": "false"},
+        {**_SNAPPY, "spark.hadoop.parquet.enable.dictionary": "false"},
     ),
-    "binlog_zstd1": ("zstd1", {}),
+    "binlog_zstd1": ("zstd1", dict(_SNAPPY)),
 }
 
 _CHILD = r"""
@@ -136,20 +147,25 @@ def run_level(
 
 
 def gen_binlog(repo: str, dst: str, n_events: int, codec: str) -> int:
-    confs = {"snappy": "snappy", "zstd1": "zstd"}[codec]
-    extra = "" if codec == "snappy" else (
-        ".config('spark.io.compression.zstd.level', '1')"
-    )
+    confs = {
+        "snappy": {"spark.sql.parquet.compression.codec": "snappy"},
+        "zstd1": {
+            "spark.sql.parquet.compression.codec": "zstd",
+            # parquet's writer-side level key; without it zstd writes at
+            # the codec default (level 3)
+            "spark.hadoop.parquet.compression.codec.zstd.level": "1",
+        },
+    }[codec]
     subprocess.run(
         [sys.executable, "-c", (
             "import sys; sys.path.insert(0, %r)\n"
             "from crypto_exchange_etl_spark.session import get_spark\n"
             "from crypto_exchange_etl_spark.sources.binlog import write_binlog_segments\n"
-            "s = get_spark(cores=32, extra_conf={'spark.sql.parquet.compression.codec': %r%s})\n"
+            "s = get_spark(cores=32, extra_conf=%r)\n"
             "s.sparkContext.setLogLevel('ERROR')\n"
             "write_binlog_segments(s, %r, n_events=%d, n_segments=8, "
             "files_per_segment=8, n_urls=%d, seed=42, html_repeat=%d)\n"
-            % (repo, confs, "", dst, n_events, max(1000, n_events // 20), HTML_REPEAT)
+            % (repo, confs, dst, n_events, max(1000, n_events // 20), HTML_REPEAT)
         )],
         capture_output=True, text=True, check=True,
     )
