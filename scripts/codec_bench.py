@@ -180,18 +180,23 @@ def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
 
+    only = os.environ.get("SPARK_CODEC_VARIANTS")
+    variants = (
+        {k: VARIANTS[k] for k in only.split(",")} if only else dict(VARIANTS)
+    )
+
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     tmp = tempfile.mkdtemp(prefix="codecbench_", dir=base)
     results: dict[str, dict] = {}
     try:
         binlogs: dict[str, str] = {}
         binlog_bytes: dict[str, int] = {}
-        for codec in {v[0] for v in VARIANTS.values()}:
+        for codec in {v[0] for v in variants.values()}:
             p = os.path.join(tmp, f"binlog_{codec}")
             binlog_bytes[codec] = gen_binlog(repo, p, n_events, codec)
             binlogs[codec] = p
 
-        for name, (bl_codec, extra) in VARIANTS.items():
+        for name, (bl_codec, extra) in variants.items():
             levels = {}
             for cores in LEVELS:
                 levels[f"c{cores}"] = run_level(

@@ -115,6 +115,54 @@ def test_compaction_reduction_on_synthetic(spark):
     assert a[0] == b[0] and a[1] == b[1]
 
 
+def _rows_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_strategy_equivalence_interrupted_runs(spark):
+    """span ≡ symbol on the adversarial shape: several runs INSIDE one
+    (symbol, ts, ns) span (tickRule interruptions), which is exactly the
+    case where groupBy(full key) would be wrong and only adjacency-aware
+    run ids are right."""
+    rows = [
+        # span (A, 0, 0): runs {0,1}, {2}, {3,4} by tickRule 1,1,-1,1,1
+        ("A", 0, 0, 1, 1, 1, 1, 0), ("A", 0, 0, 2, 1, 1, 1, 1),
+        ("A", 0, 0, 3, 1, 1, -1, 2),
+        ("A", 0, 0, 4, 1, 1, 1, 3), ("A", 0, 0, 5, 1, 1, 1, 4),
+        # span (A, 0, 7): one run
+        ("A", 0, 7, 6, 1, 1, 1, 5),
+        # span (B, 0, 0): interleaved with A in the global order
+        ("B", 0, 0, 9, 1, 1, -1, 6), ("B", 0, 0, 8, 1, 1, -1, 7),
+    ]
+    df = _ticks_df(spark, rows)
+    a = _rows_set(compact_runs(df, strategy="span"))
+    b = _rows_set(compact_runs(df, strategy="symbol"))
+    assert a == b
+    assert len(a) == 5
+
+
+def test_strategy_equivalence_synthetic(spark):
+    """span ≡ symbol row-for-row on generated ticks (heavy same-timestamp
+    collisions so spans hold multi-run sequences)."""
+    ticks = generate_ticks(
+        spark, 4000, symbols=("BTC", "ETH", "SOL"), p_same_timestamp=0.6
+    )
+    a = _rows_set(compact_runs(ticks, strategy="span"))
+    b = _rows_set(compact_runs(ticks, strategy="symbol"))
+    assert a == b
+
+
+def test_span_strategy_plan_single_shuffle(spark):
+    """The span window's exchange is REUSED by the groupBy (group keys ⊇
+    partition keys) and the aggregate is hash-based: one shuffle, no
+    SortAggregate, no per-symbol SinglePartition."""
+    ticks = generate_ticks(spark, 500, symbols=("BTC",), p_same_timestamp=0.5)
+    plan = compact_runs(ticks, strategy="span")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SortAggregate" not in plan
+    assert "SinglePartition" not in plan
+
+
 # ----------------------------------------------------------------- candles
 
 
