@@ -39,6 +39,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ORDER = ["timestamp", "nanoseconds", "index"]
@@ -432,6 +433,11 @@ def _bars_df(bars: list[dict[str, Any]], symbol, fields: list[str]) -> pd.DataFr
     return pd.DataFrame(rows, columns=["symbol"] + fields)
 
 
+#: era code → Spark date_trunc unit; must mirror :func:`_era_keys`
+#: (Spark's 'week' is Monday-start, like the kernel's W labels)
+_ERA_TRUNC = {"D": "day", "W": "week", "M": "month", "Q": "quarter", "Y": "year"}
+
+
 def thresh_bars(
     df: DataFrame,
     thresh_attr: str,
@@ -439,10 +445,22 @@ def thresh_bars(
     top_n: int = 0,
     era: str | None = None,
 ) -> DataFrame:
-    """Distributed threshold bars: one sequential kernel per symbol via
+    """Distributed threshold bars: a sequential kernel per group via
     ``applyInPandas`` (Arrow-batched; the only Python in the plan).
     ``era`` resets the accumulator at day/week/month/quarter/year
-    boundaries (reference era_length)."""
+    boundaries (reference era_length).
+
+    Scale key: with no era the kernel's state spans the symbol's whole
+    feed, so the group is the symbol (one task per symbol — matching the
+    reference's one-function-per-symbol model). WITH an era, the state
+    fully RESETS at each boundary (accumulator zeroed, carried partial
+    DROPPED — :func:`thresh_bars_pandas`), so no information crosses an
+    era edge and the groups can be ``(symbol, date_trunc(era, ts))``:
+    exact same bars (era-split equivalence pinned in
+    tests/test_aggregations.py), parallelism per symbol-era instead of
+    per symbol — at a year of daily eras that is 365× the tasks, and
+    each pandas batch holds one era instead of the whole history (no
+    more single-group memory ceiling)."""
     fields = [f.name for f in THRESH_BAR_SCHEMA.fields if f.name != "symbol"]
 
     def fn(key, pdf):
@@ -453,7 +471,13 @@ def thresh_bars(
 
     if "symbol" not in df.columns:
         df = df.withColumn("symbol", df["timestamp"].cast("string").substr(0, 0))
-    return df.groupBy("symbol").applyInPandas(fn, THRESH_BAR_SCHEMA)
+    if era is not None:
+        grouped = df.groupBy(
+            "symbol", F.date_trunc(_ERA_TRUNC[era], F.col("timestamp")).alias("_era")
+        )
+    else:
+        grouped = df.groupBy("symbol")
+    return grouped.applyInPandas(fn, THRESH_BAR_SCHEMA)
 
 
 def renko_bars(df: DataFrame, box_size: float, top_n: int = 0) -> DataFrame:

@@ -152,6 +152,43 @@ def test_strategy_equivalence_synthetic(spark):
     assert a == b
 
 
+def test_thresh_bars_era_grouping_equivalence(spark):
+    """Distributed thresh_bars with an era groups on (symbol, era) —
+    state resets at era edges, so this must equal the one-kernel-per-
+    symbol whole-feed pass exactly, for day and week eras."""
+    ticks = generate_ticks(
+        spark, 2000, symbols=("BTC", "ETH"), seed=7,
+        ts_step_secs=900.0, p_same_timestamp=0.3,
+    ).cache()
+    pdf_all = ticks.toPandas()
+    fields = ("open", "high", "low", "close", "timestamp", "nanoseconds",
+              "volume", "buyVolume", "notional", "buyNotional", "ticks",
+              "buyTicks")
+    key = lambda t: (t[0], t[5], t[6])  # symbol, timestamp, nanoseconds
+
+    for era in ("D", "W"):
+        got = sorted(
+            (
+                (r["symbol"],) + tuple(r[k] for k in fields)
+                for r in thresh_bars(ticks, "notional", 60.0, era=era)
+                .drop("topN")
+                .collect()
+            ),
+            key=key,
+        )
+        want = []
+        for sym, pdf in pdf_all.groupby("symbol"):
+            bars, _ = thresh_bars_pandas(pdf, "notional", 60.0, era=era)
+            for b in bars:
+                want.append((sym,) + tuple(b.get(k) for k in fields))
+        want.sort(key=key)
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert g[0] == w[0] and g[5] == w[5] and g[6] == w[6]
+            for gv, wv in zip(g[1:5] + g[7:], w[1:5] + w[7:]):
+                assert float(gv) == pytest.approx(float(wv))
+
+
 def test_span_strategy_plan_single_shuffle(spark):
     """The span window's exchange is REUSED by the groupBy (group keys ⊇
     partition keys) and the aggregate is hash-based: one shuffle, no
