@@ -32,6 +32,16 @@ columns dropped later null-fill) — the same contract as Delta's CDF
 stream. ``latestOffset`` never exceeds the retained version floor
 guarded by ``expire_snapshots``; a consumer lagging past retention fails
 loudly at planning time (missing manifest) rather than silently gapping.
+
+Bootstrap: ``startingVersion="earliest"`` first emits the earliest
+retained snapshot's FULL content as ``insert`` changes (a diff against
+an empty manifest), then normal per-commit diffs — the only correct
+"from the beginning" read of a cloned or post-expiry table, whose base
+snapshot holds rows no retained commit diff covers. A NUMERIC
+startingVersion whose diff base is that non-empty earliest snapshot
+raises (the feed would silently miss the base rows) unless
+``allowNonEmptyBase=true`` asserts the consumer already holds state as
+of the base.
 """
 
 from __future__ import annotations
@@ -53,16 +63,21 @@ _META_FIELDS = [
 ]
 
 
-def _last_checkpointed_version(ck: str) -> int:
+def _last_checkpointed_version(ck: str, path: str | None = None) -> int:
     """Latest lake_cdf version recorded in a streaming checkpoint's
     offset log (-1 if none). The offset files are Spark's OffsetSeqLog:
     a version header, a metadata JSON line, then one offset per source —
-    ours is the dict ``{"version": N}``. Local-filesystem checkpoints
-    only (the same assumption the table's manifests make)."""
+    ours is the dict ``{"version": N, "path": <table>}``. A query can
+    hold SEVERAL lake_cdf sources (union/join of two feeds) sharing one
+    checkpoint, so only offsets tagged with THIS table's path count;
+    untagged ``{"version": N}`` lines (pre-path checkpoints) are a
+    fallback used only when no tagged line matches. Local-filesystem
+    checkpoints only (the same assumption the table's manifests make)."""
     import json as _json
 
     d = os.path.join(ck, "offsets")
-    best = -1
+    tagged: list[int] = []
+    legacy: list[int] = []
     if os.path.isdir(d):
         nums = [f for f in os.listdir(d) if f.isdigit()]
         if nums:
@@ -73,8 +88,15 @@ def _last_checkpointed_version(ck: str) -> int:
                     except ValueError:
                         continue
                     if isinstance(o, dict) and "version" in o:
-                        best = max(best, int(o["version"]))
-    return best
+                        if "path" in o:
+                            if path is None or os.path.abspath(
+                                str(o["path"])
+                            ) == os.path.abspath(path):
+                                tagged.append(int(o["version"]))
+                        else:
+                            legacy.append(int(o["version"]))
+    pool = tagged if tagged else legacy
+    return max(pool) if pool else -1
 
 
 def _coerce_default(v: Any, dt: T.DataType) -> Any:
@@ -167,16 +189,66 @@ class _CdfPlannerBase:
         self._query_fids = m.get("field_ids")
         self._query_eps = m.get("schema_epochs")
         start = options.get("startingVersion", options.get("startingversion"))
-        self._initial = (
-            int(start) - 1 if start is not None else int(m["version"])
-        )
+        allow_base = str(
+            options.get(
+                "allowNonEmptyBase", options.get("allownonemptybase", "")
+            )
+        ).lower() in ("1", "true", "yes")
+        #: when set, ``_plan`` emits this snapshot's FULL content as
+        #: ``insert`` changes (diff from empty) before normal diffs —
+        #: the bootstrap a cloned / post-expiry table needs, since rows
+        #: already present in the earliest retained snapshot belong to
+        #: no retained commit diff
+        self._bootstrap_v: int | None = None
+        if start is not None and str(start).strip().lower() == "earliest":
+            e = int(t.earliest_version())
+            self._bootstrap_v = e
+            self._initial = e - 1
+        elif start is not None:
+            base = int(start) - 1
+            earliest = int(t.earliest_version())
+            if base < earliest:
+                raise ValueError(
+                    f"startingVersion={int(start)} needs snapshot "
+                    f"v{base} as its diff base, but the earliest retained "
+                    f"snapshot of {self.path} is v{earliest} "
+                    "(expire_snapshots outpaced this consumer) — resync "
+                    "with startingVersion='earliest' (full bootstrap "
+                    "through the feed) or start tail-only"
+                )
+            if (
+                base == earliest
+                and t.manifest(base)["files"]
+                and not allow_base
+            ):
+                # same guard as ChangeFeedConsumer.position(): rows in a
+                # non-empty earliest snapshot (clone v0 / post-expiry)
+                # belong to NO retained diff — a feed-only bootstrap
+                # would silently miss them
+                raise ValueError(
+                    f"base snapshot v{base} of {self.path} is the "
+                    "earliest retained version and is non-empty; its "
+                    "rows are NOT emitted by the change feed. Use "
+                    "startingVersion='earliest' to bootstrap them as "
+                    "inserts, or pass allowNonEmptyBase=true if the "
+                    "consumer already holds state as of that snapshot"
+                )
+            self._initial = base
+        else:
+            self._initial = int(m["version"])
 
     # -------------------------------------------------------- planning
 
     def _colmap(self, m: dict[str, Any], f: dict[str, Any]) -> dict[str, str | None]:
         """current query-schema column -> physical name in file ``f`` of
-        manifest ``m`` (None = absent: null-fill), resolved by field id."""
-        t = _table(self.path)
+        manifest ``m`` (None = absent: null-fill), resolved by field id.
+
+        This resolves a PINNED query schema against historical manifests
+        (cross-manifest), which :meth:`LakeTable._name_at_epoch` (one
+        manifest) cannot express — only the epoch lookup itself is
+        shared (``LakeTable._file_epoch``)."""
+        from .table import LakeTable
+
         need = [*self.public_cols, "lsn", "is_deleted"]
         out: dict[str, str | None] = {}
         eps = m.get("schema_epochs")
@@ -199,26 +271,25 @@ class _CdfPlannerBase:
                     self._query_eps[0].get(str(fid)) if self._query_eps else col
                 )
             else:
-                e = min(t._file_epoch(f), len(eps) - 1)
+                e = min(LakeTable._file_epoch(f), len(eps) - 1)
                 out[col] = eps[e].get(str(fid))
         return out
 
     def _plan(self, sv: int, ev: int) -> list[CdfPartition]:
         """Partitions covering commits (sv, ev] — one per connected group
-        of changed bucket classes per commit (pure manifest diff)."""
+        of changed bucket classes per commit (pure manifest diff, shared
+        with :meth:`LakeTable.changes_between`). The bootstrap version
+        (``startingVersion='earliest'``) diffs against an EMPTY manifest,
+        emitting the whole snapshot as inserts."""
         t = _table(self.path)
         parts: list[CdfPartition] = []
         for v in range(int(sv) + 1, int(ev) + 1):
-            m_new, m_old = t.manifest(v), t.manifest(v - 1)
-            old_paths = {f["path"] for f in m_old["files"]}
-            new_paths = {f["path"] for f in m_new["files"]}
-            specs_old, specs_new = t._specs(m_old), t._specs(m_new)
-            changed = (
-                {(specs_old[t._file_spec(f)], f["bucket"])
-                 for f in m_old["files"] if f["path"] not in new_paths}
-                | {(specs_new[t._file_spec(f)], f["bucket"])
-                   for f in m_new["files"] if f["path"] not in old_paths}
-            )
+            m_new = t.manifest(v)
+            if self._bootstrap_v is not None and v == self._bootstrap_v:
+                m_old = {**m_new, "files": []}
+            else:
+                m_old = t.manifest(v - 1)
+            changed = type(t)._changed_classes(m_old, m_new)
             if not changed:
                 continue
             # union-find over changed classes: classes that can share keys
@@ -241,25 +312,14 @@ class _CdfPlannerBase:
             for i, c in enumerate(classes):
                 groups.setdefault(find(i), []).append(c)
 
-            def touched(mm, sp, grp):
-                return [
-                    f for f in mm["files"]
-                    if any(
-                        t._buckets_intersect(
-                            sp[t._file_spec(f)], f["bucket"], nb, b
-                        )
-                        for nb, b in grp
-                    )
-                ]
-
             for grp in groups.values():
                 of = [
                     (os.path.join(self.path, f["path"]), self._colmap(m_old, f))
-                    for f in touched(m_old, specs_old, grp)
+                    for f in type(t)._class_touched(m_old, grp)
                 ]
                 nf = [
                     (os.path.join(self.path, f["path"]), self._colmap(m_new, f))
-                    for f in touched(m_new, specs_new, grp)
+                    for f in type(t)._class_touched(m_new, grp)
                 ]
                 parts.append(
                     CdfPartition(
@@ -277,6 +337,7 @@ class _CdfPlannerBase:
     # ---------------------------------------------------------- reading
 
     def read(self, partition: CdfPartition) -> Iterator[tuple]:
+        import numpy as np
         import pandas as pd
         import pyarrow.parquet as pq
 
@@ -298,6 +359,15 @@ class _CdfPlannerBase:
                         out[cur] = df[ph]
                     else:
                         out[cur] = p.defaults.get(cur)
+                # exact integers across the outer merge below: the merge
+                # inserts NaN for one-sided keys, upcasting int64 columns
+                # to float64 — which silently rounds packed 64-bit lsns
+                # past 2^53 (the hazard the sink documents for its own
+                # path). Nullable Int64 keeps exactness AND gives the
+                # comparison Spark's null semantics (NA, never True).
+                for c in out.columns:
+                    if pd.api.types.is_integer_dtype(out[c]):
+                        out[c] = out[c].astype("Int64")
                 frames.append(out)
             if not frames:
                 return pd.DataFrame(columns=cols)
@@ -328,12 +398,24 @@ class _CdfPlannerBase:
 
         old_live, new_live = live("_o"), live("_n")
         # full LWW-rank compare (warc_ts, lsn) — lsn alone misses an
-        # update that won on warc_ts with an equal lsn (same rule as
-        # LakeTable.changes_between)
+        # update that won on warc_ts with an equal lsn. Null semantics
+        # mirror the Spark kernel (LakeTable.changes_between) exactly:
+        # a compare against null is UNKNOWN (excluded unless the other
+        # side is definitively True) — pandas' native NaT != NaT would
+        # instead emit a phantom update for every null-warc_ts key in a
+        # rewritten bucket. lsn compares on nullable Int64 (exact past
+        # 2^53, NA-propagating).
+        lsn_neq = pd.Series(j["lsn_o"] != j["lsn_n"], index=j.index).astype(
+            "boolean"
+        )
+        ts_o, ts_n = j["warc_ts_o"], j["warc_ts_n"]
+        ts_neq = pd.Series(
+            (ts_o != ts_n) & ts_o.notna() & ts_n.notna(), index=j.index
+        ).astype("boolean")
         updated = (
-            old_live
-            & new_live
-            & ((j["lsn_o"] != j["lsn_n"]) | (j["warc_ts_o"] != j["warc_ts_n"]))
+            ((old_live & new_live).astype("boolean") & (lsn_neq | ts_neq))
+            .fillna(False)
+            .astype(bool)
         )
 
         def payload(row, side: str):
@@ -348,6 +430,8 @@ class _CdfPlannerBase:
                     pass
                 if hasattr(v, "to_pydatetime"):
                     v = v.to_pydatetime()
+                elif isinstance(v, np.generic):  # Int64 rows box as
+                    v = v.item()  # np.int64 — unbox for Arrow
                 vals.append(v)
             return vals
 
@@ -376,12 +460,15 @@ class LakeCdfStreamReader(_CdfPlannerBase, DataSourceStreamReader):
     would, on restart, log an offset BELOW the checkpoint and re-emit
     rows. Admission control therefore REQUIRES the ``checkpointLocation``
     option (the same path given to ``writeStream``): at construction the
-    reader inspects ``<ck>/offsets`` and seeds the cap's floor at
-    max(startingVersion-1, last checkpointed version) — fresh queries
-    (empty dir) page from startingVersion, restarts page from the
-    checkpoint, and the emitted offsets are monotone in every path. The
-    floor also advances with every planned/committed range as a
-    backstop.
+    reader inspects ``<ck>/offsets`` and seeds the cap's floor at the
+    LAST CHECKPOINTED version when one exists (matching this table's
+    path — a query may hold several lake_cdf sources on one checkpoint),
+    else at startingVersion-1 / the query-start tail. The checkpoint
+    must win outright, not via max(): a restarted TAIL-DEFAULT query
+    re-evaluates "current version" at a point far past its checkpoint,
+    and max() would seed the floor there — un-capping the whole backlog
+    into one micro-batch. The floor also advances with every
+    planned/committed range as a backstop.
 
     Trigger interplay (measured): ``availableNow`` latches its drain
     target from the FIRST (capped) ``latestOffset``, so one invocation
@@ -409,19 +496,23 @@ class LakeCdfStreamReader(_CdfPlannerBase, DataSourceStreamReader):
                     "does not expose the restart position, and capping "
                     "without it would rewind the offset log on restart"
                 )
-            self._floor = max(self._floor, _last_checkpointed_version(ck))
+            ckv = _last_checkpointed_version(ck, self.path)
+            if ckv >= 0:
+                self._floor = ckv
 
     # ----------------------------------------------------------- offsets
+    # offsets carry the table path so a multi-source query's shared
+    # checkpoint can attribute each line to its table on restart
 
     def initialOffset(self) -> dict:
-        return {"version": self._initial}
+        return {"version": self._initial, "path": self.path}
 
     def latestOffset(self) -> dict:
         cur = int(_table(self.path).current_version())
         if self._max_versions is not None:
             cur = max(min(cur, self._floor + self._max_versions), self._floor)
             self._floor = cur
-        return {"version": cur}
+        return {"version": cur, "path": self.path}
 
     def commit(self, end: dict) -> None:
         # the streaming checkpoint owns progress; we only learn the floor

@@ -124,7 +124,22 @@ class ChangeFeedConsumer:
     # --------------------------------------------------------- metrics
 
     def lag(self) -> dict[str, Any]:
-        """Consumer lag in versions (the ledger gives event-level lag)."""
+        """Consumer lag in versions (the ledger gives event-level lag).
+
+        A pure metrics probe: never raises for a fresh consumer whose
+        table has a non-empty earliest snapshot — that guard belongs to
+        the DELIVERY path (:meth:`position` via :meth:`poll`), not to a
+        health check. Such a consumer reports lag from the earliest
+        retained version plus ``bootstrap_required=True``."""
         cur = self.table.current_version() or 0
-        pos = self.position()
+        try:
+            pos = self.position()
+        except ChangeFeedLagError:
+            pos = self.table.earliest_version()
+            return {
+                "position": pos,
+                "latest": cur,
+                "versions_behind": cur - pos,
+                "bootstrap_required": True,
+            }
         return {"position": pos, "latest": cur, "versions_behind": cur - pos}

@@ -32,9 +32,12 @@ instead if mixing is ever intended.
 Scale: per micro-batch the source plans O(touched buckets) partitions
 from a manifest diff and the sink writes O(changed rows) delta bytes —
 replication cost tracks the CHANGE RATE, not table size, the same
-property Delta/Iceberg CDF replication has. Bootstrap: create the
-replica empty and start from ``startingVersion=1`` (full history), or
-``clone_to`` a snapshot and start the feed just past the cloned version.
+property Delta/Iceberg CDF replication has. Bootstrap: the default
+``starting_version="earliest"`` first streams the earliest retained
+snapshot's content as inserts (so a replica of a CLONED or post-expiry
+source — whose base snapshot holds rows no retained commit covers — is
+complete), then the retained history; alternatively ``clone_to`` a
+snapshot and start the feed just past the cloned version.
 
 Reference analogue: mirroring tick tables across BigQuery datasets by
 re-running the loaders (/root/reference/fintick/bqloader/base.py:91-112)
@@ -119,7 +122,7 @@ def replicate_stream(
     src_path: str,
     dst_path: str,
     checkpoint: str,
-    starting_version: int | None = 1,
+    starting_version: "int | str | None" = "earliest",
     sink_id: str | None = None,
     available_now: bool = True,
     max_versions_per_batch: int | None = None,
@@ -151,7 +154,12 @@ def replicate_stream(
         .option("path", src_path)
     )
     if starting_version is not None:
-        reader = reader.option("startingVersion", int(starting_version))
+        reader = reader.option(
+            "startingVersion",
+            starting_version
+            if isinstance(starting_version, str)
+            else int(starting_version),
+        )
     if max_versions_per_batch is not None:
         reader = reader.option(
             "maxVersionsPerBatch", int(max_versions_per_batch)

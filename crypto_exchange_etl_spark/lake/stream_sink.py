@@ -21,7 +21,8 @@ sink never evolves the schema; use ``merge_into`` for that); two
 optional extras steer semantics:
 
 - ``op``  — 'I'/'U'/'D' (case-insensitive; 'D' writes a tombstone). The
-  reference envelope's op codes (CHANGES_SCHEMA). Absent → upsert.
+  reference envelope's op codes (CHANGES_SCHEMA). Absent column OR null
+  value → upsert.
 - ``lsn`` — LWW tiebreaker. Absent → derived as ``warc_ts`` unix-micros
   (documented caveat: rows for one key sharing one timestamp then tie
   — provide a real ``lsn`` whenever the upstream has one).
@@ -191,8 +192,13 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
                 f"lake_sink rows must have non-null {self._key!r} and 'warc_ts'"
             )
         if self._has_op:
-            ops = df.pop("op").astype(str).str.lower()
-            bad = set(ops.unique()) - _OPS_OK
+            raw_op = df.pop("op")
+            # null op = plain upsert, the same default as an absent op
+            # column (astype(str) would stringify None/NaN into literal
+            # 'none'/'nan' and reject codes the feed never sent)
+            present = raw_op.notna()
+            ops = raw_op.where(present, "i").astype(str).str.lower()
+            bad = set(ops[present].unique()) - _OPS_OK
             if bad:
                 raise ValueError(f"lake_sink unknown op codes: {sorted(bad)}")
             deleted = ops.isin(_OPS_DELETE)
@@ -250,7 +256,16 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
             stats: dict[str, Any] = {}
             kv = grp[self._key]
             if isinstance(kv.iloc[0], str):
-                stats[self._key] = [kv.min(), kv.max()]
+                # same truncation as the merge path's manifest stats
+                # (_STAT_TRUNC prefix lower / bumped-prefix upper):
+                # untruncated 2KB urls in every delta entry would bloat
+                # every subsequent manifest until compaction
+                from .table import LakeTable
+
+                stats[self._key] = [
+                    str(kv.min())[: LakeTable._STAT_TRUNC],
+                    LakeTable._stat_upper(str(kv.max())),
+                ]
             wt = _to_unix_micros(grp["warc_ts"])
             stats["warc_ts"] = [int(wt.min()), int(wt.max())]
             stats["lsn"] = [int(grp["lsn"].min()), int(grp["lsn"].max())]

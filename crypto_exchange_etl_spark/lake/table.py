@@ -1412,6 +1412,44 @@ class LakeTable:
             return b_a % nb_b == b_b
         return True
 
+    @classmethod
+    def _changed_classes(
+        cls, m_old: dict[str, Any], m_new: dict[str, Any]
+    ) -> "set[tuple[int, int]]":
+        """Bucket CLASSES ``(spec_n_buckets, bucket)`` whose file set
+        differs between two adjacent manifests — the pure-metadata diff
+        both the CDF kernel and the ``lake_cdf`` planner prune with
+        (bare bucket ids are ambiguous across spec evolution)."""
+        old_paths = {f["path"] for f in m_old["files"]}
+        new_paths = {f["path"] for f in m_new["files"]}
+        specs_old, specs_new = cls._specs(m_old), cls._specs(m_new)
+        return (
+            {(specs_old[cls._file_spec(f)], f["bucket"])
+             for f in m_old["files"] if f["path"] not in new_paths}
+            | {(specs_new[cls._file_spec(f)], f["bucket"])
+               for f in m_new["files"] if f["path"] not in old_paths}
+        )
+
+    @classmethod
+    def _class_touched(
+        cls,
+        m: dict[str, Any],
+        classes: "set[tuple[int, int]] | list[tuple[int, int]]",
+    ) -> "list[dict[str, Any]]":
+        """Files of manifest ``m`` that could share keys with any of the
+        given bucket classes. Symmetric inclusion on both sides of a diff
+        keeps extra unchanged keys out (equal LWW rank ⇒ no change row)."""
+        sp = cls._specs(m)
+        return [
+            f for f in m["files"]
+            if any(
+                cls._buckets_intersect(
+                    sp[cls._file_spec(f)], f["bucket"], nb, b
+                )
+                for nb, b in classes
+            )
+        ]
+
     def _file_overlaps_buckets(
         self,
         m: dict[str, Any],
@@ -3681,40 +3719,18 @@ class LakeTable:
                 for f in T.StructType.fromJson(m_new["schema"]).fields
                 if f.name not in _INTERNAL_COLS
             ]
-            old_paths = {f["path"] for f in m_old["files"]}
-            new_paths = {f["path"] for f in m_new["files"]}
-            specs_old, specs_new = self._specs(m_old), self._specs(m_new)
-            # changed bucket CLASSES as (spec_n_buckets, bucket) pairs —
-            # spec evolution makes bare bucket ids ambiguous across files
-            changed = (
-                {(specs_old[self._file_spec(f)], f["bucket"])
-                 for f in m_old["files"] if f["path"] not in new_paths}
-                | {(specs_new[self._file_spec(f)], f["bucket"])
-                   for f in m_new["files"] if f["path"] not in old_paths}
-            )
+            changed = self._changed_classes(m_old, m_new)
             if not changed:  # metadata-only commit (e.g. rollback no-op)
                 continue
-
-            def _touched(mm: dict[str, Any], sp: dict[int, int]):
-                # include every file whose class could share keys with a
-                # changed class; symmetric inclusion on both sides keeps
-                # extra unchanged keys out of the diff (equal lsn ⇒ no row)
-                return [
-                    f for f in mm["files"]
-                    if any(
-                        self._buckets_intersect(
-                            sp[self._file_spec(f)], f["bucket"], nb, b
-                        )
-                        for nb, b in changed
-                    )
-                ]
 
             key = m_new["key"]
             phys = self._physical_schema(m_new)
             # old side conformed to the NEW physical schema: added columns
             # read as null, widened types promoted — the diff is expressed
             # in the newer schema, like Iceberg CDF after evolution.
-            o = self.read_physical(files=_touched(m_old, specs_old), version=v - 1)
+            o = self.read_physical(
+                files=self._class_touched(m_old, changed), version=v - 1
+            )
             if m_old.get("field_ids") and m_new.get("field_ids"):
                 # conform binds by name; across a rename boundary map the
                 # old side's names to the new side's BY FIELD ID first so
@@ -3728,7 +3744,9 @@ class LakeTable:
                 if ren:
                     o = o.withColumnsRenamed(ren)
             o = conform(o, phys)
-            n = self.read_physical(files=_touched(m_new, specs_new), version=v)
+            n = self.read_physical(
+                files=self._class_touched(m_new, changed), version=v
+            )
             o_side = o.select(
                 F.col(key).alias("_k"),
                 F.col("lsn").alias("_olsn"),

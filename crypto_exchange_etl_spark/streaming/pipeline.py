@@ -366,8 +366,13 @@ class CdcPipeline:
         with a newer checkpoint would silently drop the batches between
         them (checkpoint says consumed, table never applied them).
         Pipeline config is inherited; ``overrides`` replaces individual
-        kwargs (e.g. ``metrics_dir`` — NOT inherited by default, two
-        pipelines must not share a metrics feed)."""
+        kwargs. NOT inherited by default (two pipelines must not share
+        them): ``metrics_dir`` (a shared metrics feed would interleave
+        two batch-id sequences) and ``views`` (a MaterializedAggregate
+        is bound to its source-table and view-storage paths — the fork
+        refreshing the SAME view state from a different table would
+        corrupt it; create fresh views over the fork and pass them via
+        ``overrides`` if the fork should maintain its own)."""
         import shutil
 
         if os.path.exists(checkpoint_dst) and os.listdir(checkpoint_dst):

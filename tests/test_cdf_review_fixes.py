@@ -1,0 +1,306 @@
+"""Regression tests for the round-4 CDF/sink/consumer review findings.
+
+Each test pins one fixed bug:
+
+- a capped tail-default stream restart seeds its admission-control floor
+  from the CHECKPOINT, not from the table's (much newer) current version
+  — the old max() seeding un-capped the whole backlog into one batch;
+- checkpoint floor lookup is PATH-SCOPED (a query may union two lake_cdf
+  feeds over one checkpoint; the lagging table must not inherit the
+  other's version);
+- ``startingVersion="earliest"`` bootstraps a non-empty base snapshot
+  (clone v0 / post-expiry) as inserts; a numeric start at such a base
+  raises instead of silently dropping the base rows (the batch consumer
+  guard, now on the format faces too);
+- the pandas diff kernel compares ``lsn`` exactly past 2^53 (nullable
+  Int64 through the outer merge — float64 coercion rounded packed LSNs);
+- ``lake_sink`` treats a NULL op as the documented absent-op upsert and
+  truncates string key stats like the merge path;
+- ``ChangeFeedConsumer.lag()`` is a pure metrics probe (never raises the
+  bootstrap guard).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from crypto_exchange_etl_spark.lake.cdf_source import (
+    LakeCdfDataSource,
+    LakeCdfStreamReader,
+    _last_checkpointed_version,
+    cdf_schema,
+)
+from crypto_exchange_etl_spark.lake.consumer import (
+    ChangeFeedConsumer,
+    ChangeFeedLagError,
+)
+from crypto_exchange_etl_spark.model import CHANGES_SCHEMA
+from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline
+
+UTC = dt.timezone.utc
+TS = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+
+def _apply(spark, pipe, batch_id, rows):
+    pipe.apply_batch(spark.createDataFrame(rows, CHANGES_SCHEMA), batch_id=batch_id)
+
+
+def _mk(spark, path, n=6, commits=1):
+    pipe = CdcPipeline(spark, path, n_buckets=2)
+    _apply(spark, pipe, 0, [
+        (i, 0, "I", f"u{i}", TS + dt.timedelta(hours=i),
+         f"<p>{i}</p>".encode(), "en")
+        for i in range(n)
+    ])
+    for b in range(1, commits):
+        _apply(spark, pipe, b, [
+            (1000 + b, 0, "U", f"u{b % n}",
+             TS + dt.timedelta(days=b), b"<p>x</p>", f"l{b}"),
+        ])
+    return pipe
+
+
+def _cdf_batch(spark, path, **opts):
+    spark.dataSource.register(LakeCdfDataSource)
+    r = spark.read.format("lake_cdf").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+# ------------------------------------------------- floor seeding / paths
+
+
+def _fake_ck(tmpdir_path, lines):
+    ck = os.path.join(tmpdir_path, "fakeck")
+    os.makedirs(os.path.join(ck, "offsets"), exist_ok=True)
+    with open(os.path.join(ck, "offsets", "7"), "w") as fh:
+        fh.write("v1\n{}\n")
+        for o in lines:
+            fh.write(json.dumps(o) + "\n")
+    return ck
+
+
+def test_checkpoint_version_is_path_scoped(tmpdir_path):
+    a, b = "/tables/a", "/tables/b"
+    ck = _fake_ck(tmpdir_path, [
+        {"version": 100, "path": a},
+        {"version": 10, "path": b},
+    ])
+    assert _last_checkpointed_version(ck, a) == 100
+    assert _last_checkpointed_version(ck, b) == 10
+    # legacy (untagged) offsets only count when no tagged line matches
+    ck2 = _fake_ck(tmpdir_path + "2", [{"version": 42}])
+    assert _last_checkpointed_version(ck2, a) == 42
+    ck3 = _fake_ck(tmpdir_path + "3", [
+        {"version": 42},
+        {"version": 7, "path": b},
+    ])
+    assert _last_checkpointed_version(ck3, b) == 7
+
+
+def test_capped_tail_default_restart_seeds_floor_from_checkpoint(
+    spark, tmpdir_path
+):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk(spark, path, n=4, commits=8)  # current version >> 2
+    cur = pipe.table.current_version()
+    assert cur >= 8
+    # a restart: checkpoint stands at v2, table has advanced to `cur`
+    ck = _fake_ck(tmpdir_path, [{"version": 2, "path": path}])
+    reader = LakeCdfStreamReader(
+        cdf_schema(path),
+        {"path": path, "maxVersionsPerBatch": "1", "checkpointLocation": ck},
+    )
+    # old behavior: floor = max(current, 2) = current → first micro-batch
+    # spans the whole backlog. Fixed: the checkpoint wins.
+    assert reader._floor == 2
+    off = reader.latestOffset()
+    assert off["version"] == 3  # pages one version, not `cur`
+    assert off["path"] == path  # offsets are path-tagged for restarts
+
+
+# ------------------------------------------------------ earliest / base
+
+
+def test_batch_earliest_bootstraps_clone_base(spark, tmpdir_path):
+    src = os.path.join(tmpdir_path, "src")
+    pipe = _mk(spark, src, n=6, commits=3)
+    clone = os.path.join(tmpdir_path, "clone")
+    pipe.table.clone_to(clone)
+
+    # the clone's v0 is non-empty: 'earliest' emits it as inserts
+    got = _cdf_batch(spark, clone, startingVersion="earliest")
+    rows = got.collect()
+    assert len(rows) == pipe.table.read().count()
+    assert {r._change_type for r in rows} == {"insert"}
+    assert {r._commit_version for r in rows} == {0}
+    assert sorted(r.url for r in rows) == sorted(
+        r.url for r in pipe.table.read().collect()
+    )
+
+    # after a post-clone commit, 'earliest' = base inserts + the diff
+    cpipe = CdcPipeline(spark, clone, n_buckets=2)
+    _apply(spark, cpipe, 99, [
+        (9000, 0, "U", "u0", TS + dt.timedelta(days=30), b"<p>z</p>", "fr"),
+    ])
+    got2 = _cdf_batch(spark, clone, startingVersion="earliest").collect()
+    assert len(got2) == len(rows) + 2  # + update pre/post images
+    assert sum(r._change_type == "update_postimage" for r in got2) == 1
+
+
+def test_numeric_start_at_nonempty_base_raises(spark, tmpdir_path):
+    src = os.path.join(tmpdir_path, "src")
+    pipe = _mk(spark, src, n=4, commits=2)
+    clone = os.path.join(tmpdir_path, "clone")
+    pipe.table.clone_to(clone)
+    cpipe = CdcPipeline(spark, clone, n_buckets=2)
+    _apply(spark, cpipe, 99, [
+        (9000, 0, "U", "u0", TS + dt.timedelta(days=30), b"<p>z</p>", "fr"),
+    ])
+
+    with pytest.raises(Exception, match="non-empty|earliest"):
+        _cdf_batch(spark, clone, startingVersion=1).collect()
+    # explicit ack: the consumer asserts it already holds the base state
+    got = _cdf_batch(
+        spark, clone, startingVersion=1, allowNonEmptyBase=True
+    ).collect()
+    assert sum(r._change_type == "update_postimage" for r in got) == 1
+    assert not any(r._commit_version == 0 for r in got)  # base NOT emitted
+    # on a normal table (empty v0) numeric start keeps working unguarded
+    assert _cdf_batch(spark, src, startingVersion=1).count() > 0
+
+
+def test_replica_of_clone_is_complete(spark, tmpdir_path):
+    from crypto_exchange_etl_spark.lake.replicate import (
+        create_replica,
+        replicate_stream,
+    )
+
+    src = os.path.join(tmpdir_path, "src")
+    pipe = _mk(spark, src, n=8, commits=3)
+    clone = os.path.join(tmpdir_path, "clone")
+    pipe.table.clone_to(clone)
+
+    dst = os.path.join(tmpdir_path, "dst")
+    ck = os.path.join(tmpdir_path, "ck")
+    rep = create_replica(spark, clone, dst)
+    q = replicate_stream(spark, clone, dst, ck)  # default: "earliest"
+    q.awaitTermination(300)
+
+    def canon(df):
+        return sorted(
+            map(tuple, df.select("url", "warc_ts", "text", "lang").collect())
+        )
+
+    # the old default (startingVersion=1) silently produced an EMPTY
+    # replica here: every row lives in the clone's non-empty v0
+    assert canon(rep.read()) == canon(
+        spark.read.format("lake").option("path", clone).load()
+    )
+
+
+# ---------------------------------------------------------- lsn exactness
+
+
+def test_cdf_detects_lsn_update_past_2_53(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "t")
+    pipe = CdcPipeline(spark, path, n_buckets=2)
+    big = 2**53  # float64 rounds big and big+1 to the same value
+    _apply(spark, pipe, 0, [(big, 0, "I", "k", TS, b"<p>a</p>", "en")])
+    v1 = pipe.table.current_version()
+    _apply(spark, pipe, 1, [(big + 1, 0, "U", "k", TS, b"<p>b</p>", "de")])
+
+    got = _cdf_batch(spark, path, startingVersion=v1 + 1).collect()
+    kinds = sorted(r._change_type for r in got)
+    # the pre-fix float64 merge saw equal lsns (same warc_ts) → no rows
+    assert kinds == ["update_postimage", "update_preimage"]
+    # and it matches the Spark kernel
+    spark_kinds = sorted(
+        r._change_type
+        for r in pipe.table.changes_between(v1, v1 + 1).collect()
+    )
+    assert kinds == spark_kinds
+
+
+# ----------------------------------------------------------------- sink
+
+
+def test_sink_null_op_is_upsert_and_stats_truncate(spark, tmpdir_path):
+    from pyspark.sql import types as T
+
+    from crypto_exchange_etl_spark.lake.table import LakeTable
+
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk(spark, path, n=3)
+    t = pipe.table
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    long_a = "https://example.com/" + "a" * 80
+    long_z = "https://example.com/" + "z" * 80
+    feed = os.path.join(tmpdir_path, "feed")
+    spark.createDataFrame(
+        [
+            (long_a, TS + dt.timedelta(days=3), "aaa", "en", None, 5000),
+            (long_z, TS + dt.timedelta(days=3), "zzz", "de", None, 5001),
+            ("u1", TS + dt.timedelta(days=3), None, None, "D", 5002),
+        ],
+        schema,
+    ).write.parquet(feed)
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(feed)
+        .writeStream.format("lake_sink")
+        .option("path", path)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = {r.url: (r.text, r.lang) for r in t.read().collect()}
+    # null op rows landed as plain upserts (not rejected as op='none')
+    assert rows[long_a] == ("aaa", "en")
+    assert rows[long_z] == ("zzz", "de")
+    assert "u1" not in rows  # the real 'D' still deletes
+
+    # key stats truncated like the merge path: bounded manifest bytes,
+    # pruning stays sound (lo <= every key, hi >= every key)
+    m = t.manifest()
+    deltas = [f for f in m["files"] if f.get("delta") and "url" in f["stats"]]
+    assert deltas
+    for f in deltas:
+        lo, hi = f["stats"]["url"]
+        assert len(lo) <= LakeTable._STAT_TRUNC
+        assert len(hi) <= LakeTable._STAT_TRUNC + 1
+    all_lo = min(lo for f in deltas for lo, _ in [f["stats"]["url"]])
+    all_hi = max(hi for f in deltas for _, hi in [f["stats"]["url"]])
+    assert all_lo <= long_a and all_hi >= long_z
+
+
+# ------------------------------------------------------------- consumer
+
+
+def test_lag_is_a_pure_probe_on_fresh_clone_consumer(spark, tmpdir_path):
+    src = os.path.join(tmpdir_path, "src")
+    pipe = _mk(spark, src, n=4, commits=2)
+    clone = os.path.join(tmpdir_path, "clone")
+    pipe.table.clone_to(clone)
+
+    c = ChangeFeedConsumer(spark, clone, os.path.join(tmpdir_path, "cur"))
+    lag = c.lag()  # must not raise: it's a health check, not delivery
+    assert lag["bootstrap_required"] is True
+    assert lag["versions_behind"] == 0  # clone: earliest == current == 0
+    with pytest.raises(ChangeFeedLagError):
+        c.poll()  # the delivery path still guards the bootstrap
