@@ -266,6 +266,11 @@ def thresh_bars_pandas(
     initial cache, losing ``nextDay`` —
     /root/reference/fintick/aggregators/thresh/base.py:38-48).
     """
+    if not thresh_value > 0:
+        # searchsorted with a non-positive target never advances past the
+        # current prefix value: the cut loop would append the same index
+        # forever (unbounded list, task never terminates)
+        raise ValueError(f"thresh_value must be > 0, got {thresh_value!r}")
     cache = dict(cache or {})
     cum = float(cache.get("cum", 0.0))
     partial = cache.get("partial")
@@ -314,8 +319,10 @@ def renko_bars_pandas(
 ) -> tuple[list[dict[str, Any]], dict[str, Any]]:
     """Pure-pandas renko kernel with carry cache.
 
-    cache = {"level": float, "direction": int | None, "partial": bar | None}.
-    If no cache, the first trade seeds the level and is discarded.
+    cache = {"level": float, "partial": bar | None}. If no cache, the
+    first trade seeds the level and is discarded. (Cuts fire at
+    level±box regardless of direction — the reference's rule; no
+    reversal state is kept.)
     """
     cache = dict(cache or {})
     pdf = _prep(pdf)
@@ -323,7 +330,6 @@ def renko_bars_pandas(
         if len(pdf) == 0:
             return [], cache
         cache["level"] = renko_level(float(pdf["price"].iloc[0]), box_size)
-        cache["direction"] = None
         pdf = pdf.iloc[1:].reset_index(drop=True)
 
     level = float(cache["level"])
@@ -348,7 +354,6 @@ def renko_bars_pandas(
             if change != 0:
                 cut_rows.append((i, new_level))
                 level = new_level
-                cache["direction"] = 1 if change > 0 else -1
 
     def _renko_bar(chunk: pd.DataFrame, lvl: float) -> dict[str, Any]:
         bar = _agg_chunk(chunk, top_n)
@@ -461,11 +466,16 @@ def thresh_bars(
     per symbol — at a year of daily eras that is 365× the tasks, and
     each pandas batch holds one era instead of the whole history (no
     more single-group memory ceiling)."""
+    if not thresh_value > 0:
+        raise ValueError(f"thresh_value must be > 0, got {thresh_value!r}")
     fields = [f.name for f in THRESH_BAR_SCHEMA.fields if f.name != "symbol"]
 
     def fn(key, pdf):
+        # era=None inside the kernel: each group IS one era (grouped on
+        # date_trunc below), so the reset can never fire inside a group —
+        # skipping per-row era labels saves a strftime pass per task
         bars, _cache = thresh_bars_pandas(
-            pdf, thresh_attr, thresh_value, top_n=top_n, era=era
+            pdf, thresh_attr, thresh_value, top_n=top_n, era=None
         )
         return _bars_df(bars, key[0] if key else None, fields)
 

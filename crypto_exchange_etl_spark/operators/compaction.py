@@ -95,12 +95,22 @@ def lww_pack_expr(
     (see :func:`lww_winner_keys` for why packing beats ``max_by(struct)``)."""
     pack_lit = F.lit(str(_PACK)).cast("decimal(20,0)")  # 10^19 > max long
     micros = F.unix_micros(F.col(ts_col)).cast("decimal(38,0)")
-    op_code = (
-        F.when(F.col(op_col) == "I", 1)
-        .when(F.col(op_col) == "U", 2)
-        .otherwise(3)
-        .cast("decimal(38,0)")
-    )
+    # driven by _OP_CODE (the same table lww_unpack inverts) so the two
+    # encodings cannot drift; an unknown or NULL op fails the task loudly
+    # — the old .otherwise(3) coded any malformed winner as a DELETE,
+    # silently tombstoning its key
+    op_code = F.lit(None).cast("int")
+    for code, num in _OP_CODE.items():
+        op_code = F.when(F.col(op_col) == code, F.lit(num)).otherwise(op_code)
+    op_code = F.coalesce(
+        op_code,
+        F.raise_error(
+            F.concat(
+                F.lit("lww_pack_expr: unknown op code "),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+            )
+        ).cast("int"),
+    ).cast("decimal(38,0)")
     return micros * pack_lit + F.col(lsn_col).cast("decimal(38,0)") * 10 + op_code
 
 

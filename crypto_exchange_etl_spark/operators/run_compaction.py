@@ -96,8 +96,14 @@ def compact_runs(
             F.min("index").alias("index"),
         )
         .withColumn(
+            # divide in float64, not decimal: decimal(38,18)/decimal(38,18)
+            # under Spark's default allowPrecisionLoss yields decimal(38,6)
+            # — the cast to (38,18) would just zero-pad a 6-dp rounding.
+            # float64 carries ~16 significant digits, the same arithmetic
+            # the reference's pandas kernel uses for vwap.
             "vwap",
-            (F.col("volume") / F.col("notional")).cast("decimal(38,18)"),
+            (F.col("volume").cast("double") / F.col("notional").cast("double"))
+            .cast("decimal(38,18)"),
         )
     )
     cols = (["symbol"] if has_symbol else []) + [

@@ -46,6 +46,7 @@ from pyspark.sql import types as T
 from ..operators.bars import (
     RENKO_BAR_SCHEMA,
     THRESH_BAR_SCHEMA,
+    _bars_df,
     cache_from_json,
     cache_to_json,
     renko_bars_pandas,
@@ -55,6 +56,14 @@ from ..operators.bars import (
 
 def _fmt_version(v: int) -> str:
     return f"v{v:08d}.json"
+
+
+#: applied-batch ids retained verbatim in the state manifest; older ids
+#: collapse into ``applied_floor`` (ids are monotone within a streaming
+#: query, so "id ≤ floor" ≡ "id in the dropped prefix") — without the
+#: bound a 1-batch/sec stream would rewrite ~86k ids into every manifest
+#: version per day, making commit cost linear in stream age
+_MAX_APPLIED = 512
 
 
 class IncrementalBars:
@@ -78,6 +87,17 @@ class IncrementalBars:
     ):
         if kind not in ("thresh", "renko"):
             raise ValueError(f"kind must be thresh|renko, got {kind!r}")
+        # fail at construction, not as a hung executor task: the thresh
+        # kernel's cut search never advances for a non-positive threshold,
+        # and renko_level divides by box_size
+        if kind == "thresh" and not float(thresh_value) > 0:
+            raise ValueError(
+                f"kind='thresh' requires thresh_value > 0, got {thresh_value!r}"
+            )
+        if kind == "renko" and not float(box_size) > 0:
+            raise ValueError(
+                f"kind='renko' requires box_size > 0, got {box_size!r}"
+            )
         self.spark = spark
         self.path = os.path.abspath(path)
         self.kind = kind
@@ -136,7 +156,10 @@ class IncrementalBars:
 
     def apply_batch(self, ticks: DataFrame, batch_id: int) -> dict[str, Any]:
         m = self.manifest()
-        if batch_id in set(m["applied_batches"]):
+        if (
+            batch_id <= m.get("applied_floor", -1)
+            or batch_id in set(m["applied_batches"])
+        ):
             return {"skipped": True, "batch_id": batch_id}
 
         kind = self.kind
@@ -158,17 +181,17 @@ class IncrementalBars:
                 bars, cache2 = renko_bars_pandas(
                     pdf, box_size, top_n=top_n, cache=cache
                 )
-            rows = []
-            for b in bars:
-                r = {k: b.get(k) for k in fields}
-                r["symbol"] = symbol
-                r["_cache"] = None
-                rows.append(r)
+            # one materialization path for bar rows (operators.bars._bars_df
+            # — shared with the batch wrappers so the two cannot drift),
+            # plus the JSON cache sidecar row this streaming face adds
+            bdf = _bars_df(bars, symbol, fields)
+            bdf["_cache"] = None
             sidecar = {k: None for k in fields}
             sidecar["symbol"] = symbol
             sidecar["_cache"] = cache_to_json(cache2)
-            rows.append(sidecar)
-            return pd.DataFrame(rows, columns=out_cols)
+            return pd.concat(
+                [bdf, pd.DataFrame([sidecar])], ignore_index=True
+            )[out_cols]
 
         out = ticks.groupBy("symbol").applyInPandas(fn, self.out_schema)
         out = out.persist()
@@ -194,10 +217,18 @@ class IncrementalBars:
 
         # symbols absent from this batch keep their previous cache
         caches_json.update(new_caches)
+        applied = m["applied_batches"] + [batch_id]
+        floor = m.get("applied_floor", -1)
+        if len(applied) > _MAX_APPLIED:
+            applied.sort()
+            drop = len(applied) - _MAX_APPLIED
+            floor = max(floor, applied[drop - 1])
+            applied = applied[drop:]
         self._commit(
             {
                 "version": m["version"] + 1,
-                "applied_batches": m["applied_batches"] + [batch_id],
+                "applied_batches": applied,
+                "applied_floor": floor,
                 "caches": caches_json,
                 "bar_dirs": m["bar_dirs"] + [rel_dir],
                 "params": {
@@ -268,10 +299,22 @@ class IncrementalBars:
                 with open(p) as fh:
                     referenced |= set(json.load(fh)["bar_dirs"])
         removed = 0
+        now = time.time()
         for f in list(os.listdir(self.state_dir)):
+            p = os.path.join(self.state_dir, f)
             if f.startswith("v") and f.endswith(".json") and int(f[1:-5]) not in keep:
-                os.remove(os.path.join(self.state_dir, f))
+                os.remove(p)
                 removed += 1
+            elif f.startswith(".tmp-") and f.endswith(".json"):
+                # crash-orphaned commit staging file (_commit died between
+                # write and rename); age-guarded so a concurrent in-flight
+                # commit's staging file survives
+                try:
+                    if now - os.path.getmtime(p) > 3600:
+                        os.remove(p)
+                        removed += 1
+                except OSError:
+                    pass
         for d in list(os.listdir(self.bars_dir)):
             rel = f"bars/{d}"
             if rel not in referenced:

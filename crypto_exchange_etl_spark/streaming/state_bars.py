@@ -104,6 +104,21 @@ def _bars_pdf(
 # ---------------------------------------------------------------------------
 
 
+
+def _validate_params(kind: str, thresh_value: float, box_size: float) -> None:
+    """Fail at plan/construction time, not inside a streaming task: the
+    thresh kernel raises on a non-positive threshold (formerly a hang)
+    and renko divides by box_size."""
+    if kind not in ("thresh", "renko"):
+        raise ValueError(f"kind must be thresh|renko, got {kind!r}")
+    if kind == "thresh" and not float(thresh_value) > 0:
+        raise ValueError(
+            f"kind='thresh' requires thresh_value > 0, got {thresh_value!r}"
+        )
+    if kind == "renko" and not float(box_size) > 0:
+        raise ValueError(f"kind='renko' requires box_size > 0, got {box_size!r}")
+
+
 def stateful_bars(
     ticks: DataFrame,
     kind: str = "thresh",
@@ -116,8 +131,7 @@ def stateful_bars(
 ) -> DataFrame:
     """Streaming ``ticks`` → appended completed bars; carry cache in
     ``GroupState`` (one JSON string per symbol)."""
-    if kind not in ("thresh", "renko"):
-        raise ValueError(f"kind must be thresh|renko, got {kind!r}")
+    _validate_params(kind, thresh_value, box_size)
     schema = THRESH_BAR_SCHEMA if kind == "thresh" else RENKO_BAR_SCHEMA
     fields = [f.name for f in schema.fields if f.name != "symbol"]
     out_cols = [f.name for f in schema.fields]
@@ -172,8 +186,7 @@ class BarStateProcessor(StatefulProcessor):
         top_n: int = 0,
         era: str | None = None,
     ):
-        if kind not in ("thresh", "renko"):
-            raise ValueError(f"kind must be thresh|renko, got {kind!r}")
+        _validate_params(kind, thresh_value, box_size)
         self.kind = kind
         self.thresh_attr = thresh_attr
         self.thresh_value = float(thresh_value)
