@@ -121,6 +121,20 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
         self.sink_id = str(options.get("sinkId", options.get("sinkid", "lake_sink")))
         t = _table(self.path)
         m = t.manifest()
+        if m.get("constraints") and str(
+            options.get("skipConstraints", options.get("skipconstraints", "false"))
+        ).lower() != "true":
+            # fail closed: sink tasks stage Arrow batches with no SQL
+            # engine, so the table's CHECK constraints cannot be evaluated
+            # here — an unchecked append would silently violate them.
+            # Route constrained feeds through the merge path, or
+            # acknowledge the bypass explicitly.
+            raise ValueError(
+                f"table {self.path} declares CHECK constraint(s) "
+                f"{sorted(m['constraints'])} which lake_sink cannot "
+                "enforce; write via merge_apply/merge_into, or opt out "
+                "with .option('skipConstraints', 'true')"
+            )
         self._key = m["key"]
         self._n_buckets = t._specs(m)[t._current_spec(m)]
         self._spec = t._current_spec(m)

@@ -78,6 +78,19 @@ class CommitConflictError(RuntimeError):
     commit order (Iceberg's commit-retry model)."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """A CHECK constraint failed — at :meth:`LakeTable.add_constraint`
+    time (existing live rows violate the new expression) or at merge
+    time under ``on_violation='fail'`` (a batch LWW winner violates).
+    A failed batch is never marked applied and commits nothing, so a
+    corrected feed can re-run the same batch id under exactly-once."""
+
+
+#: sentinel embedded in the lazy per-row raise so the merge path can
+#: re-surface a mid-job constraint failure as ConstraintViolationError
+_VIOLATION_MARKER = "CONSTRAINT_VIOLATION"
+
+
 def _coerce_initial_default(v, dtype: T.DataType):
     """Eagerly validate + canonicalize an add_column initial default
     against the declared type — a default that only failed (or silently
@@ -716,6 +729,7 @@ class LakeTable:
         enrich=None,
         publish: bool = True,
         branch: str | None = None,
+        on_violation: str = "fail",
     ) -> dict[str, Any]:
         """Apply one micro-batch of change events as a key-partitioned MERGE.
 
@@ -744,6 +758,15 @@ class LakeTable:
         ``applied_batches``); :meth:`fast_forward` later publishes the
         whole chain onto main atomically-per-snapshot. Single writer per
         branch is assumed (same discipline as the table itself).
+
+        ``on_violation`` picks the CHECK-constraint policy when the table
+        carries constraints (:meth:`add_constraint`): ``"fail"`` (default
+        — any violating batch winner aborts the merge with
+        :class:`ConstraintViolationError`, nothing commits), ``"quarantine"``
+        (violating winners divert to ``quarantine/batch-<id>`` parquet with
+        the violated constraint names; the clean rest applies), or
+        ``"drop"`` (violators silently filtered). See
+        :meth:`_constraint_gate` for cost and exactness notes.
         """
         base_ref: int | str | None = None
         if branch is not None:
@@ -919,6 +942,12 @@ class LakeTable:
             enrich is not None
             and bootstrap
             and mode != "mor"
+            # CHECK constraints evaluate on the batch's conformed winners
+            # (which must already carry enrich-derived columns) and must
+            # never re-judge surviving CURRENT rows — the post-exchange
+            # frame mixes both, so constrained tables keep the
+            # pre-exchange enrich placement.
+            and not m.get("constraints")
             and os.environ.get("SPARK_CDC_DEFER_ENRICH", "1") != "0"
         )
         if enrich is not None:
@@ -980,6 +1009,11 @@ class LakeTable:
         incoming = conform(
             winners.withColumn("is_deleted", F.col("op") == F.lit("D")), phys_plus
         )
+        gate_info: dict[str, Any] = {}
+        if m.get("constraints"):
+            incoming = self._constraint_gate(
+                incoming, m["constraints"], on_violation, batch_id, key, gate_info
+            )
         phys_cols = [f.name for f in phys_plus.fields]
         snap = str(uuid.uuid4())[:8]
 
@@ -1032,7 +1066,23 @@ class LakeTable:
             keep = [f for f in m["files"] if f["path"] not in touched_paths]
 
         out_dir = os.path.join(self.path, rel_out)
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+        try:
+            merged.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+        except Exception as e:
+            ka.unpersist()
+            if _VIOLATION_MARKER in str(e):
+                # the on_violation='fail' lazy per-row raise fired inside
+                # the write job: surface it typed. Nothing committed; the
+                # partial out_dir is an orphan (remove_orphans sweeps it).
+                line = next(
+                    (ln for ln in str(e).splitlines() if _VIOLATION_MARKER in ln),
+                    str(e)[:500],
+                )
+                raise ConstraintViolationError(
+                    f"batch {batch_id} violates a CHECK constraint; merge "
+                    f"aborted, table unchanged. {line.strip()}"
+                ) from None
+            raise
         _mark("merge_write")
         ka.unpersist()
         new_files = self._scan_files(
@@ -1099,9 +1149,14 @@ class LakeTable:
                 "n_delete": int(stats["dele"] or 0),
                 "n_dedup": int(n_events - stats["n"]),
                 "schema_changes": [c.__dict__ for c in res.changes],
+                **gate_info,
             },
             "committed_at_unix": now,
         }
+        if m.get("constraints"):
+            # CHECK constraints are table metadata — they outlive every
+            # merge commit (same carry rule as column_defaults below)
+            new_manifest["constraints"] = m["constraints"]
         if m.get("blooms"):
             # bloom side table carries forward: rewritten buckets' new
             # files simply have no bloom row until the next build_blooms
@@ -2894,6 +2949,23 @@ class LakeTable:
 
     # ------------------------------------------------- column DDL (field ids)
 
+    @staticmethod
+    def _check_constraint_refs(m: dict[str, Any], col: str, verb: str) -> None:
+        """Refuse DDL on a column a CHECK constraint references — the
+        stored expression addresses it by name, so the rename/drop would
+        silently break (or falsify) the constraint. Drop the constraint
+        first, re-add it against the new name."""
+        holders = [
+            n
+            for n, c in (m.get("constraints") or {}).items()
+            if col in c.get("refs", ())
+        ]
+        if holders:
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint(s) "
+                f"{sorted(holders)} and cannot be {verb}; drop_constraint first"
+            )
+
     def _structural_cols(self, m: dict[str, Any]) -> set[str]:
         """Columns the engine's merge/fold/lineage machinery addresses by
         name: the merge key, the LWW order columns, internal lineage.
@@ -2929,6 +3001,7 @@ class LakeTable:
                 f"column {old!r} is structural (merge key / LWW order / "
                 "lineage) and cannot be renamed"
             )
+        self._check_constraint_refs(m, old, "renamed")
         fields = [
             T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
             for f in sch.fields
@@ -2977,6 +3050,7 @@ class LakeTable:
                 f"column {name!r} is structural (merge key / LWW order / "
                 "lineage) and cannot be dropped"
             )
+        self._check_constraint_refs(m, name, "dropped")
         fields = [f for f in sch.fields if f.name != name]
         fids = dict(m["field_ids"])
         dropped_id = fids.pop(name)
@@ -3075,6 +3149,262 @@ class LakeTable:
         )
         self._write_manifest(nm)
         return nm["summary"]
+
+    # ------------------------------------------------- CHECK constraints
+
+    @property
+    def constraints(self) -> dict[str, str]:
+        """``name -> SQL expression`` of every declared CHECK constraint."""
+        return {
+            n: c["expr"]
+            for n, c in (self.manifest().get("constraints") or {}).items()
+        }
+
+    def _public_schema(self, m: dict[str, Any]) -> T.StructType:
+        return T.StructType(
+            [
+                f
+                for f in T.StructType.fromJson(m["schema"]).fields
+                if f.name not in _INTERNAL_COLS
+            ]
+        )
+
+    def _constraint_refs(self, expr: str, public: T.StructType) -> list[str]:
+        """Public columns ``expr`` references, found by resolution
+        probing: the expression is analyzed against the public schema
+        with each column removed in turn — failing to resolve without
+        column ``c`` means ``c`` is referenced. Driver-only analyses over
+        empty frames, O(columns); no data is read. Also validates that
+        the expression resolves at all and is boolean-typed."""
+        base = self.spark.createDataFrame([], public)
+        try:
+            out_t = base.select(F.expr(expr).alias("_c")).schema["_c"].dataType
+        except Exception as e:
+            raise ValueError(
+                f"constraint expression does not resolve against the "
+                f"table schema: {expr!r} ({e})"
+            ) from None
+        if not isinstance(out_t, T.BooleanType):
+            raise ValueError(
+                f"constraint expression must be boolean, got "
+                f"{out_t.simpleString()}: {expr!r}"
+            )
+        refs = []
+        for f in public.fields:
+            probe = self.spark.createDataFrame(
+                [], T.StructType([g for g in public.fields if g.name != f.name])
+            )
+            try:
+                probe.select(F.expr(expr)).schema  # noqa: B018 (forces analysis)
+            except Exception:
+                refs.append(f.name)
+        return refs
+
+    def add_constraint(
+        self, name: str, expr: str, validate: bool = True
+    ) -> dict[str, Any]:
+        """Declare a CHECK constraint (Delta ``ALTER TABLE … ADD
+        CONSTRAINT`` analogue): a SQL boolean expression over PUBLIC
+        columns that every row landing in the table must satisfy. SQL
+        CHECK semantics: a row violates only when the expression
+        evaluates to FALSE — NULL (unknown) passes, so constraints stay
+        sound across additive schema evolution (older batches' conformed
+        nulls don't trip them).
+
+        Enforced by every future :meth:`merge_apply` (and everything
+        riding it: the CDC pipeline, :meth:`merge_into`, row-level DML,
+        SCD2 refreshes) under the writer's ``on_violation`` policy.
+        Delete tombstones are exempt (they carry no payload). ``validate``
+        (default, Delta's rule) first verifies CURRENT live rows — one
+        full scan; a violating table refuses the DDL, reporting the count.
+
+        Metadata-only commit. Referenced columns become rename/drop-
+        protected until the constraint is dropped (the Iceberg rule for
+        spec-referenced columns, applied to constraints). ``lake_sink``
+        cannot evaluate SQL in its Arrow tasks and fails closed on
+        constrained tables (see lake/stream_sink.py)."""
+        if not name or not re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
+            raise ValueError(
+                f"constraint name must be [A-Za-z0-9_.-]+, got {name!r}"
+            )
+        m = self.manifest()
+        cons = dict(m.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        refs = self._constraint_refs(expr, self._public_schema(m))
+        validated = bool(validate and m["files"])
+        if validated:
+            n_bad = (
+                self.read()
+                .where(~F.coalesce(F.expr(expr), F.lit(True)))
+                .count()
+            )
+            if n_bad:
+                raise ConstraintViolationError(
+                    f"cannot add constraint {name!r}: {n_bad} live row(s) "
+                    f"violate {expr!r}"
+                )
+        cons[name] = {"expr": expr, "refs": refs}
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            constraints=cons,
+            summary={
+                "operation": "add_constraint",
+                "name": name,
+                "expr": expr,
+                "refs": refs,
+                "validated": validated,
+            },
+            committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm["summary"]
+
+    def drop_constraint(self, name: str) -> dict[str, Any]:
+        """Remove a CHECK constraint — metadata-only commit; releases the
+        rename/drop protection on its referenced columns."""
+        m = self.manifest()
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} (have {sorted(cons)})")
+        cons.pop(name)
+        nm = dict(m)
+        nm.update(
+            version=m["version"] + 1,
+            snapshot_id=str(uuid.uuid4()),
+            parent_version=m["version"],
+            constraints=cons,
+            summary={"operation": "drop_constraint", "name": name},
+            committed_at_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm["summary"]
+
+    def _constraint_gate(
+        self,
+        incoming: DataFrame,
+        cons: dict[str, dict[str, Any]],
+        on_violation: str,
+        batch_id: int,
+        key: str,
+        info: dict[str, Any],
+    ) -> DataFrame:
+        """Apply the table's CHECK constraints to the batch's conformed
+        LWW winners (post-enrich, pre-write — constraints never re-judge
+        current rows, and a violating event that LOSES batch LWW is a
+        no-op, same as any superseded event).
+
+        Policies and their cost:
+
+        - ``fail``: a lazy per-row ``raise_error`` folded into the
+          ``lsn`` projection — ZERO extra scans when the batch is clean
+          (the common case pays one vectorized boolean per written row);
+          a violation aborts the merge write job before any commit.
+          Because ``lsn`` is also the LWW sort key, the check fires for
+          every batch winner entering the merge, including ones a
+          CURRENT row would out-rank.
+        - ``quarantine``: one extra pass over batch winners (violator
+          scan + parquet write to ``quarantine/batch-<id>`` with the
+          violated names and batch id; overwrite mode, so a crash-replay
+          rewrites the same files instead of duplicating). The ledger's
+          op counts are classified BEFORE the gate (the narrow stats pass
+          cannot evaluate payload constraints); the summary carries
+          ``n_quarantined`` separately.
+        - ``drop``: violators silently filtered, one extra filter, no
+          count (use quarantine when you need the evidence).
+        """
+        if on_violation not in ("fail", "quarantine", "drop"):
+            raise ValueError(
+                f"on_violation must be fail|quarantine|drop, got {on_violation!r}"
+            )
+        checks = {
+            n: F.coalesce(F.expr(c["expr"]), F.lit(True))
+            for n, c in sorted(cons.items())
+        }
+        all_ok = F.lit(True)
+        for ok in checks.values():
+            all_ok = all_ok & ok
+        viol = (~F.col("is_deleted")) & ~all_ok
+        info["constraints_checked"] = sorted(cons)
+        if on_violation == "fail":
+            names = F.concat_ws(
+                ",", *[F.when(~ok, F.lit(n)) for n, ok in checks.items()]
+            )
+            msg = F.concat(
+                F.lit(f"{_VIOLATION_MARKER}: key="),
+                F.col(key).cast("string"),
+                F.lit(" failed ["),
+                names,
+                F.lit("]"),
+            )
+            return incoming.withColumn(
+                "lsn",
+                F.when(viol, F.raise_error(msg).cast("long")).otherwise(
+                    F.col("lsn")
+                ),
+            )
+        if on_violation == "quarantine":
+            import pyarrow.parquet as _pq
+
+            qrel = f"quarantine/batch-{batch_id}"
+            qdir = os.path.join(self.path, qrel)
+            names_arr = F.array_compact(
+                F.array(*[F.when(~ok, F.lit(n)) for n, ok in checks.items()])
+            )
+            (
+                incoming.where(viol)
+                .withColumn("_violated", names_arr)
+                .withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .parquet(qdir)
+            )
+            n_q = 0
+            for fn in os.listdir(qdir):
+                if fn.endswith(".parquet"):
+                    n_q += _pq.ParquetFile(os.path.join(qdir, fn)).metadata.num_rows
+            if n_q:
+                info["n_quarantined"] = n_q
+                info["quarantine_path"] = qrel
+            else:
+                shutil.rmtree(qdir, ignore_errors=True)
+                info["n_quarantined"] = 0
+            return incoming.where(~viol)
+        return incoming.where(~viol)
+
+    def quarantine(self) -> DataFrame:
+        """Every quarantined row (``on_violation='quarantine'`` merges):
+        the row's public payload plus ``_violated`` (constraint names)
+        and ``_batch_id``. Schemas merge across batches (quarantined
+        batches may span schema evolution)."""
+        qroot = os.path.join(self.path, "quarantine")
+        subdirs = (
+            [
+                os.path.join(qroot, d)
+                for d in sorted(os.listdir(qroot))
+                if os.path.isdir(os.path.join(qroot, d))
+            ]
+            if os.path.isdir(qroot)
+            else []
+        )
+        subdirs = [
+            d
+            for d in subdirs
+            if any(f.endswith(".parquet") for f in os.listdir(d))
+        ]
+        if not subdirs:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("_batch_id", T.LongType()),
+                        T.StructField("_violated", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            )
+        return self.spark.read.option("mergeSchema", "true").parquet(*subdirs)
 
     def evolve_bucket_spec(self, n_buckets: int) -> dict[str, Any]:
         """LAZY bucket-layout evolution — a METADATA-ONLY commit (Iceberg
@@ -3483,6 +3813,8 @@ class LakeTable:
           type, nullability, initial default, structural/internal flags —
           one row per current column (the `DESCRIBE EXTENDED` face of
           the field-id machinery);
+        - ``constraints``: declared CHECK constraints (name, expression,
+          referenced columns);
         - ``ledger``: alias for :meth:`ledger`.
 
         All driver-side manifest reads parallelized by Spark only at
@@ -3620,9 +3952,21 @@ class LakeTable:
                 T.StructField("is_internal", T.BooleanType(), False),
             ])
             return schema, rows
+        if name == "constraints":
+            m = self.manifest(version)
+            rows = [
+                (n, c["expr"], json.dumps(c.get("refs") or []))
+                for n, c in sorted((m.get("constraints") or {}).items())
+            ]
+            schema = T.StructType([
+                T.StructField("name", T.StringType(), False),
+                T.StructField("expr", T.StringType(), False),
+                T.StructField("refs_json", T.StringType(), False),
+            ])
+            return schema, rows
         raise ValueError(
             f"unknown metadata table {name!r}; one of files, snapshots, "
-            "refs, partitions, columns, ledger"
+            "refs, partitions, columns, constraints, ledger"
         )
 
     def rollback(self, version: int | str) -> dict[str, Any]:

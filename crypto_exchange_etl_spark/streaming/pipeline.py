@@ -51,6 +51,7 @@ class CdcPipeline:
         audit=None,
         views=None,
         metrics_dir: str | None = None,
+        on_violation: str = "fail",
     ):
         """``write_mode="mor"`` switches the lake table to merge-on-read:
         each micro-batch appends O(batch) delta files and the pipeline
@@ -97,7 +98,13 @@ class CdcPipeline:
         skipped by the exactly-once guard only writes an entry if none
         exists (the original apply's record is never clobbered). The
         reference's analogue is the Firestore doc count fields written
-        after each load (/root/reference/fintick/controllers/base.py:258-267)."""
+        after each load (/root/reference/fintick/controllers/base.py:258-267).
+
+        ``on_violation`` is the CHECK-constraint policy passed through to
+        every merge (``fail`` | ``quarantine`` | ``drop`` — see
+        :meth:`~..lake.table.LakeTable.merge_apply`); it only matters once
+        ``add_constraint`` has declared constraints on the table.
+        Quarantine counts surface in the per-batch metrics feed."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -108,6 +115,7 @@ class CdcPipeline:
         self.audit = audit
         self.views = list(views or [])
         self.metrics_dir = metrics_dir
+        self.on_violation = on_violation
 
     def ensure_table(self) -> LakeTable:
         return LakeTable.create(
@@ -156,7 +164,10 @@ class CdcPipeline:
             try:
                 if self.audit is None:
                     out = table.merge_apply(
-                        changes, batch_id=batch_id, enrich=with_extracted_text
+                        changes,
+                        batch_id=batch_id,
+                        enrich=with_extracted_text,
+                        on_violation=self.on_violation,
                     )
                 else:
                     out = table.merge_apply(
@@ -164,6 +175,7 @@ class CdcPipeline:
                         batch_id=batch_id,
                         enrich=with_extracted_text,
                         publish=False,
+                        on_violation=self.on_violation,
                     )
                     if out.get("skipped"):
                         # same metrics contract as the non-audit path: a
@@ -223,6 +235,8 @@ class CdcPipeline:
         if not out.get("skipped"):
             for k in ("n_events", "n_insert", "n_update", "n_delete", "n_dedup"):
                 doc[k] = out.get(k)
+            if "n_quarantined" in out:
+                doc["n_quarantined"] = out["n_quarantined"]
             doc["events_per_sec"] = (
                 round(out["n_events"] / wall_sec, 2) if wall_sec > 0 else None
             )

@@ -168,6 +168,11 @@ def main(argv: list[str] | None = None) -> int:
                     "e.g. content_type:string or score:double:0.5 (the "
                     "default is an Iceberg-v3 initial default: pre-add "
                     "rows read it instead of null)")
+    mt.add_argument("--add-constraint", default=None,
+                    metavar="NAME::SQL_EXPR",
+                    help="declare a CHECK constraint (validates live rows)")
+    mt.add_argument("--drop-constraint", default=None, metavar="NAME",
+                    help="remove a CHECK constraint")
     mt.add_argument("--delete-where", default=None, metavar="SQL_PREDICATE",
                     help="row-level DELETE via the LWW merge path")
     mt.add_argument("--update-where", default=None,
@@ -432,6 +437,13 @@ def main(argv: list[str] | None = None) -> int:
                 except ValueError:
                     dfl = cdfl  # bare string default
             did.append(table.add_column(cname, ctyp or "string", default=dfl))
+        if args.add_constraint:
+            cname, sep, cexpr = args.add_constraint.partition("::")
+            if not sep:
+                raise SystemExit("--add-constraint expects NAME::SQL_EXPR")
+            did.append(table.add_constraint(cname.strip(), cexpr.strip()))
+        if args.drop_constraint:
+            did.append(table.drop_constraint(args.drop_constraint))
         if args.delete_where:
             did.append(table.delete_where(args.delete_where))
         if args.update_where:
