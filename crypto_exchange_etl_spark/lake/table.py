@@ -942,12 +942,6 @@ class LakeTable:
             enrich is not None
             and bootstrap
             and mode != "mor"
-            # CHECK constraints evaluate on the batch's conformed winners
-            # (which must already carry enrich-derived columns) and must
-            # never re-judge surviving CURRENT rows — the post-exchange
-            # frame mixes both, so constrained tables keep the
-            # pre-exchange enrich placement.
-            and not m.get("constraints")
             and os.environ.get("SPARK_CDC_DEFER_ENRICH", "1") != "0"
         )
         if enrich is not None:
@@ -1010,7 +1004,12 @@ class LakeTable:
             winners.withColumn("is_deleted", F.col("op") == F.lit("D")), phys_plus
         )
         gate_info: dict[str, Any] = {}
-        if m.get("constraints"):
+        if m.get("constraints") and not defer_enrich:
+            # CHECK constraints judge the batch's conformed winners (post-
+            # enrich values) and must never re-judge surviving CURRENT
+            # rows. With deferred enrich the gate moves past the exchange
+            # (below) — the bootstrap invariant guarantees the post-merge
+            # frame holds ONLY batch winners there.
             incoming = self._constraint_gate(
                 incoming, m["constraints"], on_violation, batch_id, key, gate_info
             )
@@ -1060,6 +1059,17 @@ class LakeTable:
             )
             if defer_enrich:
                 merged = enrich(merged)
+                if m.get("constraints"):
+                    # bootstrap invariant: the touched buckets held no
+                    # current rows, so every post-merge survivor IS a
+                    # batch winner — gating here judges exactly the rows
+                    # being written, with post-enrich values, while the
+                    # fast path keeps its "derived bytes never cross the
+                    # exchange" property.
+                    merged = self._constraint_gate(
+                        merged, m["constraints"], on_violation, batch_id,
+                        key, gate_info,
+                    )
             merged = merged.select(*phys_cols, "bucket")
             rel_out = f"data/snap-{snap}"
             touched_paths = {f["path"] for f in touched_files}
@@ -3295,7 +3305,10 @@ class LakeTable:
         """Apply the table's CHECK constraints to the batch's conformed
         LWW winners (post-enrich, pre-write — constraints never re-judge
         current rows, and a violating event that LOSES batch LWW is a
-        no-op, same as any superseded event).
+        no-op, same as any superseded event). Placement: pre-exchange on
+        incremental batches; post-exchange on the deferred-enrich
+        bootstrap path, where the merged frame provably holds only batch
+        winners (see merge_apply) — same judged set either way.
 
         Policies and their cost:
 
@@ -3355,7 +3368,11 @@ class LakeTable:
                 F.array(*[F.when(~ok, F.lit(n)) for n, ok in checks.items()])
             )
             (
+                # drop merge-internal columns (present when the gate runs
+                # post-exchange on the deferred-enrich path) so quarantine
+                # contents are uniform across gate placements
                 incoming.where(viol)
+                .drop("_pk", "bucket")
                 .withColumn("_violated", names_arr)
                 .withColumn("_batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite")

@@ -196,8 +196,10 @@ def test_drop_mode_filters_silently(spark, tmpdir_path):
 
 def test_constraint_on_derived_column_bootstrap(spark, tmpdir_path):
     """A constraint on the enrich-DERIVED column (text) gates the very
-    first (bootstrap) batch — the deferred-enrich fast path must yield to
-    the gate, which needs post-enrich rows."""
+    first (bootstrap) batch. The deferred-enrich fast path STAYS active
+    on constrained tables — the gate moves past the exchange, where the
+    bootstrap invariant guarantees only batch winners — so it must see
+    post-enrich values there."""
     pipe = CdcPipeline(spark, os.path.join(tmpdir_path, "t"), n_buckets=2)
     pipe.ensure_table().add_constraint("has_text", "length(text) > 0")
     with pytest.raises(ConstraintViolationError, match="has_text"):
@@ -208,6 +210,57 @@ def test_constraint_on_derived_column_bootstrap(spark, tmpdir_path):
         _rows(spark, [(1, "I", "u1", 0, b"<p>ok</p>", "en")]), batch_id=0
     )
     assert pipe.table.read().count() == 1
+
+
+def test_quarantine_on_bootstrap_deferred_gate(spark, tmpdir_path):
+    """Quarantine through the post-exchange (deferred-enrich bootstrap)
+    gate: violators divert with post-enrich payload and NO merge-internal
+    columns; clean rows land; equivalent to the pre-exchange placement."""
+    pipe = CdcPipeline(
+        spark, os.path.join(tmpdir_path, "t"), n_buckets=2,
+        on_violation="quarantine",
+    )
+    pipe.ensure_table().add_constraint("has_text", "length(text) > 0")
+    out = pipe.apply_batch(
+        _rows(
+            spark,
+            [
+                (1, "I", "u1", 0, b"<p></p>", "en"),  # violates
+                (2, "I", "u2", 1, b"<p>ok</p>", "de"),
+            ],
+        ),
+        batch_id=0,
+    )
+    assert out["n_quarantined"] == 1
+    assert {r.url for r in pipe.table.read().collect()} == {"u2"}
+    q = pipe.table.quarantine()
+    assert not {"bucket", "_pk"} & set(q.columns)
+    row = q.collect()[0]
+    assert row.url == "u1" and row._violated == ["has_text"]
+    assert row.text == ""  # gate saw the post-enrich (extracted) value
+    # pre-exchange placement (forced via env) quarantines identically
+    os.environ["SPARK_CDC_DEFER_ENRICH"] = "0"
+    try:
+        pipe2 = CdcPipeline(
+            spark, os.path.join(tmpdir_path, "t2"), n_buckets=2,
+            on_violation="quarantine",
+        )
+        pipe2.ensure_table().add_constraint("has_text", "length(text) > 0")
+        out2 = pipe2.apply_batch(
+            _rows(
+                spark,
+                [
+                    (1, "I", "u1", 0, b"<p></p>", "en"),
+                    (2, "I", "u2", 1, b"<p>ok</p>", "de"),
+                ],
+            ),
+            batch_id=0,
+        )
+    finally:
+        os.environ.pop("SPARK_CDC_DEFER_ENRICH", None)
+    assert out2["n_quarantined"] == 1
+    assert {r.url for r in pipe2.table.read().collect()} == {"u2"}
+    assert sorted(pipe2.table.quarantine().columns) == sorted(q.columns)
 
 
 def test_lww_superseded_violator_still_fails_but_loser_semantics_hold(
