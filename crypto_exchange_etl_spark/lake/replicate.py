@@ -165,10 +165,27 @@ def replicate_stream(
             "maxVersionsPerBatch", int(max_versions_per_batch)
         ).option("checkpointLocation", checkpoint)
     out = replicate_changes(reader.load())
+    # precompute the destination bucket in the JVM plan: codegen
+    # pmod(xxhash64(key), n) replaces the sink task's per-row
+    # pure-Python hash (measured ~81k rows/s/core — the dominant
+    # replication cost at high change rates). Pinned at stream start to
+    # the destination's CURRENT spec, same as the sink writer's own pin;
+    # the writer sample-verifies per task and fails loudly if a rebucket
+    # lands between the two manifest reads.
+    from .cdf_source import _table
+
+    dt = _table(dst_path)
+    dm = dt.manifest()
+    n = dt._specs(dm)[dt._current_spec(dm)]
+    out = out.withColumn(
+        "__bucket__",
+        F.pmod(F.xxhash64(F.col(dm["key"])), F.lit(int(n))).cast("long"),
+    )
     w = (
         out.writeStream.format("lake_sink")
         .option("path", dst_path)
         .option("sinkId", sink_id)
+        .option("bucketColumn", "__bucket__")
         .option("checkpointLocation", checkpoint)
     )
     if available_now:

@@ -53,10 +53,14 @@ O(batch) with zero Spark shuffles beyond the upstream plan itself.
 
 Scale: Arrow batches in (``DataSourceStreamArrowWriter`` — vectorized
 boundary), pyarrow parquet out; per-task Python cost is the per-row
-bucket hash (the one per-row loop, documented; ~1 µs/row) — repartition
-the upstream by key to cut files-per-bucket when fan-in is wide. Delta
-backlog drains through the table's normal ``minor_compact`` /
-auto-maintenance policy.
+bucket hash (the one per-row loop, documented; ~12 µs/row measured) —
+eliminate it entirely with ``option("bucketColumn", "__bucket__")``
+after adding ``pmod(xxhash64(<key>), n_buckets)`` to the upstream plan
+(JVM codegen; tasks sample-verify 8 rows against the pure-Python twin
+and fail the batch loudly on any spec mismatch — ``replicate_stream``
+does this wiring automatically). Repartition the upstream by key to cut
+files-per-bucket when fan-in is wide. Delta backlog drains through the
+table's normal ``minor_compact`` / auto-maintenance policy.
 
 Reference analogue: the append-only hourly partition loads
 (/root/reference/fintick/bqloader/base.py:91-112) — re-imagined as
@@ -143,7 +147,9 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
         self._phys_fields = [(f.name, f.dataType) for f in phys.fields]
         self._public = [f.name for f in phys.fields if f.name not in _INTERNAL_COLS]
         in_cols = set(schema.fieldNames())
-        extras = in_cols - set(self._public) - {"op", "lsn"}
+        extras = in_cols - set(self._public) - {"op", "lsn"} - {
+            options.get("bucketColumn", options.get("bucketcolumn"))
+        }
         if extras:
             raise ValueError(
                 f"lake_sink input has columns outside the table schema: "
@@ -155,6 +161,31 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
                 raise ValueError(f"lake_sink input must carry {req!r}")
         self._has_op = "op" in in_cols
         self._has_lsn = "lsn" in in_cols
+        # optional JVM-precomputed bucket: the upstream plan carries
+        # pmod(xxhash64(<key>), n_buckets) as an integer column (codegen
+        # speed), replacing the sink task's per-row pure-Python hash —
+        # the one per-row loop in the engine's write paths. Trust but
+        # verify: each task re-hashes a deterministic sample and fails
+        # the batch loudly on any mismatch (wrong n, wrong spec, wrong
+        # hash), so a stale upstream can never commit mis-bucketed rows.
+        self._bucket_col = options.get(
+            "bucketColumn", options.get("bucketcolumn")
+        )
+        if self._bucket_col is not None:
+            bf = next(
+                (f for f in schema.fields if f.name == self._bucket_col), None
+            )
+            if bf is None:
+                raise ValueError(
+                    f"lake_sink bucketColumn {self._bucket_col!r} is not in "
+                    "the input schema"
+                )
+            if not isinstance(bf.dataType, (T.IntegerType, T.LongType)):
+                raise ValueError(
+                    f"lake_sink bucketColumn {self._bucket_col!r} must be "
+                    f"int/long, got {bf.dataType.simpleString()} — compute "
+                    "it as pmod(xxhash64(<key>), n_buckets)"
+                )
         # validate TYPES, not just names: a mis-typed key hashes to a
         # different bucket than the JVM merge path (int 123 vs "123"),
         # and the final arrow cast would coerce silently — the row would
@@ -249,11 +280,45 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
             for c in self._public:
                 if c not in (self._key, "warc_ts"):
                     out[c] = out[c].astype(object).where(keep, None)
-        # the one per-row Python loop in the engine's write paths — the
-        # documented cost of a generic sink (the CDC pipeline's JVM
-        # xxhash64 stays the hot path)
-        buckets = [bucket_of(v, self._n_buckets) for v in out[self._key]]
-        out["__b__"] = buckets
+        if self._bucket_col is not None and self._bucket_col in df.columns:
+            # JVM-precomputed buckets (pmod(xxhash64(key), n) computed at
+            # codegen speed upstream). Verify a deterministic sample per
+            # task against the pure-Python twin: a wrong n / spec / hash
+            # upstream mis-buckets nearly every row, so 8 probes catch it
+            # with near-certainty — and the failed task fails the batch
+            # before anything commits.
+            claimed = df[self._bucket_col]
+            if claimed.isna().any():
+                raise ValueError(
+                    f"lake_sink bucketColumn {self._bucket_col!r} has nulls"
+                )
+            claimed = claimed.astype("int64")
+            if ((claimed < 0) | (claimed >= self._n_buckets)).any():
+                raise ValueError(
+                    f"lake_sink bucketColumn {self._bucket_col!r} out of "
+                    f"range [0, {self._n_buckets}) — computed under a "
+                    "different bucket spec?"
+                )
+            for i in range(min(8, len(out))):
+                want_b = bucket_of(out[self._key].iloc[i], self._n_buckets)
+                if int(claimed.iloc[i]) != want_b:
+                    raise ValueError(
+                        f"lake_sink bucketColumn {self._bucket_col!r} "
+                        f"disagrees with the table's bucket spec at key "
+                        f"{out[self._key].iloc[i]!r}: claimed "
+                        f"{int(claimed.iloc[i])}, spec says {want_b} — "
+                        f"recompute as pmod(xxhash64(<key>), "
+                        f"{self._n_buckets})"
+                    )
+            out["__b__"] = claimed.to_numpy()
+        else:
+            # the one per-row Python loop in the engine's write paths —
+            # the documented cost of a generic sink (the CDC pipeline's
+            # JVM xxhash64 stays the hot path); pass bucketColumn to
+            # move it into the upstream JVM plan
+            out["__b__"] = [
+                bucket_of(v, self._n_buckets) for v in out[self._key]
+            ]
 
         token = uuid.uuid4().hex[:12]
         aschema = self._arrow_schema()

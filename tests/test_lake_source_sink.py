@@ -544,6 +544,79 @@ def test_sink_validates_input(spark, tmpdir_path):
         q.awaitTermination(300)
 
 
+def test_sink_precomputed_bucket_column(spark, tmpdir_path):
+    """option('bucketColumn'): a JVM-precomputed pmod(xxhash64(key), n)
+    column replaces the sink task's per-row Python hash — final state
+    identical to the Python-hash path — while a column computed under a
+    WRONG n fails the batch loudly and commits nothing."""
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk_table(spark, path, n=10)
+    t = pipe.table
+    n_buckets = int(t.manifest()["n_buckets"])
+    feed = os.path.join(tmpdir_path, "feed")
+    spark.createDataFrame(
+        [
+            ("u2", TS + dt.timedelta(days=3), "fresh", "de", "U", 5000),
+            ("u3", TS + dt.timedelta(days=3), None, None, "D", 5001),
+            ("unew", TS + dt.timedelta(days=3), "brand new", "fr", "I", 5002),
+        ],
+        SINK_SCHEMA,
+    ).write.parquet(feed)
+
+    def _stream(n, ck, sink_id):
+        q = (
+            spark.readStream.schema(SINK_SCHEMA)
+            .parquet(feed)
+            .withColumn(
+                "__bucket__",
+                F.pmod(F.xxhash64(F.col("url")), F.lit(n)).cast("long"),
+            )
+            .writeStream.format("lake_sink")
+            .option("path", path)
+            .option("bucketColumn", "__bucket__")
+            .option("sinkId", sink_id)
+            .option("checkpointLocation", os.path.join(tmpdir_path, ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _stream(n_buckets, "ck", "s1")
+    rows = {r.url: (r.text, r.lang) for r in t.read().collect()}
+    assert rows["u2"] == ("fresh", "de")
+    assert "u3" not in rows
+    assert rows["unew"] == ("brand new", "fr")
+    # the landed delta files sit in the buckets the MERGE PATH would pick
+    # (folds/lookups depend on it)
+    from crypto_exchange_etl_spark.lake.xxh64 import bucket_of
+
+    for f in t.manifest()["files"]:
+        if f.get("delta"):
+            key_lo = f["stats"]["url"][0]
+            assert f["bucket"] == bucket_of(key_lo, n_buckets)
+    # wrong n: sample verification fails the batch, nothing commits
+    v = t.current_version()
+    # (either check can fire first: out-of-range for claims ≥ n, or the
+    # sampled hash mismatch — both carry the option name)
+    with pytest.raises(Exception, match="bucketColumn"):
+        _stream(n_buckets + 3, "ck_bad", "s2")
+    assert t.current_version() == v
+    # missing column: rejected at plan time
+    with pytest.raises(Exception, match="not in the input schema"):
+        q = (
+            spark.readStream.schema(SINK_SCHEMA)
+            .parquet(feed)
+            .writeStream.format("lake_sink")
+            .option("path", path)
+            .option("bucketColumn", "__bucket__")
+            .option("sinkId", "s3")
+            .option("checkpointLocation", os.path.join(tmpdir_path, "ck3"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+
 def test_sink_preserves_big_longs_alongside_tombstones(spark, tmpdir_path):
     # nulling tombstone payloads must not upcast sibling int64 values
     # through float64 (2^53+1 would silently round to 2^53)
