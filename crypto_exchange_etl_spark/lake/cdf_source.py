@@ -155,6 +155,7 @@ class CdfPartition(InputPartition):
         old_files: list[tuple[str, dict[str, str | None]]],
         new_files: list[tuple[str, dict[str, str | None]]],
         defaults: dict[str, Any] | None = None,
+        schema: T.StructType | None = None,
     ):
         self.version = version
         self.key = key
@@ -162,6 +163,10 @@ class CdfPartition(InputPartition):
         self.public_cols = public_cols
         self.old_files = old_files
         self.new_files = new_files
+        #: pinned source schema (public + meta) — the worker emits Arrow
+        #: RecordBatches cast to exactly this, same conversion the sink
+        #: uses for its own parquet writes
+        self.schema = schema
         # pinned initial defaults (add_column DDL): absent-in-epoch
         # columns fill with these instead of null, matching _read_raw
         self.defaults = defaults or {}
@@ -330,6 +335,7 @@ class _CdfPlannerBase:
                         old_files=of,
                         new_files=nf,
                         defaults=self._defaults,
+                        schema=self.schema,
                     )
                 )
         return parts
@@ -418,34 +424,50 @@ class _CdfPlannerBase:
             .astype(bool)
         )
 
-        def payload(row, side: str):
-            vals = []
-            for c in p.public_cols:
-                v = row[p.key] if c == p.key else row[f"{c}{side}"]
-                try:
-                    if v is None or pd.isna(v):  # NaN / NaT / None
-                        vals.append(None)
-                        continue
-                except (TypeError, ValueError):  # bytes / arrays
-                    pass
-                if hasattr(v, "to_pydatetime"):
-                    v = v.to_pydatetime()
-                elif isinstance(v, np.generic):  # Int64 rows box as
-                    v = v.item()  # np.int64 — unbox for Arrow
-                vals.append(v)
-            return vals
+        # Vectorized emit: build the change rows as whole pandas frames
+        # and yield Arrow RecordBatches — the Python Data Source API
+        # consumes them directly, replacing the per-row tuple path that
+        # capped the feed at ~50-100k rows/s/core (a 894k-row bootstrap
+        # spent ~10 s here; the frame path is pure numpy/Arrow). The cast
+        # to the pinned source schema is the SAME from_pandas(...).cast
+        # conversion the sink's byte-identity-tested write path uses.
+        ins_m = ~old_live & new_live
+        del_m = old_live & ~new_live
 
-        for _, row in j.iterrows():
-            o_alive = bool(old_live.loc[_]) if _ in old_live.index else False
-            n_alive = bool(new_live.loc[_]) if _ in new_live.index else False
-            upd = bool(updated.loc[_]) if _ in updated.index else False
-            if not o_alive and n_alive:
-                yield (*payload(row, "_n"), "insert", p.version)
-            elif upd:
-                yield (*payload(row, "_o"), "update_preimage", p.version)
-                yield (*payload(row, "_n"), "update_postimage", p.version)
-            elif o_alive and not n_alive:
-                yield (*payload(row, "_o"), "delete", p.version)
+        def side_frame(mask, side: str, ctype: str, seq: int):
+            sub = j.loc[mask]
+            out = pd.DataFrame(index=sub.index)
+            for c in p.public_cols:
+                out[c] = sub[p.key] if c == p.key else sub[f"{c}{side}"]
+            out["_change_type"] = ctype
+            out["_commit_version"] = np.int32(p.version)
+            out["__seq__"] = seq
+            return out
+
+        cat = pd.concat(
+            [
+                side_frame(ins_m, "_n", "insert", 0),
+                side_frame(updated, "_o", "update_preimage", 0),
+                side_frame(updated, "_n", "update_postimage", 1),
+                side_frame(del_m, "_o", "delete", 0),
+            ]
+        )
+        if cat.empty:
+            return
+        # reproduce the row kernel's emit order exactly: j's key order
+        # (its RangeIndex, carried through .loc), preimage before
+        # postimage for the same key
+        cat["__ix__"] = cat.index
+        cat = cat.sort_values(["__ix__", "__seq__"], kind="stable").drop(
+            columns=["__ix__", "__seq__"]
+        )
+
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        aschema = to_arrow_schema(p.schema)
+        tbl = pa.Table.from_pandas(cat, preserve_index=False).cast(aschema)
+        yield from tbl.to_batches(max_chunksize=65536)
 
 
 class LakeCdfStreamReader(_CdfPlannerBase, DataSourceStreamReader):
