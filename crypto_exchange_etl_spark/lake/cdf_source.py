@@ -156,7 +156,12 @@ class CdfPartition(InputPartition):
         new_files: list[tuple[str, dict[str, str | None]]],
         defaults: dict[str, Any] | None = None,
         schema: T.StructType | None = None,
+        preimages: bool = True,
     ):
+        #: emit ``update_preimage`` rows (Delta CDF contract). False =
+        #: the old side was planned to load only key/rank/liveness
+        #: columns; payload columns on ``delete`` rows read null.
+        self.preimages = preimages
         self.version = version
         self.key = key
         self.order_cols = order_cols
@@ -193,6 +198,16 @@ class _CdfPlannerBase:
         # field ids of the pinned query schema (None for pre-DDL tables)
         self._query_fids = m.get("field_ids")
         self._query_eps = m.get("schema_epochs")
+        #: ``includePreimages=false`` narrows the OLD side of every diff
+        #: to its key/rank/liveness columns at PLANNING time — the
+        #: parquet reads skip payload bytes entirely (on web pages ~95%
+        #: of the decode) — and drops ``update_preimage`` rows. ``delete``
+        #: rows then carry null payload (key + warc_ts stay). For
+        #: consumers that never read preimages (replication: the sink
+        #: nulls tombstone payloads anyway) this is pure savings.
+        self._preimages = str(
+            options.get("includePreimages", options.get("includepreimages", ""))
+        ).lower() not in ("0", "false", "no")
         start = options.get("startingVersion", options.get("startingversion"))
         allow_base = str(
             options.get(
@@ -318,9 +333,16 @@ class _CdfPlannerBase:
                 groups.setdefault(find(i), []).append(c)
 
             for grp in groups.values():
+                keep_old = {self._key, "warc_ts", "lsn", "is_deleted"}
                 of = [
-                    (os.path.join(self.path, f["path"]), self._colmap(m_old, f))
+                    (
+                        os.path.join(self.path, f["path"]),
+                        cm
+                        if self._preimages
+                        else {c: n for c, n in cm.items() if c in keep_old},
+                    )
                     for f in type(t)._class_touched(m_old, grp)
+                    for cm in (self._colmap(m_old, f),)
                 ]
                 nf = [
                     (os.path.join(self.path, f["path"]), self._colmap(m_new, f))
@@ -336,6 +358,7 @@ class _CdfPlannerBase:
                         new_files=nf,
                         defaults=self._defaults,
                         schema=self.schema,
+                        preimages=self._preimages,
                     )
                 )
         return parts
@@ -391,8 +414,19 @@ class _CdfPlannerBase:
 
         old = fold(load(p.old_files))
         new = fold(load(p.new_files))
-        j = old.merge(new, on=p.key, how="outer", suffixes=("_o", "_n"),
-                      sort=True)
+
+        # tag sides EXPLICITLY (merge suffixes only rename overlapping
+        # columns — with preimages off the old side carries just the
+        # key/rank/liveness columns and the payload would come through
+        # unsuffixed)
+        def tagged(df: "pd.DataFrame", side: str) -> "pd.DataFrame":
+            return df.rename(
+                columns={c: f"{c}{side}" for c in df.columns if c != p.key}
+            )
+
+        j = tagged(old, "_o").merge(
+            tagged(new, "_n"), on=p.key, how="outer", sort=True
+        )
 
         def live(side: str):
             lsn = j[f"lsn{side}"]
@@ -438,20 +472,28 @@ class _CdfPlannerBase:
             sub = j.loc[mask]
             out = pd.DataFrame(index=sub.index)
             for c in p.public_cols:
-                out[c] = sub[p.key] if c == p.key else sub[f"{c}{side}"]
+                if c == p.key:
+                    out[c] = sub[p.key]
+                else:
+                    sc = f"{c}{side}"
+                    # absent with preimages off: the old side loads only
+                    # key/rank/liveness columns — payload reads None
+                    out[c] = sub[sc] if sc in sub.columns else None
             out["_change_type"] = ctype
             out["_commit_version"] = np.int32(p.version)
             out["__seq__"] = seq
             return out
 
-        cat = pd.concat(
+        frames = [side_frame(ins_m, "_n", "insert", 0)]
+        if p.preimages:
+            frames.append(side_frame(updated, "_o", "update_preimage", 0))
+        frames.extend(
             [
-                side_frame(ins_m, "_n", "insert", 0),
-                side_frame(updated, "_o", "update_preimage", 0),
                 side_frame(updated, "_n", "update_postimage", 1),
                 side_frame(del_m, "_o", "delete", 0),
             ]
         )
+        cat = pd.concat(frames)
         if cat.empty:
             return
         # reproduce the row kernel's emit order exactly: j's key order

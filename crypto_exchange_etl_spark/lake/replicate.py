@@ -152,6 +152,12 @@ def replicate_stream(
     reader = (
         spark.readStream.format("lake_cdf")
         .option("path", src_path)
+        # replication never reads preimages (replicate_changes drops
+        # them) and the sink nulls tombstone payloads, so let the CDF
+        # skip old-side payload decode entirely (~95% of old-side bytes
+        # on web pages) — delete rows arrive with null payload, which is
+        # exactly what the sink would write for them anyway
+        .option("includePreimages", "false")
     )
     if starting_version is not None:
         reader = reader.option(

@@ -184,3 +184,50 @@ def test_stream_fills_initial_defaults(spark, tmpdir_path):
     # postimage written after the add by a writer that omitted the
     # column: physical null stays null (initial-, not write-, default)
     assert by[("u0", "update_postimage")].score is None
+
+
+def test_batch_cdf_without_preimages(spark, tmpdir_path):
+    """``includePreimages=false``: same change set minus the
+    ``update_preimage`` rows — postimage/insert payload intact, delete
+    rows carry null payload (key + warc_ts stay) because the old side
+    was planned to read only key/rank/liveness columns."""
+    path = os.path.join(tmpdir_path, "t")
+    pipe = CdcPipeline(spark, path, n_buckets=4)
+    _apply(spark, pipe, 0, [
+        (i, 0, "I", f"u{i}", TS + dt.timedelta(hours=i),
+         f"<p>{i}</p>".encode(), "en")
+        for i in range(6)
+    ])
+    t = pipe.table
+    v0 = t.current_version()
+    _apply(spark, pipe, 1, [
+        (100, 0, "U", "u0", TS + dt.timedelta(days=1), b"<p>new</p>", "de"),
+        (101, 0, "I", "u9", TS + dt.timedelta(days=1), b"<p>9</p>", "en"),
+    ])
+    _apply(spark, pipe, 2, [
+        (200, 0, "D", "u1", TS + dt.timedelta(days=2), None, None),
+    ])
+
+    spark.dataSource.register(LakeCdfDataSource)
+
+    def batch(**opts):
+        r = (
+            spark.read.format("lake_cdf")
+            .option("path", path)
+            .option("startingVersion", v0 + 1)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    full = _canon(batch())
+    slim = _canon(batch(includePreimages="false"))
+
+    want = [r for r in full if r[4] != "update_preimage"]
+    # deletes: payload (text/lang here) nulled, key + warc_ts + meta kept
+    want = [
+        (u, ts, None, None, ct, cv) if ct == "delete" else (u, ts, tx, lg, ct, cv)
+        for (u, ts, tx, lg, ct, cv) in want
+    ]
+    assert slim == sorted(want)
+    assert {r[4] for r in slim} == {"insert", "update_postimage", "delete"}
