@@ -63,6 +63,26 @@ _META_FIELDS = [
 ]
 
 
+def _opt_bool(options: dict, name: str, default: bool) -> bool:
+    """Strict boolean option parse: true/false/1/0/yes/no (any case),
+    absent -> ``default``, anything else raises. A lenient parse would
+    silently ignore a misspelled opt-out (``includePreimages=off`` keeping
+    the whole old-side payload decode ON with nothing to point at the
+    typo), and the two boolean options would drift into opposite
+    conventions."""
+    raw = options.get(name, options.get(name.lower()))
+    if raw is None:
+        return default
+    s = str(raw).strip().lower()
+    if s in ("1", "true", "yes"):
+        return True
+    if s in ("0", "false", "no"):
+        return False
+    raise ValueError(
+        f"lake_cdf option {name!r} must be true/false, got {raw!r}"
+    )
+
+
 def _last_checkpointed_version(ck: str, path: str | None = None) -> int:
     """Latest lake_cdf version recorded in a streaming checkpoint's
     offset log (-1 if none). The offset files are Spark's OffsetSeqLog:
@@ -205,15 +225,9 @@ class _CdfPlannerBase:
         #: rows then carry null payload (key + warc_ts stay). For
         #: consumers that never read preimages (replication: the sink
         #: nulls tombstone payloads anyway) this is pure savings.
-        self._preimages = str(
-            options.get("includePreimages", options.get("includepreimages", ""))
-        ).lower() not in ("0", "false", "no")
+        self._preimages = _opt_bool(options, "includePreimages", True)
         start = options.get("startingVersion", options.get("startingversion"))
-        allow_base = str(
-            options.get(
-                "allowNonEmptyBase", options.get("allownonemptybase", "")
-            )
-        ).lower() in ("1", "true", "yes")
+        allow_base = _opt_bool(options, "allowNonEmptyBase", False)
         #: when set, ``_plan`` emits this snapshot's FULL content as
         #: ``insert`` changes (diff from empty) before normal diffs —
         #: the bootstrap a cloned / post-expiry table needs, since rows
@@ -477,8 +491,30 @@ class _CdfPlannerBase:
                 else:
                     sc = f"{c}{side}"
                     # absent with preimages off: the old side loads only
-                    # key/rank/liveness columns — payload reads None
+                    # key/rank/liveness columns — payload reads null
                     out[c] = sub[sc] if sc in sub.columns else None
+            # normalize all-NA OBJECT payload columns (a narrowed old
+            # side, or an old snapshot predating the column's DDL) to the
+            # NEW side's dtype when it holds NA natively (datetime/
+            # float): an all-NA object column next to a typed one is
+            # exactly pandas' deprecated concat path — it FutureWarns
+            # from every task today and flips the result dtype under
+            # pandas 3. int/str sides stay object (exact; the arrow cast
+            # to the pinned schema handles both).
+            for c in p.public_cols:
+                nc = f"{c}_n"
+                if (
+                    nc in j.columns
+                    and j[nc].dtype.kind in ("M", "f")
+                    and out[c].dtype == np.dtype(object)
+                    and out[c].isna().all()
+                ):
+                    ndt = j[nc].dtype
+                    out[c] = pd.Series(
+                        pd.NaT if ndt.kind == "M" else np.nan,
+                        index=out.index,
+                        dtype=ndt,
+                    )
             out["_change_type"] = ctype
             out["_commit_version"] = np.int32(p.version)
             out["__seq__"] = seq
@@ -493,9 +529,14 @@ class _CdfPlannerBase:
                 side_frame(del_m, "_o", "delete", 0),
             ]
         )
-        cat = pd.concat(frames)
-        if cat.empty:
+        # drop zero-row frames before concat: empty entries are the other
+        # half of pandas' concat deprecation (their dtypes stop being
+        # excluded under pandas 3), and the survivors fully determine the
+        # result dtypes deterministically
+        frames = [f for f in frames if len(f)]
+        if not frames:
             return
+        cat = pd.concat(frames)
         # reproduce the row kernel's emit order exactly: j's key order
         # (its RangeIndex, carried through .loc), preimage before
         # postimage for the same key

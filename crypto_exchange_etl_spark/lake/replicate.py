@@ -180,13 +180,10 @@ def replicate_stream(
     # lands between the two manifest reads.
     from .cdf_source import _table
 
-    dt = _table(dst_path)
-    dm = dt.manifest()
-    n = dt._specs(dm)[dt._current_spec(dm)]
-    out = out.withColumn(
-        "__bucket__",
-        F.pmod(F.xxhash64(F.col(dm["key"])), F.lit(int(n))).cast("long"),
-    )
+    # the table's own bucket_expr() — the ONE definition of the bucket
+    # hash (evolve_bucket_spec keeps manifest n_buckets equal to the
+    # current spec's count, so this is the current-spec pin)
+    out = out.withColumn("__bucket__", _table(dst_path).bucket_expr())
     w = (
         out.writeStream.format("lake_sink")
         .option("path", dst_path)

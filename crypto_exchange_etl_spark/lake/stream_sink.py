@@ -146,10 +146,25 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
         phys = t._physical_schema(m)
         self._phys_fields = [(f.name, f.dataType) for f in phys.fields]
         self._public = [f.name for f in phys.fields if f.name not in _INTERNAL_COLS]
+        # optional JVM-precomputed bucket column — parsed ONCE, before
+        # the extras check that must exempt it. "op"/"lsn" are rejected
+        # as bucket carriers: write() pops both for their own semantics
+        # before bucketing, so designating one would silently degrade to
+        # the per-row Python hash with the option ignored.
+        self._bucket_col = options.get(
+            "bucketColumn", options.get("bucketcolumn")
+        )
+        if self._bucket_col in ("op", "lsn"):
+            raise ValueError(
+                f"lake_sink bucketColumn must be a dedicated column, not "
+                f"{self._bucket_col!r} (reserved for sink semantics) — "
+                "compute pmod(xxhash64(<key>), n_buckets) into its own "
+                "column"
+            )
         in_cols = set(schema.fieldNames())
-        extras = in_cols - set(self._public) - {"op", "lsn"} - {
-            options.get("bucketColumn", options.get("bucketcolumn"))
-        }
+        extras = (
+            in_cols - set(self._public) - {"op", "lsn", self._bucket_col}
+        )
         if extras:
             raise ValueError(
                 f"lake_sink input has columns outside the table schema: "
@@ -161,16 +176,13 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
                 raise ValueError(f"lake_sink input must carry {req!r}")
         self._has_op = "op" in in_cols
         self._has_lsn = "lsn" in in_cols
-        # optional JVM-precomputed bucket: the upstream plan carries
+        # JVM-precomputed bucket semantics: the upstream plan carries
         # pmod(xxhash64(<key>), n_buckets) as an integer column (codegen
         # speed), replacing the sink task's per-row pure-Python hash —
         # the one per-row loop in the engine's write paths. Trust but
         # verify: each task re-hashes a deterministic sample and fails
         # the batch loudly on any mismatch (wrong n, wrong spec, wrong
         # hash), so a stale upstream can never commit mis-bucketed rows.
-        self._bucket_col = options.get(
-            "bucketColumn", options.get("bucketcolumn")
-        )
         if self._bucket_col is not None:
             bf = next(
                 (f for f in schema.fields if f.name == self._bucket_col), None
@@ -280,13 +292,20 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
             for c in self._public:
                 if c not in (self._key, "warc_ts"):
                     out[c] = out[c].astype(object).where(keep, None)
-        if self._bucket_col is not None and self._bucket_col in df.columns:
+        if self._bucket_col is not None:
             # JVM-precomputed buckets (pmod(xxhash64(key), n) computed at
             # codegen speed upstream). Verify a deterministic sample per
             # task against the pure-Python twin: a wrong n / spec / hash
             # upstream mis-buckets nearly every row, so 8 probes catch it
             # with near-certainty — and the failed task fails the batch
-            # before anything commits.
+            # before anything commits. Never fall back silently: init
+            # guarantees the column is in the schema, so its absence
+            # here is a bug, not a mode.
+            if self._bucket_col not in df.columns:
+                raise ValueError(
+                    f"lake_sink bucketColumn {self._bucket_col!r} missing "
+                    "from the batch frame"
+                )
             claimed = df[self._bucket_col]
             if claimed.isna().any():
                 raise ValueError(

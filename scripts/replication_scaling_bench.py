@@ -36,6 +36,11 @@ N_BUCKETS = 32
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_SCALE_LEVELS", "1,4").split(",")
 )
+if len(LEVELS) != 2:
+    raise SystemExit(
+        f"SPARK_SCALE_LEVELS must name exactly two core counts (low,high), "
+        f"got {LEVELS!r}"
+    )
 HTML_REPEAT = int(os.environ.get("SPARK_SCALE_HTML_REPEAT", "10"))
 
 _CHILD = r"""
@@ -102,8 +107,16 @@ def run_level(repo: str, cores: int, binlog: str) -> dict:
         [*_taskset_prefix(cores),
          sys.executable, "-c", _CHILD.format(repo=repo, n_buckets=N_BUCKETS),
          str(cores), binlog, str(REPEATS)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        # surface the child's Spark traceback — a bare CalledProcessError
+        # would discard it and force a blind multi-minute rerun
+        sys.stderr.write(out.stderr)
+        raise SystemExit(
+            f"level {cores} child failed with rc={out.returncode} "
+            "(stderr above)"
+        )
     res = json.loads(out.stdout.strip().splitlines()[-1])
     res["host_calibration_before"] = cal
     res["pinned_cpus"] = cores
@@ -118,7 +131,7 @@ def main() -> None:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     tmp = tempfile.mkdtemp(prefix="replscalebench_", dir=base)
     try:
-        subprocess.run(
+        gen = subprocess.run(
             [sys.executable, "-c", (
                 "import sys; sys.path.insert(0, %r)\n"
                 "from crypto_exchange_etl_spark.session import get_spark\n"
@@ -129,8 +142,11 @@ def main() -> None:
                 % (repo, f"{tmp}/binlog", n_events,
                    max(1000, n_events // 20), HTML_REPEAT)
             )],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
         )
+        if gen.returncode != 0:
+            sys.stderr.write(gen.stderr)
+            raise SystemExit(f"binlog generation failed rc={gen.returncode}")
         lo = run_level(repo, LEVELS[0], f"{tmp}/binlog")
         hi = run_level(repo, LEVELS[1], f"{tmp}/binlog")
         ratio = LEVELS[1] / LEVELS[0]

@@ -304,3 +304,95 @@ def test_lag_is_a_pure_probe_on_fresh_clone_consumer(spark, tmpdir_path):
     assert lag["versions_behind"] == 0  # clone: earliest == current == 0
     with pytest.raises(ChangeFeedLagError):
         c.poll()  # the delivery path still guards the bootstrap
+
+
+# ------------------------------------------- option parsing / emit dtypes
+
+
+def test_cdf_boolean_options_parse_strictly(spark, tmpdir_path):
+    """Both boolean options share one strict parser: a misspelled opt-out
+    (``includePreimages=off``) raises instead of silently keeping the
+    old-side payload decode ON."""
+    from crypto_exchange_etl_spark.lake.cdf_source import LakeCdfBatchReader
+
+    path = os.path.join(tmpdir_path, "t")
+    _mk(spark, path, n=4, commits=2)
+    sch = cdf_schema(path)
+
+    r = LakeCdfBatchReader(
+        sch, {"path": path, "startingVersion": "1", "includePreimages": "FALSE"}
+    )
+    assert r._preimages is False
+    r = LakeCdfBatchReader(
+        sch, {"path": path, "startingVersion": "1", "includepreimages": " 1 "}
+    )
+    assert r._preimages is True
+    with pytest.raises(ValueError, match="includePreimages"):
+        LakeCdfBatchReader(
+            sch,
+            {"path": path, "startingVersion": "1", "includePreimages": "off"},
+        )
+    with pytest.raises(ValueError, match="allowNonEmptyBase"):
+        LakeCdfBatchReader(
+            sch,
+            {"path": path, "startingVersion": "1", "allowNonEmptyBase": "off"},
+        )
+
+
+def test_cdf_emit_dtype_stable_no_future_warnings(spark, tmpdir_path):
+    """The vectorized emit kernel must not walk pandas' deprecated
+    empty/all-NA concat path (FutureWarning per task today; dtype flip
+    under pandas 3): zero-row frames are filtered before concat and
+    absent old-side columns are typed with the new side's dtype when it
+    holds NA natively (datetime/float). Pinned by reading the feed
+    IN-PROCESS with FutureWarning escalated to an error, over a schema
+    whose payload carries double + timestamp columns (the exact dtypes
+    that used to warn next to an all-NA object column)."""
+    import warnings
+
+    from pyspark.sql import types as T
+
+    from crypto_exchange_etl_spark.lake.cdf_source import LakeCdfBatchReader
+
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk(spark, path, n=4)  # v1: u0..u3
+    t = pipe.table
+    # v2: schema evolution adds double + timestamp payload columns and
+    # updates u0 — the v1 old side lacks them entirely (null-fill path)
+    src = spark.createDataFrame(
+        [("u0", TS + dt.timedelta(days=1), 0.5, TS)],
+        T.StructType([
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("score", T.DoubleType(), True),
+            T.StructField("seen_at", T.TimestampType(), True),
+        ]),
+    )
+    t.merge_into(src, batch_id=101)
+    # v3: delete u1 (delete frames carry all-NA payload on the old side
+    # with preimages off)
+    _apply(spark, pipe, 2, [
+        (300, 0, "D", "u1", TS + dt.timedelta(days=2), None, None),
+    ])
+
+    for pre in ("true", "false"):
+        r = LakeCdfBatchReader(
+            cdf_schema(path),
+            {"path": path, "startingVersion": "2", "includePreimages": pre},
+        )
+        rows = []
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", FutureWarning)
+            for p in r.partitions():
+                for b in r.read(p):
+                    rows.extend(b.to_pylist())
+        by_type = {}
+        for row in rows:
+            by_type.setdefault(row["_change_type"], []).append(row)
+        upd = by_type["update_postimage"]
+        assert [u["url"] for u in upd] == ["u0"]
+        assert upd[0]["score"] == 0.5
+        dele = by_type["delete"]
+        assert [d["url"] for d in dele] == ["u1"]
+        assert dele[0]["score"] is None and dele[0]["seen_at"] is None
+        assert ("update_preimage" in by_type) == (pre == "true")

@@ -806,3 +806,34 @@ def test_sink_after_schema_evolution_column_order(spark, tmpdir_path):
     # full read still parses every file (mixed pre/post-evolution
     # layouts); u1 was deleted in _mk_table → u0, u2, u3, u9 live
     assert t.read().count() == 4
+
+
+def test_sink_bucket_column_reserved_names_rejected(spark, tmpdir_path):
+    """bucketColumn='lsn'/'op' is rejected at plan time: write() pops both
+    for their own semantics BEFORE bucketing, so accepting them used to
+    silently degrade every batch to the per-row Python hash with the
+    option ignored — the opposite of the option's fail-loud contract."""
+    path = os.path.join(tmpdir_path, "t")
+    _mk_table(spark, path, n=4)
+    feed = os.path.join(tmpdir_path, "feed")
+    spark.createDataFrame(
+        [("u0", TS + dt.timedelta(days=1), "x", "en", "U", 100)],
+        SINK_SCHEMA,
+    ).write.parquet(feed)
+    for reserved in ("lsn", "op"):
+        with pytest.raises(Exception, match="dedicated column"):
+            q = (
+                spark.readStream.schema(SINK_SCHEMA)
+                .parquet(feed)
+                .writeStream.format("lake_sink")
+                .option("path", path)
+                .option("bucketColumn", reserved)
+                .option("sinkId", f"s_{reserved}")
+                .option(
+                    "checkpointLocation",
+                    os.path.join(tmpdir_path, f"ck_{reserved}"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
