@@ -115,6 +115,21 @@ def _last_checkpointed_version(ck: str, path: str | None = None) -> int:
                                 tagged.append(int(o["version"]))
                         else:
                             legacy.append(int(o["version"]))
+    if len(set(tagged)) > 1:
+        # two+ lake_cdf sources over the SAME table in one query tag the
+        # same path with different positions — the Python source API
+        # gives a reconstructed reader no identity to pick its own line,
+        # and max() would seed the lagging source's floor past its
+        # checkpoint, un-capping its whole backlog into one micro-batch
+        # (min() is worse: a below-checkpoint latestOffset can regress
+        # the offset log and re-emit on a later restart). Fail loudly.
+        raise ValueError(
+            f"checkpoint {ck} holds {len(tagged)} offsets for table "
+            f"{path} at different positions {sorted(set(tagged))}: "
+            "admission control (maxVersionsPerBatch) cannot attribute "
+            "them to sources. Give each capped lake_cdf source over the "
+            "same table its own query/checkpoint."
+        )
     pool = tagged if tagged else legacy
     return max(pool) if pool else -1
 

@@ -11,8 +11,9 @@ replaying the binlog.
 Design (why this scales to a 10^10-event feed):
 
 - **The history is itself a LakeTable**, keyed on the composite
-  ``_hist_id = <key>\\x00<zero-padded lsn>`` — one history row per
-  (key, source-version). Every refresh rides the engine's own
+  ``_hist_id = <key>\\x00<warc_ts micros>\\x00<zero-padded lsn>`` (the
+  full LWW rank; format generation ``_HIST_ID_FORMAT``) — one history
+  row per (key, source-version). Every refresh rides the engine's own
   bucket-pruned, exactly-once ``merge_into`` path, so per-refresh cost is
   O(changed rows), never O(history). A hot url's versions spread across
   buckets by lsn, so per-key skew in the feed does not concentrate on
@@ -63,6 +64,16 @@ from .table import _INTERNAL_COLS, LakeTable
 
 #: separator between key and zero-padded lsn in the composite history key
 _SEP = "\x00"
+
+#: on-disk ``_hist_id`` format generation, stamped into the sidecar
+#: cursor. 1 (never stamped) = ``key\x00lsn``; 2 = ``key\x00warc_ts\x00
+#: lsn`` (the full-LWW-rank identity). A history written under one
+#: format must not be refreshed under another: close rows would merge
+#: under NEW ids, leaving the legacy open interval current forever while
+#: the close lands as a parallel already-closed row. Mixed histories are
+#: silent corruption, so a missing/older stamp raises with rebuild
+#: guidance instead.
+_HIST_ID_FORMAT = 2
 
 
 def _hist_id(key_col: str) -> F.Column:
@@ -131,8 +142,33 @@ class Scd2History:
     def _write_cursor(self, version: int) -> None:
         tmp = f"{self._cursor_path}.tmp-{uuid.uuid4()}"
         with open(tmp, "w") as fh:
-            json.dump({"source_version": int(version)}, fh)
+            json.dump(
+                {
+                    "source_version": int(version),
+                    "hist_id_format": _HIST_ID_FORMAT,
+                },
+                fh,
+            )
         os.replace(tmp, self._cursor_path)
+
+    def _check_hist_id_format(self) -> None:
+        """Refuse to touch a history written under a different
+        ``_hist_id`` generation (see ``_HIST_ID_FORMAT``)."""
+        if not os.path.exists(self._cursor_path):
+            return  # never refreshed — nothing on disk to mismatch
+        with open(self._cursor_path) as fh:
+            fmt = int(json.load(fh).get("hist_id_format", 1))
+        if fmt != _HIST_ID_FORMAT:
+            raise ValueError(
+                f"history at {self.history_path} was written with "
+                f"_hist_id format {fmt}, engine uses "
+                f"{_HIST_ID_FORMAT}: refreshing would merge closes under "
+                "new ids and strand legacy intervals open. Rebuild the "
+                "history from the source (delete the history table + "
+                "scd2.json and refresh), or — only if it is KNOWN to be "
+                "fully written under the current id layout — stamp "
+                f'"hist_id_format": {_HIST_ID_FORMAT} into scd2.json'
+            )
 
     # -------------------------------------------------------------- setup
 
@@ -376,6 +412,7 @@ class Scd2History:
         v0) opens intervals from a full read at that version — intervals
         before it are unknowable — then consumes the feed from there.
         """
+        self._check_hist_id_format()
         src = self._source()
         cur = src.current_version()
         hist = self._history_table(src)
@@ -504,6 +541,7 @@ class Scd2History:
         no open interval get one. The interior of the lag window stays
         unknowable and is reported, not invented.
         """
+        self._check_hist_id_format()
         src = self._source()
         cur = src.current_version()
         hist = self._history_table(src)

@@ -428,8 +428,86 @@ def dedup_components(
     P7); this is the cluster-resolution step every content-level dedup
     pipeline needs between "candidate pairs" and "rows to drop".
     """
-    if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = pairs.sparkSession.sparkContext
+    if checkpoint_dir is None:
+        return _components_impl(
+            pairs, max_iter, id_a, id_b, pointer_jump, return_rounds,
+            None, checkpoint_every,
+        )
+    # setCheckpointDir is SESSION-GLOBAL: save and restore it so a job
+    # that checkpoints elsewhere does not get silently redirected here
+    # for the rest of the session. (Spark has no unset API, so a session
+    # with no prior dir is left pointing at checkpoint_dir.)
+    opt = sc._jsc.sc().getCheckpointDir()
+    prev = opt.get() if opt.isDefined() else None
+    sc.setCheckpointDir(checkpoint_dir)
+    try:
+        return _components_impl(
+            pairs, max_iter, id_a, id_b, pointer_jump, return_rounds,
+            checkpoint_dir, checkpoint_every,
+        )
+    finally:
+        sc.setCheckpointDir(prev if prev is not None else checkpoint_dir)
+
+
+def _ck_rdd_dirs(sc, root: str) -> set:
+    """Reliable-checkpoint rdd-* dirs currently under ``root``
+    (``<root>/<context-uuid>/rdd-N``), via the Hadoop FS API so any
+    scheme the checkpoint dir supports works."""
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(conf)
+    out: set = set()
+    if not fs.exists(p):
+        return out
+    for st in fs.listStatus(p):
+        if st.isDirectory():
+            for st2 in fs.listStatus(st.getPath()):
+                out.add(str(st2.getPath().toString()))
+    return out
+
+
+def _ck_delete(sc, paths: set) -> None:
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    for s in paths:
+        p = jvm.org.apache.hadoop.fs.Path(s)
+        p.getFileSystem(conf).delete(p, True)
+
+
+def _components_impl(
+    pairs: DataFrame,
+    max_iter: int,
+    id_a: str,
+    id_b: str,
+    pointer_jump: bool,
+    return_rounds: bool,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+) -> DataFrame:
+    sc = pairs.sparkSession.sparkContext
+    # Spark never deletes reliable checkpoints on its own
+    # (cleanCheckpoints defaults false): without sweeping, a long run
+    # accumulates one full label-set copy per checkpoint. Track the
+    # rdd dirs each reliable checkpoint creates and delete the
+    # SUPERSEDED label rounds as soon as the next one is materialized —
+    # the edge frame's checkpoint (read every round) and the newest
+    # label checkpoint (backing the returned frame) are kept; the caller
+    # owns checkpoint_dir cleanup after consuming the result, and should
+    # dedicate the dir to this call (the sweep diffs its contents).
+    _ck_state = {"edges": set(), "labels": set()}
+
+    def _reliable(df: DataFrame, rnd: int) -> DataFrame:
+        before = _ck_rdd_dirs(sc, checkpoint_dir)
+        out = df.checkpoint(eager=True)
+        created = _ck_rdd_dirs(sc, checkpoint_dir) - before
+        if rnd == 0:
+            _ck_state["edges"] = created
+        else:
+            _ck_delete(sc, _ck_state["labels"] - _ck_state["edges"])
+            _ck_state["labels"] = created
+        return out
 
     _cached: list[DataFrame] = []
 
@@ -437,7 +515,7 @@ def dedup_components(
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=True)
         if rnd % max(1, checkpoint_every) == 0:
-            out = df.checkpoint(eager=True)
+            out = _reliable(df, rnd)
             # a reliable copy now exists on disk — the skipped rounds'
             # cached blocks are dead weight; drop them
             for c in _cached:

@@ -138,8 +138,16 @@ def run_level(
         [*_taskset(cores),
          sys.executable, "-c", _CHILD.format(repo=repo, n_buckets=N_BUCKETS),
          str(cores), str(n_events), binlog, str(REPEATS), json.dumps(extra)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        # surface the child's Spark traceback — a bare CalledProcessError
+        # would discard it and force a blind multi-minute rerun
+        sys.stderr.write(out.stderr)
+        raise SystemExit(
+            f"level {cores} child failed with rc={out.returncode} "
+            "(stderr above)"
+        )
     res = json.loads(out.stdout.strip().splitlines()[-1])
     res["host_calibration_before"] = cal
     res["pinned_cpus"] = cores
@@ -156,7 +164,7 @@ def gen_binlog(repo: str, dst: str, n_events: int, codec: str) -> int:
             "spark.hadoop.parquet.compression.codec.zstd.level": "1",
         },
     }[codec]
-    subprocess.run(
+    gen = subprocess.run(
         [sys.executable, "-c", (
             "import sys; sys.path.insert(0, %r)\n"
             "from crypto_exchange_etl_spark.session import get_spark\n"
@@ -167,8 +175,11 @@ def gen_binlog(repo: str, dst: str, n_events: int, codec: str) -> int:
             "files_per_segment=8, n_urls=%d, seed=42, html_repeat=%d)\n"
             % (repo, confs, dst, n_events, max(1000, n_events // 20), HTML_REPEAT)
         )],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if gen.returncode != 0:
+        sys.stderr.write(gen.stderr)
+        raise SystemExit(f"binlog generation failed rc={gen.returncode}")
     return sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _dn, fn in os.walk(dst) for f in fn

@@ -396,3 +396,24 @@ def test_cdf_emit_dtype_stable_no_future_warnings(spark, tmpdir_path):
         assert [d["url"] for d in dele] == ["u1"]
         assert dele[0]["score"] is None and dele[0]["seen_at"] is None
         assert ("update_preimage" in by_type) == (pre == "true")
+
+
+def test_same_table_multi_source_checkpoint_is_ambiguous(tmpdir_path):
+    """Two capped lake_cdf sources over the SAME table sharing one
+    checkpoint cannot be attributed their own offset line (the Python
+    source API gives a restarted reader no identity): differing
+    positions raise instead of seeding the lagging source's floor past
+    its checkpoint (max would un-cap its backlog; min can regress the
+    offset log). Equal positions stay unambiguous and fine."""
+    t = "/tables/same"
+    ck = _fake_ck(tmpdir_path, [
+        {"version": 100, "path": t},
+        {"version": 10, "path": t},
+    ])
+    with pytest.raises(ValueError, match="different positions"):
+        _last_checkpointed_version(ck, t)
+    ck2 = _fake_ck(tmpdir_path + "_eq", [
+        {"version": 7, "path": t},
+        {"version": 7, "path": t},
+    ])
+    assert _last_checkpointed_version(ck2, t) == 7

@@ -377,3 +377,29 @@ def test_scd2_in_stream_maintenance(spark, tmpdir_path):
         assert sum(1 for _vf, vt in ivs if vt is None) <= 1
         for (vf1, vt1), (vf2, _vt2) in zip(ivs, ivs[1:]):
             assert vt1 is not None and vt1 <= vf2
+
+
+def test_hist_id_format_guard(spark, tmpdir_path):
+    """A history written under an older _hist_id generation refuses to
+    refresh/resync (mixed ids would strand legacy open intervals), while
+    a current-format cursor carries the stamp and keeps working."""
+    import json
+
+    src = os.path.join(tmpdir_path, "src")
+    _mk(spark, src)
+    h = Scd2History(spark, src, os.path.join(tmpdir_path, "hist"),
+                    payload_cols=["lang"])
+    h.refresh()
+    with open(h._cursor_path) as fh:
+        cur = json.load(fh)
+    assert cur["hist_id_format"] == 2
+    h.refresh()  # idempotent no-op under the current stamp
+
+    # simulate a pre-stamp (format-1) history: key absent -> format 1
+    del cur["hist_id_format"]
+    with open(h._cursor_path, "w") as fh:
+        json.dump(cur, fh)
+    with pytest.raises(ValueError, match="_hist_id format 1"):
+        h.refresh()
+    with pytest.raises(ValueError, match="_hist_id format 1"):
+        h.resync()

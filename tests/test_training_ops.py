@@ -485,3 +485,33 @@ def test_doc_fingerprint_oracle_parity(spark):
         assert not errs, "\n".join(errs)
     finally:
         con.close()
+
+
+def test_dedup_components_checkpoint_hygiene(spark, tmpdir_path):
+    """The durable path must not leak session state or disk: the
+    session-global checkpoint dir is restored afterwards (a job that
+    checkpoints elsewhere is not silently redirected), and superseded
+    label-round checkpoints are swept as soon as the next one lands —
+    only the edge frame's checkpoint + the newest labels checkpoint
+    remain (Spark itself never deletes reliable checkpoints)."""
+    import os
+
+    from crypto_exchange_etl_spark.operators.dedup import dedup_components
+
+    sc = spark.sparkContext
+    other = os.path.join(tmpdir_path, "other_ck")
+    sc.setCheckpointDir(other)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    ck = os.path.join(tmpdir_path, "cc_ck")
+    out = dedup_components(pairs, checkpoint_dir=ck)
+    assert out.count() == 64  # still readable after the sweep
+    got = sc._jsc.sc().getCheckpointDir()
+    assert got.isDefined() and "other_ck" in got.get()
+    # a 63-chain runs multiple pointer-jump rounds; unswept there would
+    # be one rdd-* dir per round + edges. Swept: exactly 2 remain.
+    rdd_dirs = [
+        d for dp, dn, _fn in os.walk(ck) for d in dn if d.startswith("rdd-")
+    ]
+    assert len(rdd_dirs) == 2, rdd_dirs
