@@ -909,20 +909,11 @@ class LakeDataSource(DataSource):
         if pin is None:
             t = _table(opts["path"])
             pin = _resolve_version(t, opts)
-            seen: set[str] = set()
-            while isinstance(pin, str) and pin not in seen:
-                seen.add(pin)
-                ref = t._load_ref(pin, missing_ok=True)
-                if ref is None:
-                    break  # staged token (immutable file) — stable
-                if ref["type"] == "tag":
-                    pin = int(ref["version"])
-                else:
-                    pin = (
-                        ref["tokens"][-1]
-                        if ref["tokens"]
-                        else int(ref["base_version"])
-                    )
+            if isinstance(pin, str):
+                # one resolution order for every ref consumer: the
+                # table's own anchor walk (tag/branch → version int or
+                # staged WAP token)
+                pin = t.resolve_anchor(pin)
             self._pin = pin
         opts["__pinnedVersion"] = pin
         return opts

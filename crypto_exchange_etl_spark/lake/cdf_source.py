@@ -242,49 +242,70 @@ class _CdfPlannerBase:
         #: nulls tombstone payloads anyway) this is pure savings.
         self._preimages = _opt_bool(options, "includePreimages", True)
         start = options.get("startingVersion", options.get("startingversion"))
-        allow_base = _opt_bool(options, "allowNonEmptyBase", False)
+        self._allow_base = _opt_bool(options, "allowNonEmptyBase", False)
         #: when set, ``_plan`` emits this snapshot's FULL content as
         #: ``insert`` changes (diff from empty) before normal diffs —
         #: the bootstrap a cloned / post-expiry table needs, since rows
         #: already present in the earliest retained snapshot belong to
         #: no retained commit diff
         self._bootstrap_v: int | None = None
+        #: numeric startingVersion pending retention validation — checked
+        #: by :meth:`_validate_start`, which the batch face runs eagerly
+        #: but the stream face defers to ``initialOffset()``: a RESTARTED
+        #: stream resumes from its checkpoint, not startingVersion, and
+        #: must not wedge because expire_snapshots has since passed a
+        #: start position it no longer reads
+        self._start_num: int | None = None
         if start is not None and str(start).strip().lower() == "earliest":
             e = int(t.earliest_version())
             self._bootstrap_v = e
             self._initial = e - 1
         elif start is not None:
-            base = int(start) - 1
-            earliest = int(t.earliest_version())
-            if base < earliest:
-                raise ValueError(
-                    f"startingVersion={int(start)} needs snapshot "
-                    f"v{base} as its diff base, but the earliest retained "
-                    f"snapshot of {self.path} is v{earliest} "
-                    "(expire_snapshots outpaced this consumer) — resync "
-                    "with startingVersion='earliest' (full bootstrap "
-                    "through the feed) or start tail-only"
-                )
-            if (
-                base == earliest
-                and t.manifest(base)["files"]
-                and not allow_base
-            ):
-                # same guard as ChangeFeedConsumer.position(): rows in a
-                # non-empty earliest snapshot (clone v0 / post-expiry)
-                # belong to NO retained diff — a feed-only bootstrap
-                # would silently miss them
-                raise ValueError(
-                    f"base snapshot v{base} of {self.path} is the "
-                    "earliest retained version and is non-empty; its "
-                    "rows are NOT emitted by the change feed. Use "
-                    "startingVersion='earliest' to bootstrap them as "
-                    "inserts, or pass allowNonEmptyBase=true if the "
-                    "consumer already holds state as of that snapshot"
-                )
-            self._initial = base
+            self._start_num = int(start)
+            self._initial = self._start_num - 1
         else:
             self._initial = int(m["version"])
+
+    def _validate_start(self) -> None:
+        """Numeric ``startingVersion`` sanity vs the CURRENT retention
+        floor. Eager on the batch face (every batch query reads from
+        startingVersion, so its diff base must exist NOW); the stream
+        face calls this from ``initialOffset()`` ONLY — Spark invokes
+        that just for fresh queries, so a checkpointed restart skips the
+        check entirely (its offsets fail loudly at planning time if they
+        themselves lag retention, which is the only failure that restart
+        can actually have)."""
+        if self._start_num is None:
+            return
+        t = _table(self.path)
+        base = self._start_num - 1
+        earliest = int(t.earliest_version())
+        if base < earliest:
+            raise ValueError(
+                f"startingVersion={self._start_num} needs snapshot "
+                f"v{base} as its diff base, but the earliest retained "
+                f"snapshot of {self.path} is v{earliest} "
+                "(expire_snapshots outpaced this consumer) — resync "
+                "with startingVersion='earliest' (full bootstrap "
+                "through the feed) or start tail-only"
+            )
+        if (
+            base == earliest
+            and t.manifest(base)["files"]
+            and not self._allow_base
+        ):
+            # same guard as ChangeFeedConsumer.position(): rows in a
+            # non-empty earliest snapshot (clone v0 / post-expiry)
+            # belong to NO retained diff — a feed-only bootstrap
+            # would silently miss them
+            raise ValueError(
+                f"base snapshot v{base} of {self.path} is the "
+                "earliest retained version and is non-empty; its "
+                "rows are NOT emitted by the change feed. Use "
+                "startingVersion='earliest' to bootstrap them as "
+                "inserts, or pass allowNonEmptyBase=true if the "
+                "consumer already holds state as of that snapshot"
+            )
 
     # -------------------------------------------------------- planning
 
@@ -625,6 +646,9 @@ class LakeCdfStreamReader(_CdfPlannerBase, DataSourceStreamReader):
     # checkpoint can attribute each line to its table on restart
 
     def initialOffset(self) -> dict:
+        # fresh queries only (a restart reads the checkpoint instead) —
+        # the right moment for startingVersion retention validation
+        self._validate_start()
         return {"version": self._initial, "path": self.path}
 
     def latestOffset(self) -> dict:
@@ -667,6 +691,7 @@ class LakeCdfBatchReader(_CdfPlannerBase, DataSourceReader):
                 "default to tail-only; a batch read has no tail)"
             )
         super().__init__(schema, options)
+        self._validate_start()
         end = options.get("endingVersion", options.get("endingversion"))
         self._end = (
             int(end) if end is not None

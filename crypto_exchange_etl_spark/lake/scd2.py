@@ -76,6 +76,19 @@ _SEP = "\x00"
 _HIST_ID_FORMAT = 2
 
 
+def _name_in_manifest(fid, mv: dict, eps: list) -> "str | None":
+    """Physical name of field ``fid`` in manifest ``mv`` (None = the
+    field did not exist there). Pre-field-id manifests (written before
+    the first rename materialized ids) resolve via epoch-0 names — the
+    ONE copy of the rule both the incremental span reader
+    (``_interval_rows``) and the snapshot bootstrap (``_bootstrap_full``)
+    apply, so the two paths cannot drift."""
+    fv = mv.get("field_ids")
+    if fv:
+        return {f: n for n, f in fv.items()}.get(fid)
+    return eps[0].get(str(fid)) if eps else None
+
+
 def _hist_id(key_col: str) -> F.Column:
     # fixed-width (warc_ts micros, lsn) keeps _hist_id order ≡ the FULL
     # LWW rank (key, warc_ts, lsn): an update that wins LWW on warc_ts
@@ -297,13 +310,7 @@ class Scd2History:
         have = set(cdf.columns)
 
         def _name_at(fid, v: int) -> str | None:
-            mv = src.manifest(v)
-            fv = mv.get("field_ids")
-            if fv:
-                return {f: n for n, f in fv.items()}.get(fid)
-            # pre-DDL manifests carry no ids; every then-present column
-            # keeps its epoch-0 physical name
-            return eps[0].get(str(fid)) if eps else None
+            return _name_in_manifest(fid, src.manifest(v), eps)
 
         def _pcol(c: str) -> F.Column:
             fid = fids.get(c)
@@ -482,7 +489,6 @@ class Scd2History:
         fids = m.get("field_ids") or {}
         eps = m.get("schema_epochs") or []
         m_v = src.manifest(version)
-        rev_v = {f: n for n, f in (m_v.get("field_ids") or {}).items()}
         live = src.read_physical(version=version).where(
             ~F.coalesce(F.col("is_deleted"), F.lit(True))
         )
@@ -490,16 +496,12 @@ class Scd2History:
 
         def _phys_name(c: str) -> str | None:
             """Column ``c``'s physical name at snapshot ``version`` (by
-            field id, mirroring ``_interval_rows._name_at``); None when
-            the field did not exist yet."""
+            field id — the same ``_name_in_manifest`` rule the span
+            reader applies); None when the field did not exist yet."""
             fid = fids.get(c)
             if fid is None or not eps:
                 return c  # no DDL ever happened: names are stable
-            if rev_v:
-                return rev_v.get(fid)
-            # pre-DDL manifests carry no ids; every then-present column
-            # keeps its epoch-0 physical name
-            return eps[0].get(str(fid))
+            return _name_in_manifest(fid, m_v, eps)
 
         def _fill(c: str):
             dt_ = src_schema[c].dataType

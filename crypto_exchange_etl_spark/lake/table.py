@@ -301,23 +301,43 @@ class LakeTable:
         """Timestamp time travel: :meth:`read` at :meth:`version_as_of`."""
         return self.read(version=self.version_as_of(ts))
 
+    def resolve_anchor(self, version: "int | str") -> "int | str":
+        """Immutable snapshot anchor for ``version``: follows tag /
+        branch refs (whose heads can MOVE between two reads) down to a
+        committed version int or a staged WAP token string — the one
+        resolution order every ref consumer must share (``manifest``
+        below, the ``lake`` format's per-query snapshot pin). Ints,
+        staged tokens, and unknown names return unchanged (the caller's
+        load raises for the last)."""
+        seen: set[str] = set()
+        v: int | str = version
+        while isinstance(v, str) and v not in seen:
+            seen.add(v)
+            ref = self._load_ref(v, missing_ok=True)
+            if ref is None:
+                break  # staged token (immutable file) or unknown name
+            if ref["type"] == "tag":
+                v = ref["version"]
+            else:
+                v = ref["tokens"][-1] if ref["tokens"] else ref["base_version"]
+        return v
+
     def manifest(self, version: int | str | None = None) -> dict[str, Any]:
         # a str version is a REF NAME (tag/branch — Iceberg named refs) or
         # a STAGED token (write-audit-publish). Refs resolve first: a tag
         # points at a committed version, a branch at its head snapshot
         # (last staged token, or its base version when freshly created).
         if isinstance(version, str):
-            ref = self._load_ref(version, missing_ok=True)
-            if ref is not None:
-                if ref["type"] == "tag":
-                    return self.manifest(ref["version"])
-                head = ref["tokens"][-1] if ref["tokens"] else ref["base_version"]
-                return self.manifest(head)
-            p = os.path.join(self.meta_dir, f"staged-{version}.json")
-            if not os.path.exists(p):
-                raise FileNotFoundError(f"no staged snapshot {version!r} at {self.path}")
-            with open(p) as fh:
-                return self._resolve_files(json.load(fh))
+            anchor = self.resolve_anchor(version)
+            if isinstance(anchor, str):
+                p = os.path.join(self.meta_dir, f"staged-{anchor}.json")
+                if not os.path.exists(p):
+                    raise FileNotFoundError(
+                        f"no staged snapshot {anchor!r} at {self.path}"
+                    )
+                with open(p) as fh:
+                    return self._resolve_files(json.load(fh))
+            version = anchor
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no lake table at {self.path}")

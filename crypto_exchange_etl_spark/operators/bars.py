@@ -482,6 +482,14 @@ def thresh_bars(
     if "symbol" not in df.columns:
         df = df.withColumn("symbol", df["timestamp"].cast("string").substr(0, 0))
     if era is not None:
+        if era not in _ERA_TRUNC:
+            # the kernel never sees the era (groups are pre-split below),
+            # so its descriptive raise must be reproduced here — a bare
+            # KeyError from _ERA_TRUNC names neither the arg nor the
+            # valid codes
+            raise ValueError(
+                f"era must be one of {sorted(_ERA_TRUNC)}, got {era!r}"
+            )
         grouped = df.groupBy(
             "symbol", F.date_trunc(_ERA_TRUNC[era], F.col("timestamp")).alias("_era")
         )

@@ -542,6 +542,35 @@ def _components_impl(
         "v", F.col("v").alias("component")
     )
     rounds = 0
+    try:
+        labels, rounds = _components_loop(
+            e, labels, max_iter, pointer_jump, _truncate
+        )
+        # convergence on a NON-checkpoint round leaves the final labels
+        # backed only by the skipped rounds' persisted frames, which the
+        # finally below is about to release — re-anchor the result on a
+        # reliable checkpoint first so consuming it never re-derives the
+        # skipped rounds' joins
+        if _cached:
+            labels = _reliable(labels, rounds + 1)
+    finally:
+        # convergence (or the non-convergence raise) on a NON-checkpoint
+        # round would otherwise leave the skipped rounds' frames
+        # persisted with nothing left to drain them — in a long-lived
+        # session each call would pin up to (checkpoint_every - 1) full
+        # label sets in executor storage
+        for c in _cached:
+            c.unpersist()
+        _cached.clear()
+    out = labels.select(F.col("v").alias("id"), "component")
+    return (out, rounds) if return_rounds else out
+
+
+def _components_loop(e, labels, max_iter, pointer_jump, _truncate):
+    """Label-propagation rounds (see ``dedup_components``); returns the
+    converged ``(v, component)`` frame and the round count. Split out so
+    the caller owns cache hygiene around every exit path."""
+    rounds = 0
     for _ in range(max_iter):
         rounds += 1
         neigh = (
@@ -589,8 +618,7 @@ def _components_impl(
                 "raise max_iter (pointer_jump=True needs only "
                 "O(log diameter) of them)"
             )
-    out = labels.select(F.col("v").alias("id"), "component")
-    return (out, rounds) if return_rounds else out
+    return labels, rounds
 
 
 # ---------------------------------------------------------------------------

@@ -427,3 +427,13 @@ def test_renko_spark_wrapper(spark):
         pdf[c] = pdf[c].astype("float64")
     bars, _ = renko_bars_pandas(pdf, 20.0, top_n=3)
     assert [r.level for r in rows] == [b["level"] for b in bars]
+
+
+def test_thresh_bars_invalid_era_raises_descriptively(spark):
+    """The era-grouped driver path never hands the era to the kernel
+    (groups are pre-split on date_trunc), so its descriptive raise must
+    be reproduced at the driver — a bare KeyError from the trunc-unit
+    map named neither the argument nor the valid codes."""
+    ticks = _ticks_df(spark, [("BTC", 0, 0, 10.0, 1.0, 10.0, 1, 0)])
+    with pytest.raises(ValueError, match="era must be one of"):
+        thresh_bars(ticks, "notional", 10.0, era="H")

@@ -417,3 +417,63 @@ def test_same_table_multi_source_checkpoint_is_ambiguous(tmpdir_path):
         {"version": 7, "path": t},
     ])
     assert _last_checkpointed_version(ck2, t) == 7
+
+
+def test_stream_restart_survives_expiry_past_starting_version(
+    spark, tmpdir_path
+):
+    """A checkpointed stream created with a numeric startingVersion must
+    restart after expire_snapshots passes its original start: the
+    retention guard belongs to FRESH queries only (``initialOffset``) —
+    a restart resumes from its checkpointed offsets and never reads the
+    expired diff base. The eager constructor-time check wedged a healthy
+    weeks-old stream the first time retention lapped its birth option. A
+    fresh query with the same stale option must still fail loudly."""
+    path = os.path.join(tmpdir_path, "t")
+    pipe = _mk(spark, path, n=4, commits=3)  # versions 0..3
+    spark.dataSource.register(LakeCdfDataSource)
+    df = (
+        spark.readStream.format("lake_cdf")
+        .option("path", path)
+        .option("startingVersion", 2)
+        .load()
+    )
+    out = os.path.join(tmpdir_path, "out")
+    ck = os.path.join(tmpdir_path, "ck")
+
+    def drain():
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    n0 = spark.read.schema(df.schema).parquet(out).count()
+    assert n0 > 0  # consumed (1, 3]
+
+    # retention laps the original start: v1 (the diff base of
+    # startingVersion=2) is expired
+    _apply(spark, pipe, 50, [
+        (9000, 0, "U", "u0", TS + dt.timedelta(days=40), b"<p>n</p>", "fr"),
+    ])
+    pipe.table.expire_snapshots(keep_last=2)
+    assert int(pipe.table.earliest_version()) > 1
+
+    drain()  # restart on the SAME checkpoint: resumes past the guard
+    n1 = spark.read.schema(df.schema).parquet(out).count()
+    assert n1 > n0
+
+    # the guard still protects a FRESH query (new checkpoint)
+    with pytest.raises(Exception, match="outpaced|resync|earliest"):
+        q2 = (
+            df.writeStream.format("parquet")
+            .option("path", os.path.join(tmpdir_path, "out2"))
+            .option("checkpointLocation", os.path.join(tmpdir_path, "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(300)

@@ -185,3 +185,26 @@ def test_branch_guard_rails(spark, tmpdir_path):
         t.merge_apply(None, batch_id=0, branch="nope")
     with pytest.raises(FileExistsError):
         t.create_branch("a-tag")  # names share one namespace
+
+
+def test_resolve_anchor_is_the_shared_ref_walk(spark, tmpdir_path):
+    """``resolve_anchor`` is the ONE tag/branch→anchor resolution both
+    ``manifest`` and the lake format's per-query pin use: a tag resolves
+    to its committed version int, a fresh branch to its base version, a
+    staged-token/unknown name returns unchanged (the caller's load
+    raises), and a self-referential walk terminates."""
+    segs = _segments(spark, os.path.join(tmpdir_path, "binlog"), n_segments=2)
+    t = _mk_table(spark, tmpdir_path)
+    for i, seg in enumerate(segs):
+        t.merge_apply(
+            read_binlog(spark, seg), batch_id=i, enrich=with_extracted_text
+        )
+    v = t.current_version()
+    t.create_tag("release", version=v)
+    assert t.resolve_anchor("release") == v
+    t.create_branch("audit")
+    assert int(t.resolve_anchor("audit")) == v  # fresh branch: base version
+    assert t.resolve_anchor("no-such-ref") == "no-such-ref"
+    assert t.resolve_anchor(3) == 3
+    # manifest agrees with the anchor it resolves
+    assert t.manifest("release")["version"] == v

@@ -388,6 +388,45 @@ def test_dedup_components_durable_checkpoint(spark, tmpdir_path):
     assert every3 == base
 
 
+def test_dedup_components_releases_caches_on_mid_cycle_convergence(
+    spark, tmpdir_path
+):
+    """With checkpoint_every larger than the convergence round, the
+    skipped rounds' persisted label frames must be released when the
+    loop breaks (and the result re-anchored on a reliable checkpoint
+    first): before the fix every call in a long-lived session pinned up
+    to (checkpoint_every - 1) full label sets in executor storage
+    forever."""
+    import os
+
+    from crypto_exchange_etl_spark.operators.dedup import dedup_components
+
+    sc = spark.sparkContext
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)] + [(100, 101)],
+        "id_a long, id_b long",
+    )
+    base = {r.id: r.component for r in dedup_components(pairs).collect()}
+    # ids, not counts: the session (and the localCheckpoint baseline
+    # above) holds persisted RDDs that the ContextCleaner collects
+    # asynchronously — the precise contract is that no RDD persisted BY
+    # THE CALL survives it, i.e. the after-set introduces no new ids
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    ck = os.path.join(tmpdir_path, "cc_rel_ck")
+    # checkpoint_every=50 >> rounds-to-converge: NO reliable label
+    # checkpoint fires inside the loop, so every round lands in the
+    # skip-round cache and convergence exits mid-cycle
+    got = {
+        r.id: r.component
+        for r in dedup_components(
+            pairs, checkpoint_dir=ck, checkpoint_every=50
+        ).collect()
+    }
+    assert got == base
+    after = set(sc._jsc.getPersistentRDDs().keys())
+    assert after <= before, f"leaked persisted RDDs: {sorted(after - before)}"
+
+
 @pytest.mark.skipif(
     not __import__("os").path.exists("/root/testdata/sf0.001"),
     reason="driver testdata not present",
