@@ -139,7 +139,17 @@ def _coerce_default(v: Any, dt: T.DataType) -> Any:
     the Arrow conversion expects for column type ``dt`` — the worker-side
     twin of ``_read_raw``'s ``lit(v).cast(dtype)``."""
     try:
-        if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        if isinstance(dt, T.DecimalType):
+            import decimal
+
+            # exactness twin of the manifest's canonical-string storage:
+            # Decimal objects survive the Arrow cast to decimal128; a
+            # float round-trip would corrupt high-precision defaults
+            try:
+                return decimal.Decimal(str(v))
+            except decimal.InvalidOperation:
+                return None
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
             return float(v)
         if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
             return int(v)

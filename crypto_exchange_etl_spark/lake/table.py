@@ -101,7 +101,21 @@ def _coerce_initial_default(v, dtype: T.DataType):
             f"initial default must be a plain scalar, got {type(v).__name__}"
         )
     try:
-        if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+        if isinstance(dtype, T.DecimalType):
+            import decimal
+
+            # validate, but store the CANONICAL STRING: a float round-trip
+            # silently loses precision for high-precision decimals and
+            # corrupts integer defaults past 2^53 — the read path's
+            # lit(<str>).cast(decimal) is exact
+            try:
+                d = decimal.Decimal(str(v))
+            except decimal.InvalidOperation:
+                raise ValueError(v) from None
+            if not d.is_finite():
+                raise ValueError(v)
+            return str(d)
+        if isinstance(dtype, (T.DoubleType, T.FloatType)):
             return float(v)
         if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
             if isinstance(v, float) and v != int(v):
@@ -251,9 +265,13 @@ class LakeTable:
     def current_version(self) -> int | None:
         if not os.path.isdir(self.meta_dir):
             return None
+        # strict name match (like earliest_version): a stray
+        # "v5 copy.json" debugging artifact must not brick every
+        # operation with a ValueError from int()
         versions = [
-            int(f[1:-5]) for f in os.listdir(self.meta_dir)
-            if f.startswith("v") and f.endswith(".json")
+            int(m.group(1))
+            for f in os.listdir(self.meta_dir)
+            if (m := re.fullmatch(r"v(\d+)\.json", f))
         ]
         return max(versions) if versions else None
 
@@ -836,282 +854,292 @@ class LakeTable:
             .agg(F.max(lww_pack_expr()).alias("_p"))
             .cache()
         )
-        part_rows = (
-            changes.groupBy("partition")
-            .agg(
-                F.max("lsn").alias("max_lsn"),
-                F.count(F.lit(1)).alias("n_events"),
-            )
-            .collect()
-        )
-        n_events = sum(int(r["n_events"]) for r in part_rows)
-        # Affected buckets under EVERY live spec (exact cross-spec file
-        # pruning: the batch's keys are hashed under each spec a live
-        # file was written with, so a key's old-spec file is always
-        # found and never guessed at). Single-spec tables — the common
-        # case — keep the original one-column distinct.
-        specs = self._specs(m)
-        cur_spec = self._current_spec(m)
-        live_specs = sorted({self._file_spec(f) for f in m["files"]} | {cur_spec})
-        if len(live_specs) == 1:
-            s0 = live_specs[0]
-            affected_rows = [
-                (s0, int(r["b"]))
-                for r in ka.select(self._bucket(key, specs[s0]).alias("b"))
-                .distinct()
-                .collect()
-            ]
-        else:
-            sb = F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        self._bucket(key, specs[s]).alias("b"),
-                    )
-                    for s in live_specs
-                ])
-            ).alias("sb")
-            affected_rows = [
-                (int(r["s"]), int(r["b"]))
-                for r in ka.select(sb).select("sb.s", "sb.b").distinct().collect()
-            ]
-        affected_map: dict[int, set[int]] = {}
-        for s, b in affected_rows:
-            affected_map.setdefault(s, set()).add(b)
-        affected = sorted(affected_map.get(cur_spec, set()))
-        _mark("narrow_aggs")
-
-        # Upsert metrics come from the same narrow world: winners joined
-        # against the column-pruned live-key scan of the affected buckets.
-        # Bootstrap batches (affected buckets hold no files at all — the
-        # backfill-replay shape) skip the join: the live side is empty by
-        # construction, so every non-delete winner is an insert. Measured
-        # ~1.0 s of a 10.5 s 20M-event replay.
-        wk = lww_unpack(ka, key=key)
-        touched_files = [
-            f for f in m["files"]
-            if f["bucket"] in affected_map.get(self._file_spec(f), ())
-        ]
-        bootstrap = not touched_files
-        is_del = F.col("op") == "D"
-        if bootstrap:
-            winners_only = wk.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(~is_del, 1).otherwise(0)).alias("ins"),
-                F.sum(F.when(is_del, 1).otherwise(0)).alias("dele"),
-            ).collect()[0]
-            stats = {
-                "n": winners_only["n"],
-                "ins": winners_only["ins"],
-                "upd": 0,
-                "dele": winners_only["dele"],
-            }
-        else:
-            cur_live = (
-                self.read_physical(files=touched_files, version=base_ref)
-                .where(~F.col("is_deleted"))
-                .select(key)
-            )
-            stats = (
-                wk.join(cur_live.withColumn("_m", F.lit(1)), on=key, how="left")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.when(~is_del & F.col("_m").isNull(), 1).otherwise(0)).alias("ins"),
-                    F.sum(F.when(~is_del & F.col("_m").isNotNull(), 1).otherwise(0)).alias("upd"),
-                    F.sum(F.when(is_del, 1).otherwise(0)).alias("dele"),
-                )
-                .collect()[0]
-            )
-        _mark("upsert_stats")
-
-        # -- 3. winner payload fetch: broadcast the winning lsn set and
-        # semi-join it against the raw batch — a map-side hash probe, so
-        # payload bytes move at most once (scan → write), never through an
-        # exchange. lsn is the envelope's unique event id; duplicate
-        # deliveries of the same lsn survive the semi-join but collapse in
-        # the final per-key window. The broadcast is explicit (the hint
-        # bypasses autoBroadcastJoinThreshold), so the cutoff is sized from
-        # the session's broadcast budget — ~48 B per long key in a
-        # LongHashedRelation — instead of a fixed row count; above it the
-        # plan falls back to a shuffle join (huge micro-batch).
-        lsn_set = wk.select("lsn")
-        if int(stats["n"]) <= _broadcast_key_budget(self.spark):
-            winners = changes.join(F.broadcast(lsn_set), "lsn", "left_semi")
-        else:  # pragma: no cover - cluster-scale escape hatch
-            winners = changes.join(lsn_set, "lsn", "left_semi")
-
-        # Bootstrap (backfill) fast path: when the affected buckets hold no
-        # current rows, every post-merge survivor IS a batch winner, so the
-        # (pure, per-row) enrich can run AFTER the bucket exchange, on
-        # exactly the rows being written — the derived bytes (extracted
-        # text: measured 45% of the html+text payload on the bench corpus)
-        # then never cross the exchange. On tmpfs shuffle the end-to-end
-        # effect is within host noise (the one full payload scan dominates
-        # memory traffic); on a real cluster the exchange is the NETWORK
-        # hop, where 45% fewer bytes is the point. Incremental batches
-        # keep the pre-exchange placement: post-window rows coming from
-        # current state would re-pay the UDF (Arrow evaluates a UDF for
-        # every row in its node — a null-gate cannot skip them), and
-        # current >> batch in steady state. A deferred enrich sees
-        # conformed physical rows (payload + lsn/is_deleted), not the
-        # op/partition envelope — fine for any pure payload projection,
-        # which is what the enrich contract requires.
-        # SPARK_CDC_DEFER_ENRICH=0 restores pre-exchange placement (A/B).
-        mode = m.get("write_mode", "cow")
-        defer_enrich = (
-            enrich is not None
-            and bootstrap
-            and mode != "mor"
-            and os.environ.get("SPARK_CDC_DEFER_ENRICH", "1") != "0"
-        )
-        if enrich is not None:
-            enriched = enrich(winners)
-            if not defer_enrich:
-                winners = enriched
-        else:
-            enriched = winners
-
-        # -- 4. schema evolution: batch payload columns vs table schema
-        # (resolved against the ENRICHED schema even when the enrich
-        # computation itself is deferred past the exchange)
-        table_schema = T.StructType.fromJson(m["schema"])
-        payload = T.StructType(
-            [f for f in enriched.schema.fields if f.name not in ("op", "partition")]
-        )  # lsn is both envelope and lineage; exclude op/partition only
-        bad_payload = {f.name for f in payload.fields} & {"bucket", "__key_hash__"}
-        if bad_payload:
-            raise ValueError(
-                f"batch payload column(s) {sorted(bad_payload)} collide with "
-                "the write-path namespace (bucket exchange / z-order hash) — "
-                "rename them upstream"
-            )
-        res = resolve_schema(table_schema, payload)
-        new_schema = res.schema
-
-        # field-id bookkeeping (present once rename/drop has ever run on
-        # this table): added columns get fresh ids and open a new schema
-        # epoch, so files written before the add are never confused with
-        # a later re-add of the same name after a drop. Renames/drops
-        # themselves are DDL-only (rename_column / drop_column).
-        fid_state: dict[str, Any] = {}
-        new_epoch = 0
-        if m.get("field_ids"):
-            fids = dict(m["field_ids"])
-            nxt = int(m["next_field_id"])
-            eps = [dict(e) for e in m["schema_epochs"]]
-            added = [c.column for c in res.changes if c.kind == "add"]
-            if added:
-                for c in added:
-                    fids[c] = nxt
-                    nxt += 1
-                eps.append({str(i): n for n, i in fids.items()})
-            fid_state = {
-                "field_ids": fids,
-                "next_field_id": nxt,
-                "schema_epochs": eps,
-            }
-            new_epoch = len(eps) - 1
-
-        phys_schema = T.StructType(
-            [f for f in new_schema.fields if f.name not in _INTERNAL_COLS]
-        )
-        phys_plus = T.StructType(
-            list(phys_schema.fields)
-            + [T.StructField("lsn", T.LongType(), False),
-               T.StructField("is_deleted", T.BooleanType(), False)]
-        )
-        incoming = conform(
-            winners.withColumn("is_deleted", F.col("op") == F.lit("D")), phys_plus
-        )
-        gate_info: dict[str, Any] = {}
-        if m.get("constraints") and not defer_enrich:
-            # CHECK constraints judge the batch's conformed winners (post-
-            # enrich values) and must never re-judge surviving CURRENT
-            # rows. With deferred enrich the gate moves past the exchange
-            # (below) — the bootstrap invariant guarantees the post-merge
-            # frame holds ONLY batch winners there.
-            incoming = self._constraint_gate(
-                incoming, m["constraints"], on_violation, batch_id, key, gate_info
-            )
-        phys_cols = [f.name for f in phys_plus.fields]
-        snap = str(uuid.uuid4())[:8]
-
-        if mode == "mor":
-            # -- 5+6 (merge-on-read): append ONLY the batch winners as
-            # per-bucket delta files — written bytes are O(batch), never
-            # O(live table). No union with current state, no window: the
-            # LWW fold is deferred to read_physical(fold=True) and undone
-            # periodically by minor_compact. dropDuplicates(key) collapses
-            # duplicate deliveries of the winning lsn (byte-identical
-            # envelope rows, so the survivor is value-deterministic).
-            merged = (
-                incoming.dropDuplicates([key])
-                .withColumn("bucket", self._bucket(key, n_buckets))
-                .select(*phys_cols, "bucket")
-            )
-            rel_out = f"data/delta-{snap}"
-            keep = list(m["files"])  # nothing superseded by an append
-        else:
-            current = conform(
-                self.read_physical(files=touched_files, fold=False, version=base_ref),
-                phys_plus,
-            )
-            # -- 5+6 (copy-on-write): single bucket-aligned MERGE shuffle +
-            # write. The union of (current bucket rows ∪ batch winners) is
-            # shuffled ONCE, keyed by bucket; within each bucket partition
-            # rows sort by (key, warc_ts desc, lsn desc) and a lag()
-            # run-boundary filter keeps exactly the first row per key —
-            # LWW by sort order. Because the shuffle key IS the storage
-            # bucket, the dynamic-partition write needs no second
-            # repartition: each task writes only its own bucket files.
-            # Parallelism of this stage = n_buckets — size n_buckets to ≥
-            # the cluster's cores (the north_rule's table-layout knob).
-            u = current.unionByName(incoming).withColumn(
-                "bucket", self._bucket(key, n_buckets)
-            )
-            wspec = Window.partitionBy("bucket").orderBy(
-                F.col(key).asc(),
-                *[F.col(c).desc() for c in ORDER_COLS],
-            )
-            prev_key = F.lag(F.col(key)).over(wspec)
-            merged = u.withColumn("_pk", prev_key).where(
-                F.col("_pk").isNull() | (F.col("_pk") != F.col(key))
-            )
-            if defer_enrich:
-                merged = enrich(merged)
-                if m.get("constraints"):
-                    # bootstrap invariant: the touched buckets held no
-                    # current rows, so every post-merge survivor IS a
-                    # batch winner — gating here judges exactly the rows
-                    # being written, with post-enrich values, while the
-                    # fast path keeps its "derived bytes never cross the
-                    # exchange" property.
-                    merged = self._constraint_gate(
-                        merged, m["constraints"], on_violation, batch_id,
-                        key, gate_info,
-                    )
-            merged = merged.select(*phys_cols, "bucket")
-            rel_out = f"data/snap-{snap}"
-            touched_paths = {f["path"] for f in touched_files}
-            keep = [f for f in m["files"] if f["path"] not in touched_paths]
-
-        out_dir = os.path.join(self.path, rel_out)
         try:
-            merged.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
-        except Exception as e:
-            ka.unpersist()
-            if _VIOLATION_MARKER in str(e):
-                # the on_violation='fail' lazy per-row raise fired inside
-                # the write job: surface it typed. Nothing committed; the
-                # partial out_dir is an orphan (remove_orphans sweeps it).
-                line = next(
-                    (ln for ln in str(e).splitlines() if _VIOLATION_MARKER in ln),
-                    str(e)[:500],
+            part_rows = (
+                changes.groupBy("partition")
+                .agg(
+                    F.max("lsn").alias("max_lsn"),
+                    F.count(F.lit(1)).alias("n_events"),
                 )
-                raise ConstraintViolationError(
-                    f"batch {batch_id} violates a CHECK constraint; merge "
-                    f"aborted, table unchanged. {line.strip()}"
-                ) from None
+                .collect()
+            )
+            n_events = sum(int(r["n_events"]) for r in part_rows)
+            # Affected buckets under EVERY live spec (exact cross-spec file
+            # pruning: the batch's keys are hashed under each spec a live
+            # file was written with, so a key's old-spec file is always
+            # found and never guessed at). Single-spec tables — the common
+            # case — keep the original one-column distinct.
+            specs = self._specs(m)
+            cur_spec = self._current_spec(m)
+            live_specs = sorted({self._file_spec(f) for f in m["files"]} | {cur_spec})
+            if len(live_specs) == 1:
+                s0 = live_specs[0]
+                affected_rows = [
+                    (s0, int(r["b"]))
+                    for r in ka.select(self._bucket(key, specs[s0]).alias("b"))
+                    .distinct()
+                    .collect()
+                ]
+            else:
+                sb = F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            self._bucket(key, specs[s]).alias("b"),
+                        )
+                        for s in live_specs
+                    ])
+                ).alias("sb")
+                affected_rows = [
+                    (int(r["s"]), int(r["b"]))
+                    for r in ka.select(sb).select("sb.s", "sb.b").distinct().collect()
+                ]
+            affected_map: dict[int, set[int]] = {}
+            for s, b in affected_rows:
+                affected_map.setdefault(s, set()).add(b)
+            _mark("narrow_aggs")
+
+            # Upsert metrics come from the same narrow world: winners joined
+            # against the column-pruned live-key scan of the affected buckets.
+            # Bootstrap batches (affected buckets hold no files at all — the
+            # backfill-replay shape) skip the join: the live side is empty by
+            # construction, so every non-delete winner is an insert. Measured
+            # ~1.0 s of a 10.5 s 20M-event replay.
+            wk = lww_unpack(ka, key=key)
+            touched_files = [
+                f for f in m["files"]
+                if f["bucket"] in affected_map.get(self._file_spec(f), ())
+            ]
+            bootstrap = not touched_files
+            is_del = F.col("op") == "D"
+            if bootstrap:
+                winners_only = wk.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(~is_del, 1).otherwise(0)).alias("ins"),
+                    F.sum(F.when(is_del, 1).otherwise(0)).alias("dele"),
+                ).collect()[0]
+                stats = {
+                    "n": winners_only["n"],
+                    "ins": winners_only["ins"],
+                    "upd": 0,
+                    "dele": winners_only["dele"],
+                }
+            else:
+                cur_live = (
+                    self.read_physical(files=touched_files, version=base_ref)
+                    .where(~F.col("is_deleted"))
+                    .select(key)
+                )
+                stats = (
+                    wk.join(cur_live.withColumn("_m", F.lit(1)), on=key, how="left")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.when(~is_del & F.col("_m").isNull(), 1).otherwise(0)).alias("ins"),
+                        F.sum(F.when(~is_del & F.col("_m").isNotNull(), 1).otherwise(0)).alias("upd"),
+                        F.sum(F.when(is_del, 1).otherwise(0)).alias("dele"),
+                    )
+                    .collect()[0]
+                )
+            _mark("upsert_stats")
+
+            # -- 3. winner payload fetch: broadcast the winning lsn set and
+            # semi-join it against the raw batch — a map-side hash probe, so
+            # payload bytes move at most once (scan → write), never through an
+            # exchange. lsn is the envelope's unique event id; duplicate
+            # deliveries of the same lsn survive the semi-join but collapse in
+            # the final per-key window. The broadcast is explicit (the hint
+            # bypasses autoBroadcastJoinThreshold), so the cutoff is sized from
+            # the session's broadcast budget — ~48 B per long key in a
+            # LongHashedRelation — instead of a fixed row count; above it the
+            # plan falls back to a shuffle join (huge micro-batch).
+            lsn_set = wk.select("lsn")
+            if int(stats["n"]) <= _broadcast_key_budget(self.spark):
+                winners = changes.join(F.broadcast(lsn_set), "lsn", "left_semi")
+            else:  # pragma: no cover - cluster-scale escape hatch
+                winners = changes.join(lsn_set, "lsn", "left_semi")
+
+            # Bootstrap (backfill) fast path: when the affected buckets hold no
+            # current rows, every post-merge survivor IS a batch winner, so the
+            # (pure, per-row) enrich can run AFTER the bucket exchange, on
+            # exactly the rows being written — the derived bytes (extracted
+            # text: measured 45% of the html+text payload on the bench corpus)
+            # then never cross the exchange. On tmpfs shuffle the end-to-end
+            # effect is within host noise (the one full payload scan dominates
+            # memory traffic); on a real cluster the exchange is the NETWORK
+            # hop, where 45% fewer bytes is the point. Incremental batches
+            # keep the pre-exchange placement: post-window rows coming from
+            # current state would re-pay the UDF (Arrow evaluates a UDF for
+            # every row in its node — a null-gate cannot skip them), and
+            # current >> batch in steady state. A deferred enrich sees
+            # conformed physical rows (payload + lsn/is_deleted), not the
+            # op/partition envelope — fine for any pure payload projection,
+            # which is what the enrich contract requires.
+            # SPARK_CDC_DEFER_ENRICH=0 restores pre-exchange placement (A/B).
+            mode = m.get("write_mode", "cow")
+            defer_enrich = (
+                enrich is not None
+                and bootstrap
+                and mode != "mor"
+                and os.environ.get("SPARK_CDC_DEFER_ENRICH", "1") != "0"
+            )
+            if enrich is not None:
+                enriched = enrich(winners)
+                if not defer_enrich:
+                    winners = enriched
+            else:
+                enriched = winners
+
+            # -- 4. schema evolution: batch payload columns vs table schema
+            # (resolved against the ENRICHED schema even when the enrich
+            # computation itself is deferred past the exchange)
+            table_schema = T.StructType.fromJson(m["schema"])
+            payload = T.StructType(
+                [f for f in enriched.schema.fields if f.name not in ("op", "partition")]
+            )  # lsn is both envelope and lineage; exclude op/partition only
+            bad_payload = {f.name for f in payload.fields} & {"bucket", "__key_hash__"}
+            if bad_payload:
+                raise ValueError(
+                    f"batch payload column(s) {sorted(bad_payload)} collide with "
+                    "the write-path namespace (bucket exchange / z-order hash) — "
+                    "rename them upstream"
+                )
+            res = resolve_schema(table_schema, payload)
+            new_schema = res.schema
+
+            # field-id bookkeeping (present once rename/drop has ever run on
+            # this table): added columns get fresh ids and open a new schema
+            # epoch, so files written before the add are never confused with
+            # a later re-add of the same name after a drop. Renames/drops
+            # themselves are DDL-only (rename_column / drop_column).
+            fid_state: dict[str, Any] = {}
+            new_epoch = 0
+            if m.get("field_ids"):
+                fids = dict(m["field_ids"])
+                nxt = int(m["next_field_id"])
+                eps = [dict(e) for e in m["schema_epochs"]]
+                added = [c.column for c in res.changes if c.kind == "add"]
+                if added:
+                    for c in added:
+                        fids[c] = nxt
+                        nxt += 1
+                    eps.append({str(i): n for n, i in fids.items()})
+                fid_state = {
+                    "field_ids": fids,
+                    "next_field_id": nxt,
+                    "schema_epochs": eps,
+                }
+                new_epoch = len(eps) - 1
+
+            phys_schema = T.StructType(
+                [f for f in new_schema.fields if f.name not in _INTERNAL_COLS]
+            )
+            phys_plus = T.StructType(
+                list(phys_schema.fields)
+                + [T.StructField("lsn", T.LongType(), False),
+                   T.StructField("is_deleted", T.BooleanType(), False)]
+            )
+            incoming = conform(
+                winners.withColumn("is_deleted", F.col("op") == F.lit("D")), phys_plus
+            )
+            gate_info: dict[str, Any] = {}
+            if m.get("constraints") and not defer_enrich:
+                # CHECK constraints judge the batch's conformed winners (post-
+                # enrich values) and must never re-judge surviving CURRENT
+                # rows. With deferred enrich the gate moves past the exchange
+                # (below) — the bootstrap invariant guarantees the post-merge
+                # frame holds ONLY batch winners there.
+                incoming = self._constraint_gate(
+                    incoming, m["constraints"], on_violation, batch_id, key, gate_info
+                )
+            phys_cols = [f.name for f in phys_plus.fields]
+            snap = str(uuid.uuid4())[:8]
+
+            if mode == "mor":
+                # -- 5+6 (merge-on-read): append ONLY the batch winners as
+                # per-bucket delta files — written bytes are O(batch), never
+                # O(live table). No union with current state, no window: the
+                # LWW fold is deferred to read_physical(fold=True) and undone
+                # periodically by minor_compact. dropDuplicates(key) collapses
+                # duplicate deliveries of the winning lsn (byte-identical
+                # envelope rows, so the survivor is value-deterministic).
+                merged = (
+                    incoming.dropDuplicates([key])
+                    .withColumn("bucket", self._bucket(key, n_buckets))
+                    .select(*phys_cols, "bucket")
+                )
+                rel_out = f"data/delta-{snap}"
+                keep = list(m["files"])  # nothing superseded by an append
+            else:
+                current = conform(
+                    self.read_physical(files=touched_files, fold=False, version=base_ref),
+                    phys_plus,
+                )
+                # -- 5+6 (copy-on-write): single bucket-aligned MERGE shuffle +
+                # write. The union of (current bucket rows ∪ batch winners) is
+                # shuffled ONCE, keyed by bucket; within each bucket partition
+                # rows sort by (key, warc_ts desc, lsn desc) and a lag()
+                # run-boundary filter keeps exactly the first row per key —
+                # LWW by sort order. Because the shuffle key IS the storage
+                # bucket, the dynamic-partition write needs no second
+                # repartition: each task writes only its own bucket files.
+                # Parallelism of this stage = n_buckets — size n_buckets to ≥
+                # the cluster's cores (the north_rule's table-layout knob).
+                u = current.unionByName(incoming).withColumn(
+                    "bucket", self._bucket(key, n_buckets)
+                )
+                wspec = Window.partitionBy("bucket").orderBy(
+                    F.col(key).asc(),
+                    *[F.col(c).desc() for c in ORDER_COLS],
+                )
+                prev_key = F.lag(F.col(key)).over(wspec)
+                merged = u.withColumn("_pk", prev_key).where(
+                    F.col("_pk").isNull() | (F.col("_pk") != F.col(key))
+                )
+                if defer_enrich:
+                    merged = enrich(merged)
+                    if m.get("constraints"):
+                        # bootstrap invariant: the touched buckets held no
+                        # current rows, so every post-merge survivor IS a
+                        # batch winner — gating here judges exactly the rows
+                        # being written, with post-enrich values, while the
+                        # fast path keeps its "derived bytes never cross the
+                        # exchange" property.
+                        merged = self._constraint_gate(
+                            merged, m["constraints"], on_violation, batch_id,
+                            key, gate_info,
+                        )
+                merged = merged.select(*phys_cols, "bucket")
+                rel_out = f"data/snap-{snap}"
+                touched_paths = {f["path"] for f in touched_files}
+                keep = [f for f in m["files"] if f["path"] not in touched_paths]
+
+            out_dir = os.path.join(self.path, rel_out)
+            try:
+                merged.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+            except Exception as e:
+                ka.unpersist()
+                if _VIOLATION_MARKER in str(e):
+                    # the on_violation='fail' lazy per-row raise fired inside
+                    # the write job: surface it typed. Nothing committed; the
+                    # partial out_dir is an orphan (remove_orphans sweeps it).
+                    line = next(
+                        (ln for ln in str(e).splitlines() if _VIOLATION_MARKER in ln),
+                        str(e)[:500],
+                    )
+                    raise ConstraintViolationError(
+                        f"batch {batch_id} violates a CHECK constraint; merge "
+                        f"aborted, table unchanged. {line.strip()}"
+                    ) from None
+                raise
+        except Exception:
+            # any failure between the cache and the merge write —
+            # schema-evolution rejection, constraint-gate errors, the
+            # eager quarantine write, a bad on_violation — must not
+            # leak the cached winners frame: a streaming retry loop
+            # re-attempting the failing batch would pin one cached
+            # RDD per attempt. (unpersist is idempotent; the write's
+            # violation remap below releases it on its own path too.)
+            ka.unpersist()
             raise
         _mark("merge_write")
         ka.unpersist()
@@ -1244,16 +1272,38 @@ class LakeTable:
         version number."""
         sm = self.manifest(token)
         cur = self.current_version()
+        staged_path = os.path.join(self.meta_dir, f"staged-{token}.json")
+        if self._staged_is_published(sm):
+            # crash window: a previous publish committed the manifest but
+            # died before unlinking the staged file. The snapshot IS on
+            # main — finish the cleanup and return idempotently instead
+            # of raising a conflict that wedges fast_forward (whose
+            # drop_ref advice would then discard_staged the COMMITTED
+            # snapshot's data dir)
+            os.unlink(staged_path)
+            sm.pop("staged", None)
+            return sm["summary"]
         if cur != sm["parent_version"]:
             raise CommitConflictError(
                 f"staged snapshot {token} was computed against version "
                 f"{sm['parent_version']} but the table is now at {cur}"
             )
-        staged_path = os.path.join(self.meta_dir, f"staged-{token}.json")
         sm.pop("staged", None)
         self._write_manifest(sm)
         os.unlink(staged_path)
         return sm["summary"]
+
+    def _staged_is_published(self, sm: dict[str, Any]) -> bool:
+        """True when the staged manifest ``sm`` already landed on the
+        committed chain — the crash window between ``_write_manifest``
+        and the staged-file unlink in :meth:`publish`. Identity is the
+        snapshot_id at the staged manifest's own version number (UUID:
+        no other commit can carry it)."""
+        try:
+            committed = self.manifest(int(sm["version"]))
+        except FileNotFoundError:
+            return False
+        return committed.get("snapshot_id") == sm.get("snapshot_id")
 
     def discard_staged(self, token: str) -> None:
         """Drop a staged snapshot that failed its audit: delete its data
@@ -1263,6 +1313,22 @@ class LakeTable:
         exactly-once guard still holds."""
         sm = self.manifest(token)
         st = sm.get("staged", {})
+        escaped = self._staged_is_published(sm)
+        if not escaped and st.get("rel_out"):
+            # second line of defense, independent of version retention:
+            # a dir the CURRENT committed snapshot reads was adopted by
+            # main some other way (e.g. rollback() onto a branch head)
+            prefix = st["rel_out"].rstrip("/") + "/"
+            escaped = any(
+                f["path"].startswith(prefix) for f in self.manifest()["files"]
+            )
+        if escaped:
+            # the snapshot's bytes back a committed version (publish's
+            # commit-then-unlink crash window, or a rollback adoption):
+            # deleting them would corrupt the table — drop only the
+            # leftover staged pointer
+            os.unlink(os.path.join(self.meta_dir, f"staged-{token}.json"))
+            return
         if st.get("rel_out"):
             shutil.rmtree(os.path.join(self.path, st["rel_out"]), ignore_errors=True)
         if st.get("rel_ledger"):
@@ -2263,12 +2329,18 @@ class LakeTable:
         # keep each row's own warc_ts: the synthetic event ranks equal on
         # ts and above on lsn, so it beats the live row — and any LATER
         # feed event for the key still beats it (normal LWW)
-        return live.select(
+        out = live.select(
             F.lit(lsn).cast("long").alias("lsn"),
             F.lit(-1).cast("int").alias("partition"),
             F.lit(op).alias("op"),
             *[payload_col(c) for c in public],
         )
+        # pin the O(live table) scan+fold+filter ONCE: isEmpty() plus the
+        # merge's several traversals (winner agg, bucket collect, stats,
+        # lsn semi-join, write) would otherwise re-execute it 5-6× per
+        # DML call — the same re-evaluation hazard merge_into checkpoints
+        # its classification plan against
+        return out.localCheckpoint(eager=True)
 
     def delete_where(
         self, condition, batch_id: int | None = None
@@ -2894,9 +2966,11 @@ class LakeTable:
             with open(tmp, "w") as fh:
                 json.dump(raw, fh)
             os.replace(tmp, p)  # content-equivalent rewrite, still atomic
-        # drop old manifests
+        # drop old manifests (strict name match: never parse — let alone
+        # delete — a stray non-manifest file)
         for f in list(os.listdir(self.meta_dir)):
-            if f.startswith("v") and f.endswith(".json") and int(f[1:-5]) not in keep_versions:
+            mm = re.fullmatch(r"v(\d+)\.json", f)
+            if mm and int(mm.group(1)) not in keep_versions:
                 os.remove(os.path.join(self.meta_dir, f))
         # drop unreferenced data files
         for sub in ("data", "ledger"):
@@ -2941,21 +3015,30 @@ class LakeTable:
         if cur is None:
             return {"removed": 0, "skipped_recent": 0, "paths": []}
         referenced: set[str] = set()
+        bloom_dirs: set[str] = set()
+
+        def _note(mv: dict[str, Any]) -> None:
+            referenced.update(fl["path"] for fl in mv["files"])
+            referenced.update(mv["ledger_files"])
+            bd = (mv.get("blooms") or {}).get("dir")
+            if bd:
+                bloom_dirs.add(bd.rstrip("/"))
+
         for f in os.listdir(self.meta_dir):
             m = re.fullmatch(r"v(\d+)\.json", f)
             if not m:
                 continue
-            mv = self.manifest(int(m.group(1)))
-            referenced |= {fl["path"] for fl in mv["files"]}
-            referenced |= set(mv["ledger_files"])
+            _note(self.manifest(int(m.group(1))))
         for tok in self.list_staged():
-            mv = self.manifest(tok)
-            referenced |= {fl["path"] for fl in mv["files"]}
-            referenced |= set(mv["ledger_files"])
+            _note(self.manifest(tok))
         cutoff = time.time() - older_than_secs
         removed: list[str] = []
         skipped = 0
-        for sub in ("data", "ledger"):
+        # blooms are swept here (not in expire_snapshots): dirs orphaned
+        # by a failed/crashed build_blooms would otherwise accumulate
+        # forever, and only this path's age threshold protects a build
+        # currently in flight (written before its commit, like data files)
+        for sub in ("data", "ledger", "blooms"):
             base = os.path.join(self.path, sub)
             for root, _d, files in os.walk(base, topdown=False):
                 for fn in files:
@@ -2963,6 +3046,10 @@ class LakeTable:
                     rel = os.path.relpath(full, self.path)
                     if not fn.endswith(".parquet") or rel in referenced:
                         continue
+                    if sub == "blooms" and any(
+                        rel.startswith(d + "/") for d in bloom_dirs
+                    ):
+                        continue  # inside a manifest-referenced bloom dir
                     if os.path.getmtime(full) > cutoff:
                         skipped += 1
                         continue
@@ -3382,6 +3469,12 @@ class LakeTable:
         if on_violation == "quarantine":
             import pyarrow.parquet as _pq
 
+            # materialize the upstream ONCE: the violator write below and
+            # the merge's main write would otherwise each execute the full
+            # plan (scan → LWW agg → semi-join → enrich UDF; plus the
+            # union+window on the deferred-enrich path) — roughly doubling
+            # batch latency even when zero rows violate
+            incoming = incoming.localCheckpoint(eager=True)
             qrel = f"quarantine/batch-{batch_id}"
             qdir = os.path.join(self.path, qrel)
             names_arr = F.array_compact(
@@ -3811,9 +3904,9 @@ class LakeTable:
         if not os.path.isdir(self.meta_dir):
             return []
         versions = sorted(
-            int(f[1:-5])
+            int(m.group(1))
             for f in os.listdir(self.meta_dir)
-            if f.startswith("v") and f.endswith(".json")
+            if (m := re.fullmatch(r"v(\d+)\.json", f))
         )
         out = []
         for v in versions:
@@ -4025,6 +4118,12 @@ class LakeTable:
         target = self.manifest(version)  # raises if expired
         cur = self.manifest()
         nm = dict(target)
+        # a branch name / WAP token resolves to a STAGED manifest: the
+        # committed rollback must not carry its "staged" pointer (a later
+        # discard_staged/drop_ref would rmtree the data dir this commit
+        # references), nor a delta chain alongside the materialized list
+        nm.pop("staged", None)
+        nm.pop("files_delta", None)
         nm.update(
             version=cur["version"] + 1,
             snapshot_id=str(uuid.uuid4()),
