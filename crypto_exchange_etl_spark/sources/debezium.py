@@ -120,7 +120,14 @@ def _valid(c: DataFrame) -> Column:
 def debezium_to_changes(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Valid change events (CHANGES_SCHEMA column set) from a frame of
     raw JSON lines. Works on batch and streaming frames alike."""
-    c = _parsed(lines, value_col)
+    return changes_from_parsed(_parsed(lines, value_col))
+
+
+def changes_from_parsed(c: DataFrame) -> DataFrame:
+    """:func:`debezium_to_changes` over an ALREADY-PARSED frame
+    (:func:`_parsed` output) — lets a consumer that also needs the dead
+    letters parse every line exactly once (persist the parsed frame,
+    derive both splits from it)."""
     return c.where(_valid(c)).select(
         "lsn", "partition", "op", "url", "warc_ts", "html", "lang"
     )
@@ -130,7 +137,12 @@ def debezium_dead_letters(lines: DataFrame, value_col: str = "value") -> DataFra
     """The complement of :func:`debezium_to_changes`: raw lines that
     failed parsing or the envelope invariants, with a reason — land them
     in a quarantine sink and alert on the count; never abort the replay."""
-    c = _parsed(lines, value_col)
+    return dead_letters_from_parsed(_parsed(lines, value_col))
+
+
+def dead_letters_from_parsed(c: DataFrame) -> DataFrame:
+    """:func:`debezium_dead_letters` over an already-parsed frame (the
+    one-parse twin of :func:`changes_from_parsed`)."""
     reason = (
         F.when(
             F.col("_dbz_op").isNull() & F.col("lsn").isNull(), "unparseable"

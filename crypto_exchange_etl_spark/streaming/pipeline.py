@@ -177,39 +177,57 @@ class CdcPipeline:
                         publish=False,
                         on_violation=self.on_violation,
                     )
-                    if out.get("skipped"):
-                        # same metrics contract as the non-audit path: a
-                        # replayed batch still lands a record if its
-                        # original one was lost with the crash
-                        if self.metrics_dir is not None:
-                            self._record_metrics(
-                                table, batch_id, out, _time.time() - t_start
+                    if not out.get("skipped"):
+                        token = out["staged_token"]
+                        try:
+                            ok = self.audit(table.read(version=token), out)
+                        except BaseException:
+                            # a CRASHING audit (user-code bug, Spark error
+                            # reading the staged frame) must not strand the
+                            # staged snapshot: every stream restart would
+                            # re-stage a new one, accumulating orphans that
+                            # retention treats as live pending commits
+                            table.discard_staged(token)
+                            raise
+                        if not ok:
+                            table.discard_staged(token)
+                            raise AuditFailedError(
+                                f"batch {batch_id} failed its audit; staged "
+                                f"snapshot discarded, table unchanged"
                             )
-                        return out
-                    token = out["staged_token"]
-                    if not self.audit(table.read(version=token), out):
-                        table.discard_staged(token)
-                        raise AuditFailedError(
-                            f"batch {batch_id} failed its audit; staged "
-                            f"snapshot discarded, table unchanged"
-                        )
-                    try:
-                        table.publish(token)
-                    except CommitConflictError:
-                        # staged against a superseded snapshot — drop the
-                        # stale file set and re-merge from the new current
-                        table.discard_staged(token)
-                        raise
+                        try:
+                            table.publish(token)
+                        except CommitConflictError:
+                            # staged against a superseded snapshot — drop
+                            # the stale file set and re-merge from the new
+                            # current
+                            table.discard_staged(token)
+                            raise
                 break
             except CommitConflictError as e:
                 last = e
         else:
             raise last
         if table.write_mode == "mor" and not out.get("skipped"):
-            table.minor_compact(max_deltas=self.max_deltas)
-        if not out.get("skipped"):
-            for v in self.views:
-                v.refresh()
+            # compaction races external maintenance the same way the merge
+            # does: a concurrent commit that rewrote its inputs raises
+            # CommitConflictError, and re-calling recomputes from the new
+            # head. A persistent race must not kill the streaming query —
+            # compaction is an optimization; the delta backlog just drains
+            # on a later batch or maintenance pass.
+            for _ in range(3):
+                try:
+                    table.minor_compact(max_deltas=self.max_deltas)
+                    break
+                except CommitConflictError:
+                    continue
+        # views refresh on SKIPPED batches too: a replayed batch means the
+        # original apply may have crashed between table commit and view
+        # refresh — this is exactly the self-heal moment the views
+        # contract promises, and refresh() is a cheap cursor-checked no-op
+        # when the view is already current
+        for v in self.views:
+            v.refresh()
         if self.metrics_dir is not None:
             self._record_metrics(table, batch_id, out, _time.time() - t_start)
         return out
@@ -275,10 +293,27 @@ class CdcPipeline:
         def _sink(df: DataFrame, batch_id: int) -> None:
             self.apply_batch(df, batch_id)
 
+        return self._start_query(
+            stream, _sink, "cdc_apply", checkpoint_dir, available_now,
+            timeout_secs,
+        )
+
+    def _start_query(
+        self,
+        stream: DataFrame,
+        sink,
+        name_prefix: str,
+        checkpoint_dir: str,
+        available_now: bool,
+        timeout_secs: float | None,
+    ):
+        """Shared writer/trigger/await block for every pipeline stream —
+        one place for query naming and trigger semantics, so a fix to
+        either cannot silently miss a sibling entry point."""
         writer = (
-            stream.writeStream.foreachBatch(_sink)
+            stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
-            .queryName(f"cdc_apply_{os.path.basename(self.table_path)}")
+            .queryName(f"{name_prefix}_{os.path.basename(self.table_path)}")
         )
         if available_now:
             q = writer.trigger(availableNow=True).start()
@@ -301,21 +336,29 @@ class CdcPipeline:
     ):
         """Tail a Debezium ndjson feed with dead-letter quarantine.
 
-        The stream carries the RAW lines; each micro-batch is split
-        batch-side into valid change events (merged exactly-once like any
-        other batch) and dead letters (landed under ``dead_letter_dir/
-        batch-<id>/`` with their parse reason). Both outcomes happen in
-        the same ``foreachBatch`` scope, so a replayed batch re-lands the
-        SAME dead letters under the SAME batch id (overwrite ⇒ no
-        duplicates) — a malformed event can never abort the job OR
-        silently vanish.
+        The stream carries the RAW lines; each micro-batch is parsed ONCE
+        (the parsed frame is persisted for the batch) and split into
+        valid change events (merged exactly-once like any other batch)
+        and dead letters (landed under ``dead_letter_dir/batch-<id>/``
+        with their parse reason — default ``<checkpoint_dir>/dead_letter``
+        so malformed events are never silently discarded). Both outcomes
+        happen in the same ``foreachBatch`` scope, so a replayed batch
+        re-lands the SAME dead letters under the SAME batch id
+        (overwrite ⇒ no duplicates) — a malformed event can never abort
+        the job OR silently vanish.
         """
         from ..sources.debezium import (
-            debezium_dead_letters,
-            debezium_to_changes,
+            _parsed,
+            changes_from_parsed,
+            dead_letters_from_parsed,
         )
 
         self.ensure_table()
+        if dead_letter_dir is None:
+            # the documented contract is no-silent-vanish; a None default
+            # that skipped the quarantine write broke it for every caller
+            # that never thought about dead letters
+            dead_letter_dir = os.path.join(checkpoint_dir, "dead_letter")
         raw = (
             self.spark.readStream.option(
                 "maxFilesPerTrigger", max_files_per_trigger
@@ -323,29 +366,22 @@ class CdcPipeline:
         )
 
         def _sink(lines: DataFrame, batch_id: int) -> None:
-            if dead_letter_dir is not None:
-                dead = debezium_dead_letters(lines)
+            # one from_json pass per batch: both splits read the persisted
+            # parsed frame instead of each re-parsing every payload
+            p = _parsed(lines).persist()
+            try:
                 (
-                    dead.write.mode("overwrite").parquet(
-                        os.path.join(dead_letter_dir, f"batch-{batch_id}")
-                    )
+                    dead_letters_from_parsed(p)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(dead_letter_dir, f"batch-{batch_id}"))
                 )
-            self.apply_batch(debezium_to_changes(lines), batch_id=batch_id)
+                self.apply_batch(changes_from_parsed(p), batch_id=batch_id)
+            finally:
+                p.unpersist()
 
-        writer = (
-            raw.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .queryName(f"cdc_dbz_{os.path.basename(self.table_path)}")
+        return self._start_query(
+            raw, _sink, "cdc_dbz", checkpoint_dir, available_now, timeout_secs
         )
-        if available_now:
-            q = writer.trigger(availableNow=True).start()
-        else:
-            q = writer.trigger(processingTime="1 second").start()
-        if timeout_secs is not None:
-            q.awaitTermination(timeout_secs)
-        else:
-            q.awaitTermination()
-        return q
 
     def fork(
         self,
@@ -393,8 +429,25 @@ class CdcPipeline:
             raise FileExistsError(
                 f"checkpoint dir already exists at {checkpoint_dst}"
             )
-        shutil.copytree(checkpoint_src, checkpoint_dst, dirs_exist_ok=True)
-        self.table.clone_to(table_path)
+        # copying a LIVE stream's checkpoint races Spark's own metadata-log
+        # compaction (old offset/commit files deleted mid-listing →
+        # shutil.Error on files that vanished): retry on a fresh listing
+        for attempt in range(3):
+            try:
+                shutil.copytree(checkpoint_src, checkpoint_dst, dirs_exist_ok=True)
+                break
+            except shutil.Error:
+                if attempt == 2:
+                    shutil.rmtree(checkpoint_dst, ignore_errors=True)
+                    raise
+                shutil.rmtree(checkpoint_dst, ignore_errors=True)
+        try:
+            self.table.clone_to(table_path)
+        except BaseException:
+            # fork is a pair or nothing: a stranded copied checkpoint would
+            # block every retry at the exists-guard above with no fork made
+            shutil.rmtree(checkpoint_dst, ignore_errors=True)
+            raise
         kw = dict(
             n_buckets=self.n_buckets,
             key=self.key,
@@ -402,6 +455,7 @@ class CdcPipeline:
             max_deltas=self.max_deltas,
             canonicalize_keys=self.canonicalize_keys,
             audit=self.audit,
+            on_violation=self.on_violation,
             metrics_dir=None,
         )
         kw.update(overrides)
@@ -418,7 +472,19 @@ class CdcPipeline:
 def read_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
     """The pipeline's per-batch metrics feed as a DataFrame (one row per
     batch id — throughput trend, dedup ratio, schema-change audit). Reads
-    the JSON documents written by ``CdcPipeline(metrics_dir=...)``."""
+    the JSON documents written by ``CdcPipeline(metrics_dir=...)``; an
+    empty/uncreated feed returns an empty frame (a polling dashboard must
+    not crash on PATH_NOT_FOUND before the first batch lands)."""
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(metrics_dir, "batch-*.json")):
+        return spark.createDataFrame(
+            [],
+            "batch_id long, skipped boolean, version long, wall_sec double, "
+            "recorded_at_unix double, n_events long, n_insert long, "
+            "n_update long, n_delete long, n_dedup long, "
+            "events_per_sec double, schema_changes long",
+        )
     return spark.read.option("multiLine", True).json(
         os.path.join(metrics_dir, "batch-*.json")
     )
