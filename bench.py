@@ -192,20 +192,41 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=n_cpus, shuffle_partitions=n_cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # two passes, min per query: pass 1 absorbs the session's fixed costs
+    # multi-pass, min per query: pass 1 absorbs the session's fixed costs
     # (JVM JIT, codegen compile, parquet footers) that otherwise charge
     # entirely to whichever query runs first — measured 7.0 s vs 0.6 s
-    # warm for the same aggregate — and the min also rejects host
-    # interference spikes (same methodology as the CDC min-of-2 below).
-    queries: dict[str, float] = {}
-    for _pass in range(2):
+    # warm for the same aggregate — and the min rejects host interference
+    # spikes (same methodology as the CDC min-of-N below). BENCH_r04
+    # showed two passes can BOTH land on a loaded host (every query
+    # uniformly 1.3–1.8× slower than the quiet-host band, calibration
+    # 16.8×/32): so (a) each pass now records its own mini host
+    # calibration — the artifact carries per-pass evidence of what the
+    # host was doing WHILE queries ran, not just at the ends — and
+    # (b) when the per-query spread between the two best reps stays wide
+    # (median best/2nd-best gap > 20%), up to two extra passes run.
+    base_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))
+    max_passes = base_passes + 2
+    reps: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    pass_cal: list[dict] = []
+    n_pass = 0
+    while n_pass < max_passes:
+        pass_cal.append(host_calibration(n_cpus, dt=0.2))
         for name in BENCH_QUERIES:
             fn = QUERIES[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            queries[name] = min(queries.get(name, dt), dt)
+            reps[name].append(round(time.time() - t0, 3))
+        n_pass += 1
+        if n_pass >= base_passes:
+            gaps = []
+            for ts in reps.values():
+                a, b = sorted(ts)[:2]
+                gaps.append((b - a) / a if a else 0.0)
+            gaps.sort()
+            if gaps[len(gaps) // 2] <= 0.20:  # median two-best gap settled
+                break
+    queries: dict[str, float] = {n: min(ts) for n, ts in reps.items()}
     total = round(sum(queries.values()), 3)
 
     cdc = bench_cdc_replay(spark, n_events, n_cpus)
@@ -224,7 +245,13 @@ def main() -> None:
         "cpus": n_cpus,
         **cdc,
         "total_query_sec": round(total, 3),
-        "host_calibration": {"start": cal_start, "end": cal_end},
+        "query_reps_sec": reps,
+        "query_passes": n_pass,
+        "host_calibration": {
+            "start": cal_start,
+            "per_query_pass": pass_cal,
+            "end": cal_end,
+        },
     }
     print(json.dumps(out))
 

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..model import LEDGER_SCHEMA, PAGES_INTERNAL_FIELDS
+from .commit_backend import CommitBackend, resolve_backend
 from ..operators.compaction import (
     ORDER_COLS,
     lww_compact,
@@ -186,12 +187,35 @@ def _broadcast_key_budget(spark: SparkSession) -> int:
 class LakeTable:
     """A bucket-partitioned upsert table with Iceberg-style snapshots."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        backend: "str | CommitBackend | None" = None,
+    ):
         self.spark = spark
         self.path = os.path.abspath(path)
         self.meta_dir = os.path.join(self.path, "metadata")
         self.data_dir = os.path.join(self.path, "data")
         self.ledger_dir = os.path.join(self.path, "ledger")
+        self._backend = resolve_backend(backend) if backend is not None else None
+
+    @property
+    def backend(self) -> CommitBackend:
+        """The table's commit-atomicity primitive (see
+        :mod:`.commit_backend`). Resolved, in order, from: an explicit
+        constructor argument (tests inject hooked backends this way), the
+        ``commit-backend.json`` marker persisted at create time, the
+        ``SPARK_CDC_COMMIT_BACKEND`` env override, else local-FS."""
+        if self._backend is None:
+            name = None
+            try:
+                with open(os.path.join(self.meta_dir, "commit-backend.json")) as fh:
+                    name = json.load(fh).get("backend")
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+            self._backend = resolve_backend(name)
+        return self._backend
 
     # ------------------------------------------------------------------ DDL
 
@@ -205,6 +229,7 @@ class LakeTable:
         n_buckets: int = 16,
         if_not_exists: bool = False,
         write_mode: str = "cow",
+        backend: "str | CommitBackend | None" = None,
     ) -> "LakeTable":
         """``write_mode``:
 
@@ -222,7 +247,7 @@ class LakeTable:
         """
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
-        t = cls(spark, path)
+        t = cls(spark, path, backend=backend)
         if os.path.exists(t.meta_dir) and os.listdir(t.meta_dir):
             if if_not_exists:
                 return t
@@ -230,6 +255,13 @@ class LakeTable:
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         os.makedirs(t.ledger_dir, exist_ok=True)
+        # persist the backend choice so every future opener (including a
+        # concurrent one racing this create) commits through the same
+        # primitive; put_if_absent so a racing creator can't flip it
+        t.backend.put_if_absent(
+            os.path.join(t.meta_dir, "commit-backend.json"),
+            json.dumps(t.backend.describe()).encode(),
+        )
         manifest = {
             "version": 0,
             "snapshot_id": str(uuid.uuid4()),
@@ -435,23 +467,19 @@ class LakeTable:
 
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
         """Atomic commit point with optimistic-concurrency CAS: the
-        version file is created with ``os.link`` (create-exclusive), so
-        if another writer already committed this version number the link
-        fails and a :class:`CommitConflictError` surfaces instead of the
-        silent last-writer-clobber a plain ``rename`` would allow."""
-        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4()}.json")
-        with open(tmp, "w") as fh:
-            json.dump(self._deltify(manifest), fh)
+        version file is published through the table's
+        :class:`CommitBackend` ``put_if_absent`` (local FS: hardlink CAS;
+        object store: conditional PUT ``If-None-Match: *``), so if
+        another writer already committed this version number the publish
+        loses and a :class:`CommitConflictError` surfaces instead of the
+        silent last-writer-clobber a plain overwrite would allow."""
+        payload = json.dumps(self._deltify(manifest)).encode()
         final = os.path.join(self.meta_dir, _fmt_version(manifest["version"]))
-        try:
-            os.link(tmp, final)  # atomic; fails iff version already exists
-        except FileExistsError:
+        if not self.backend.put_if_absent(final, payload):
             raise CommitConflictError(
                 f"version {manifest['version']} already committed at "
                 f"{self.path} by a concurrent writer"
-            ) from None
-        finally:
-            os.unlink(tmp)
+            )
 
     @property
     def schema(self) -> T.StructType:
@@ -1236,10 +1264,10 @@ class LakeTable:
                 "rel_out": rel_out,
                 "rel_ledger": rel_ledger,
             }
-            tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4()}.json")
-            with open(tmp, "w") as fh:
-                json.dump(new_manifest, fh)
-            os.replace(tmp, os.path.join(self.meta_dir, f"staged-{snap}.json"))
+            self.backend.put(
+                os.path.join(self.meta_dir, f"staged-{snap}.json"),
+                json.dumps(new_manifest).encode(),
+            )
             new_manifest["summary"]["staged_token"] = snap
             if branch is not None:
                 ref = self._load_ref(branch)
@@ -1368,26 +1396,20 @@ class LakeTable:
 
     def _write_ref(self, ref: dict[str, Any], exclusive: bool = False) -> None:
         """Atomic ref write; ``exclusive`` uses the same create-exclusive
-        ``os.link`` CAS as version commits, so two concurrent creators of
-        the same ref name cannot silently clobber each other. Branch
-        ADVANCES use plain replace — single writer per branch is the
-        documented discipline (same as the table's own single-streaming-
-        writer assumption)."""
-        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4()}.json")
-        with open(tmp, "w") as fh:
-            json.dump(ref, fh)
+        :class:`CommitBackend` CAS as version commits, so two concurrent
+        creators of the same ref name cannot silently clobber each other.
+        Branch ADVANCES use plain atomic overwrite — single writer per
+        branch is the documented discipline (same as the table's own
+        single-streaming-writer assumption)."""
+        payload = json.dumps(ref).encode()
         final = self._ref_path(ref["name"])
         if exclusive:
-            try:
-                os.link(tmp, final)
-            except FileExistsError:
+            if not self.backend.put_if_absent(final, payload):
                 raise FileExistsError(
                     f"ref {ref['name']!r} already exists at {self.path}"
-                ) from None
-            finally:
-                os.unlink(tmp)
+                )
         else:
-            os.replace(tmp, final)
+            self.backend.put(final, payload)
 
     def _check_ref_name(self, name: str) -> None:
         if not self._REF_NAME.fullmatch(name):
@@ -2249,12 +2271,16 @@ class LakeTable:
         bytes live until the last referent unlinks (the same contract
         Iceberg gets from object-store refcounts)."""
         m = self.manifest(version)
-        t = LakeTable(self.spark, target_path)
+        t = LakeTable(self.spark, target_path, backend=self.backend.name)
         if os.path.exists(t.meta_dir) and os.listdir(t.meta_dir):
             raise FileExistsError(f"table already exists at {target_path}")
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         os.makedirs(t.ledger_dir, exist_ok=True)
+        t.backend.put_if_absent(
+            os.path.join(t.meta_dir, "commit-backend.json"),
+            json.dumps(t.backend.describe()).encode(),
+        )
 
         def _link(rel: str) -> None:
             src = os.path.join(self.path, rel)
@@ -2962,10 +2988,8 @@ class LakeTable:
                 continue
             raw["files"] = self.manifest(v)["files"]  # chain still intact
             raw.pop("files_delta", None)
-            tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4()}.json")
-            with open(tmp, "w") as fh:
-                json.dump(raw, fh)
-            os.replace(tmp, p)  # content-equivalent rewrite, still atomic
+            # content-equivalent rewrite, still atomic to readers
+            self.backend.put(p, json.dumps(raw).encode())
         # drop old manifests (strict name match: never parse — let alone
         # delete — a stray non-manifest file)
         for f in list(os.listdir(self.meta_dir)):

@@ -521,6 +521,42 @@ from w where rn = 1 and op <> 'D'
 """
 
 
+def q_replica_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replication surface end to end: replay the change feed into a
+    SOURCE lake table in TWO commits (so the change feed spans multiple
+    versions), then run ``replicate_stream`` — one Structured Streaming
+    query composing ``lake_cdf`` (source versions as offsets) into
+    ``lake_sink`` (atomic MOR snapshot commits) — to drain it into a
+    READ REPLICA, and return the REPLICA's logical read. The oracle is
+    the same 10-line LWW SQL the source itself must equal: replication
+    is correct iff the replica's final state is byte-identical to the
+    source's, including the extracted ``text``. Exercises the CDF
+    offset/commit protocol, tombstone mapping (delete → higher-ranked
+    tombstone), the sink's applied-batches exactly-once guard, and the
+    JVM-side destination bucket hash. Reference analogue: mirroring tick
+    tables across datasets by re-running loaders
+    (/root/reference/fintick/bqloader/base.py:91-112) — here one
+    checkpointed query with row-level deltas."""
+    from .lake.replicate import create_replica, replicate_stream
+    from .lake.table import LakeTable
+
+    tmp = os.path.join(tempfile.gettempdir(), f"cdc_rep_{uuid.uuid4().hex[:8]}")
+    src, dst, ck = tmp + "_src", tmp + "_dst", tmp + "_ck"
+    pipe = CdcPipeline(spark, src, n_buckets=8)
+    ch = _changes_from_events(spark, sf_dir)
+    # two source commits: even lsns land first, odd lsns second — the
+    # source's own cross-batch LWW resolves stragglers, and the CDF then
+    # carries per-commit post-images the replica must rank identically
+    pipe.apply_batch(ch.where(F.col("lsn") % 2 == 0), batch_id=0)
+    pipe.apply_batch(ch.where(F.col("lsn") % 2 == 1), batch_id=1)
+    create_replica(spark, src, dst)
+    q = replicate_stream(spark, src, dst, ck)
+    q.awaitTermination(600)
+    return (
+        LakeTable.load(spark, dst).read().select("url", "warc_ts", "text", "lang")
+    )
+
+
 #: TTL cutoff for q_ttl_retention — mid-range of the events table's fixed
 #: Jan-2024 span at every SF.
 _TTL_CUTOFF = "2024-01-16 00:00:00"
@@ -2130,7 +2166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ledger_rollup": q_ledger_rollup,
     "sequence_gaps": q_sequence_gaps,
     "minmax_by": q_minmax_by,
-    "cdc_final_state": q_cdc_final_state,
+    "replica_final_state": q_replica_final_state,
     "cdc_replay_engine": q_cdc_replay_engine,
     "cdc_replay_mor": q_cdc_replay_mor,
     "scd2_current": q_scd2_current,
@@ -2183,7 +2219,7 @@ ORACLES: dict[str, str] = {
     "ledger_rollup": SQL_LEDGER,
     "sequence_gaps": SQL_GAPS,
     "minmax_by": SQL_MINMAX,
-    "cdc_final_state": SQL_CDC_FINAL,
+    "replica_final_state": SQL_CDC_REPLAY,
     "cdc_replay_engine": SQL_CDC_REPLAY,
     "cdc_replay_mor": SQL_CDC_REPLAY,
     "scd2_current": SQL_SCD2,
