@@ -48,23 +48,104 @@ try:  # optional codec — this container ships no image library
 except ImportError:  # pragma: no cover - absent in the build container
     _PIL_Image = None
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → PIL-compatible mode string (for 8-bit depth).
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_decode(data: bytes) -> tuple[int, int, str]:
+    """Pure-stdlib PNG decode → ``(width, height, mode)``.
+
+    A real decode, not a header sniff: chunk CRCs are verified, the IDAT
+    stream is inflated (zlib) and every scanline de-filtered (filter
+    types 0-4, per the PNG spec §9), so a truncated or corrupt payload
+    raises instead of yielding plausible dimensions. Non-interlaced
+    PNGs at bit depth 8/16 only — the shapes web crawls overwhelmingly
+    carry; everything else defers to PIL."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos, idat = 8, []
+    width = height = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if interlace != 0 or depth not in (8, 16) or ctype not in _PNG_MODES:
+        raise NotImplementedError(
+            f"PNG variant (depth={depth} color={ctype} interlace={interlace}) "
+            "needs a full codec (install pillow)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    bpp = max(1, _PNG_CHANNELS[ctype] * depth // 8)
+    stride = (width * _PNG_CHANNELS[ctype] * depth + 7) // 8
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data truncated")
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype, line = raw[off], bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype > 4:
+            raise ValueError(f"PNG scanline filter {ftype} invalid")
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b, c = prev[i], prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        prev = line
+    mode = _PNG_MODES[ctype]
+    return width, height, (f"{mode};16" if depth == 16 else mode)
+
 
 def decode_image(data: bytes) -> tuple[int, int, str]:
-    """Real image decode → ``(width, height, mode)`` when PIL is
-    installed; otherwise raises ``NotImplementedError`` (declared stub —
-    no image codec ships in this container). The Spark plumbing around
-    it (:func:`decoded_meta`, :func:`real_image_meta`) is real either
-    way; installing pillow productionizes the column with no code
-    change."""
-    if _PIL_Image is None:
-        raise NotImplementedError(
-            "image codecs not available in this environment "
-            "(install pillow to enable decode_image)"
-        )
-    import io
+    """Real image decode → ``(width, height, mode)``. PIL when installed
+    (every format); otherwise the vendored pure-stdlib PNG decoder
+    (:func:`_png_decode` — CRC-verified, fully de-filtered), so the
+    operator has a REAL exercised decode path even in codec-less
+    containers. Non-PNG formats without PIL raise
+    ``NotImplementedError`` (declared gap; installing pillow widens the
+    column with no code change)."""
+    if _PIL_Image is not None:
+        import io
 
-    with _PIL_Image.open(io.BytesIO(data)) as im:
-        return im.width, im.height, im.mode
+        with _PIL_Image.open(io.BytesIO(data)) as im:
+            return im.width, im.height, im.mode
+    if data[:8] == _PNG_MAGIC:
+        return _png_decode(data)
+    raise NotImplementedError(
+        "no codec for this format in this environment "
+        "(install pillow to decode non-PNG images)"
+    )
 
 
 def real_image_meta(

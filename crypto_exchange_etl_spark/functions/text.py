@@ -41,9 +41,17 @@ def n_tokens(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def regex_token_count(col: Column | str) -> Column:
+def regex_token_count(col: Column | str, model=None) -> Column:
     """BPE-ish token count via ``regexp_extract_all`` (operator analogue of
-    a tokenizer's pre-segmentation pass)."""
+    a tokenizer's pre-segmentation pass). Pass ``model=`` (a
+    :class:`~.model_api.TextModel` returning ints — e.g. a real BPE
+    tokenizer's encoded length) to swap the regex heuristic for
+    vectorized model inference; the default stays pure-Catalyst and
+    oracle-exact."""
+    if model is not None:
+        from .model_api import apply_text_model
+
+        return apply_text_model(model, col)
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0)))
 
@@ -99,10 +107,21 @@ def quality_metrics(col: Column | str) -> list[Column]:
     ]
 
 
-def quality_score(n_tok: Column, stop_ratio: Column, punct_ratio: Column) -> Column:
+def quality_score(
+    n_tok: Column, stop_ratio: Column, punct_ratio: Column, model=None, text=None
+) -> Column:
     """Composite heuristic score in [0,1]: enough tokens, natural stopword
     density, low symbol noise. Weights are fixed constants (documented
-    here, mirrored in the oracle SQL)."""
+    here, mirrored in the oracle SQL). Pass ``model=`` (a
+    :class:`~.model_api.TextModel` returning doubles, e.g. a learned
+    quality classifier) together with ``text=`` (the raw text column the
+    model scores) to replace the heuristic with vectorized inference."""
+    if model is not None:
+        if text is None:
+            raise ValueError("quality_score(model=...) needs text= (raw column)")
+        from .model_api import apply_text_model
+
+        return apply_text_model(model, text).alias("quality")
     len_ok = F.when(n_tok >= 20, F.lit(1.0)).otherwise(n_tok / F.lit(20.0))
     stop_ok = F.least(stop_ratio * 4, F.lit(1.0))
     punct_ok = F.greatest(F.lit(1.0) - punct_ratio * 4, F.lit(0.0))
@@ -114,14 +133,23 @@ def quality_score(n_tok: Column, stop_ratio: Column, punct_ratio: Column) -> Col
 # ---------------------------------------------------------------------------
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, model=None) -> Column:
     """Predicted language = argmax over per-language marker-word hit
     counts; ties break toward the earlier entry in ``LANG_MARKERS``.
 
     Expressed as a first-match CASE chain ("first language whose hit count
     is ≥ every later language's count") — trivially mirrorable in the
     DuckDB oracle, no struct-ordering semantics involved.
+
+    Pass ``model=`` (a :class:`~.model_api.TextModel` returning strings —
+    e.g. fastText lid.176 behind a per-worker ``loader``) to swap the
+    marker heuristic for vectorized model inference; the default stays
+    pure-Catalyst and oracle-exact.
     """
+    if model is not None:
+        from .model_api import apply_text_model
+
+        return apply_text_model(model, col)
     toks = tokens(col)
     langs = list(LANG_MARKERS)
     hits = {

@@ -217,23 +217,52 @@ def _tiny_png(width: int = 3, height: int = 2) -> bytes:
     )
 
 
-def test_decode_image_optional_codec():
-    """decode_image is a REAL decoder behind an optional PIL import: with
-    pillow installed it returns (width, height, mode) for an actual PNG;
-    without it, the declared-stub contract (NotImplementedError) holds."""
+def test_decode_image_png_decodes_without_pil():
+    """decode_image always has a REAL PNG path: PIL when installed, else
+    the vendored pure-stdlib decoder (CRC-verified, scanlines
+    de-filtered) — either way a golden PNG yields exact dimensions, and
+    corruption raises rather than yielding plausible metadata."""
+    import zlib
+
     from crypto_exchange_etl_spark.functions import multimodal as mm
 
+    assert decode_image(_tiny_png(5, 4)) == (5, 4, "RGB")
+    assert mm._png_decode(_tiny_png(3, 2)) == (3, 2, "RGB")
+
+    # bit-flip inside IDAT → CRC mismatch must raise, not mis-decode
+    png = bytearray(_tiny_png(5, 4))
+    idat_at = bytes(png).index(b"IDAT")
+    png[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm._png_decode(bytes(png))
+
+    # truncated pixel stream (valid chunk CRCs, short raster) must raise
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0)
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01\x02\x03" * 5))  # 1 of 4 rows
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        mm._png_decode(short)
+
+    # non-PNG without PIL stays a declared NotImplementedError
     if mm._PIL_Image is None:
         with pytest.raises(NotImplementedError):
-            decode_image(_tiny_png())
-    else:
-        assert decode_image(_tiny_png(5, 4)) == (5, 4, "RGB")
+            decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
 
 
-@pytest.mark.skipif(
-    __import__("importlib").util.find_spec("PIL") is None,
-    reason="pillow not installed",
-)
 def test_real_image_meta_decodes_png(spark):
     from crypto_exchange_etl_spark.functions.multimodal import real_image_meta
 
@@ -249,6 +278,69 @@ def test_lang_id_marker_words(docs):
     pred = {r.doc_id: r.pred for r in docs.select("doc_id", lang_id("text").alias("pred")).collect()}
     assert pred[0] == "en"
     assert pred[4] == "de"
+
+
+def test_text_model_interface_plugs_into_operators(docs):
+    """lang_id / quality_score / regex_token_count accept a pluggable
+    vectorized model (the fastText/tokenizer seam): a toy TextModel
+    changes predictions at that call site only, the loader= form
+    initializes once per worker task, and the heuristic default is
+    untouched (oracle rows keep matching)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from crypto_exchange_etl_spark.functions.model_api import TextModel
+    from crypto_exchange_etl_spark.functions.text import (
+        quality_score,
+        regex_token_count,
+    )
+
+    toy_lang = TextModel(
+        returns=T.StringType(),
+        fn=lambda s: s.str.contains("und").map({True: "de", False: "xx"}),
+        name="toy_lang",
+    )
+    pred = {
+        r.doc_id: r.pred
+        for r in docs.select(
+            "doc_id", lang_id("text", model=toy_lang).alias("pred")
+        ).collect()
+    }
+    assert pred[4] == "de" and pred[0] == "xx"
+
+    # loader= form: weights "load" lazily on the executor, not in the driver
+    toy_counter = TextModel(
+        returns=T.IntegerType(),
+        loader=lambda: (lambda s: s.str.split().str.len().astype("int32")),
+        name="toy_tokenizer",
+    )
+    got = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", regex_token_count("text", model=toy_counter).alias("n")
+        ).collect()
+    }
+    want = {
+        r.doc_id: len(r.text.split())
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == want
+
+    toy_quality = TextModel(
+        returns=T.DoubleType(),
+        fn=lambda s: pd.Series([0.5] * len(s), index=s.index),
+        name="toy_quality",
+    )
+    q = docs.select(
+        quality_score(None, None, None, model=toy_quality, text="text")
+    ).collect()
+    assert all(abs(r.quality - 0.5) < 1e-12 for r in q)
+
+    # misconfiguration fails fast
+    with pytest.raises(ValueError):
+        TextModel(returns=T.StringType())
+    with pytest.raises(ValueError):
+        quality_score(None, None, None, model=toy_quality)
 
 
 def test_quality_metrics_ranges(docs):
