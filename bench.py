@@ -148,6 +148,7 @@ def bench_replication(spark, src_path: str, tmp: str) -> dict:
     (same host-interference methodology as the replay timing)."""
     from crypto_exchange_etl_spark.lake.replicate import (
         create_replica,
+        replicate_once,
         replicate_stream,
     )
     from crypto_exchange_etl_spark.lake.table import LakeTable
@@ -172,11 +173,26 @@ def bench_replication(spark, src_path: str, tmp: str) -> dict:
                 or 0
             )
     dt = min(times)
+    # batch-mode drain (replicate_once): same diff kernel and sink write
+    # path, no stream start/stop intercept — the cron-tick fast path
+    once_times = []
+    for i in range(2):
+        dst = os.path.join(tmp, f"replica_once{i}")
+        t0 = time.time()
+        replicate_once(spark, src_path, dst)
+        once_times.append(time.time() - t0)
+        shutil.rmtree(dst, ignore_errors=True)
+    odt = min(once_times)
     return {
         "replication_change_rows": applied,
         "replication_sec": round(dt, 3),
         "replication_reps_sec": [round(t, 2) for t in times],
         "replication_events_per_sec": round(applied / dt, 1) if dt else 0.0,
+        "replication_once_sec": round(odt, 3),
+        "replication_once_reps_sec": [round(t, 2) for t in once_times],
+        "replication_once_events_per_sec": (
+            round(applied / odt, 1) if odt else 0.0
+        ),
     }
 
 

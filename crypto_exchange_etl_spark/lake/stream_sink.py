@@ -80,6 +80,7 @@ from typing import Any, Iterator
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
@@ -501,6 +502,41 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
         self._drop_files(messages)
 
 
+class LakeSinkBatchWriter(LakeSinkWriter, DataSourceArrowWriter):
+    """Batch face of the sink — identical task write path and driver
+    commit (same Arrow staging, same ``sink:<sinkId>:<batchId>`` guard,
+    same CAS append-rebase), minus ALL Structured Streaming machinery.
+
+    Measured on this host (4 cores, warm JVM): one availableNow
+    replication pass spends ~1.3 s in stream start/stop + trigger
+    bookkeeping around a 1.4 s addBatch — the per-invocation intercept
+    the round-4 scaling runs kept paying. A batch write pays only the
+    job itself, which is what makes frequent cron-style drains scale
+    (see :func:`~.replicate.replicate_once`).
+
+    Because a batch write has no engine-assigned micro-batch id, the
+    caller MUST pass ``option("batchId", <monotone int>)`` — the
+    exactly-once guard key. Re-running the same (sinkId, batchId) is a
+    structural no-op, exactly like a replayed micro-batch."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        super().__init__(schema, options)
+        bid = options.get("batchId", options.get("batchid"))
+        if bid is None:
+            raise ValueError(
+                "lake_sink batch writes need .option('batchId', <int>) — "
+                "the exactly-once guard key a stream gets from its "
+                "checkpoint"
+            )
+        self._batch_id = int(bid)
+
+    def commit(self, messages) -> None:  # batch API: no engine batch id
+        LakeSinkWriter.commit(self, messages, self._batch_id)
+
+    def abort(self, messages) -> None:
+        LakeSinkWriter.abort(self, messages, self._batch_id)
+
+
 class LakeSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -519,3 +555,11 @@ class LakeSinkDataSource(DataSource):
                 "modes are not supported (use outputMode('append')/update)"
             )
         return LakeSinkWriter(schema, dict(self.options))
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> LakeSinkBatchWriter:
+        if overwrite:
+            raise ValueError(
+                "lake_sink appends MOR deltas; use mode('append') "
+                "(overwrite would clobber the snapshot chain)"
+            )
+        return LakeSinkBatchWriter(schema, dict(self.options))

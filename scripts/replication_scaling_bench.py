@@ -42,17 +42,27 @@ if len(LEVELS) != 2:
         f"got {LEVELS!r}"
     )
 HTML_REPEAT = int(os.environ.get("SPARK_SCALE_HTML_REPEAT", "10"))
+#: "stream" = availableNow Structured Streaming drain (the round-3/4
+#: number); "once" = replicate_once batch drain — same diff kernel and
+#: sink write path, no stream start/stop intercept (~1.3 s/invocation
+#: measured warm at 4 cores), which is the fixed cost that capped the
+#: 8M-event 1→4 reading at 0.729 in round 4.
+MODE = os.environ.get("SPARK_SCALE_REPL_MODE", "stream")
+if MODE not in ("stream", "once"):
+    raise SystemExit(f"SPARK_SCALE_REPL_MODE must be stream|once, got {MODE!r}")
 
 _CHILD = r"""
 import json, os, sys, tempfile, time, shutil
 sys.path.insert(0, {repo!r})
 from crypto_exchange_etl_spark.session import get_spark
 from crypto_exchange_etl_spark.streaming.pipeline import CdcPipeline
-from crypto_exchange_etl_spark.lake.replicate import create_replica, replicate_stream
+from crypto_exchange_etl_spark.lake.replicate import (
+    create_replica, replicate_once, replicate_stream)
 from crypto_exchange_etl_spark.lake.table import LakeTable
 import pyspark.sql.functions as F
 
 cores = int(sys.argv[1]); binlog = sys.argv[2]; repeats = int(sys.argv[3])
+mode = sys.argv[4]
 spark = get_spark(app_name=f"replscale{{cores}}", cores=cores,
                   shuffle_partitions=2 * cores,
                   extra_conf={{"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"}})
@@ -70,8 +80,11 @@ try:
         dst = f"{{tmp}}/replica{{i}}"; ck = f"{{tmp}}/ck{{i}}"
         create_replica(spark, src, dst)
         t0 = time.time()
-        q = replicate_stream(spark, src, dst, ck, available_now=True)
-        q.awaitTermination()
+        if mode == "once":
+            replicate_once(spark, src, dst)
+        else:
+            q = replicate_stream(spark, src, dst, ck, available_now=True)
+            q.awaitTermination()
         times.append(time.time() - t0)
         if applied is None:
             led = LakeTable.load(spark, dst).ledger()
@@ -106,7 +119,7 @@ def run_level(repo: str, cores: int, binlog: str) -> dict:
     out = subprocess.run(
         [*_taskset_prefix(cores),
          sys.executable, "-c", _CHILD.format(repo=repo, n_buckets=N_BUCKETS),
-         str(cores), binlog, str(REPEATS)],
+         str(cores), binlog, str(REPEATS), MODE],
         capture_output=True, text=True,
     )
     if out.returncode != 0:
@@ -153,6 +166,7 @@ def main() -> None:
         eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / ratio
         result = {
             "n_events": n_events,
+            "mode": MODE,
             "low": lo,
             "high": hi,
             f"scaling_efficiency_{LEVELS[0]}_to_{LEVELS[1]}": round(eff, 3),

@@ -135,3 +135,83 @@ def test_replicate_cli_subcommand(spark, tmpdir_path, monkeypatch):
 
     rep = LakeTable.load(spark, dst)
     assert _canon(rep.read()) == _canon(pipe.table.read())
+
+
+def test_replicate_once_batch_drain(spark, tmpdir_path):
+    """replicate_once: the batch-mode drain (no stream machinery) tracks
+    the source exactly, advances its cursor atomically with the data
+    (guard-derived), is a no-op when caught up, and swallows a replayed
+    (sinkId, batchId) write — the crash-rerun schedule."""
+    from pyspark.sql import functions as F
+
+    from crypto_exchange_etl_spark.lake.replicate import (
+        replica_position,
+        replicate_once,
+    )
+    from crypto_exchange_etl_spark.lake.table import LakeTable
+
+    src = os.path.join(tmpdir_path, "src")
+    dst = os.path.join(tmpdir_path, "dst")
+    pipe = CdcPipeline(spark, src, n_buckets=4)
+    _apply(spark, pipe, 0, [
+        (i, 0, "I", f"u{i}", TS + dt.timedelta(hours=i),
+         f"<p>{i}</p>".encode(), "en")
+        for i in range(12)
+    ])
+    assert replicate_once(spark, src, dst) == (0, 1)
+    rep = LakeTable.load(spark, dst)
+    assert _canon(rep.read()) == _canon(pipe.table.read())
+
+    _apply(spark, pipe, 1, [
+        (100, 0, "U", "u0", TS + dt.timedelta(days=2), b"<p>v2</p>", "de"),
+        (101, 0, "D", "u1", TS + dt.timedelta(days=2), None, None),
+        (102, 0, "I", "u99", TS + dt.timedelta(days=2), b"<p>99</p>", "fr"),
+    ])
+    assert replicate_once(spark, src, dst) == (1, 2)
+    assert _canon(rep.read()) == _canon(pipe.table.read())
+    assert rep.read().where(F.col("url") == "u1").count() == 0
+
+    # caught up: no commit, cursor stable
+    v = rep.current_version()
+    assert replicate_once(spark, src, dst) is None
+    assert rep.current_version() == v
+
+    # crash-rerun: a replayed batch write with the SAME (sinkId, batchId)
+    # commits nothing (guard) — simulate by re-driving the sink directly
+    sink_id = next(
+        str(g).rsplit(":", 2)[1]
+        for g in rep.manifest()["applied_batches"]
+        if str(g).startswith("sink:")
+    )
+    assert replica_position(rep, sink_id) == 2
+    ch = (
+        spark.read.format("lake_cdf").option("path", src)
+        .option("startingVersion", 2).option("endingVersion", 2)
+        .option("includePreimages", "false").load()
+    )
+    from crypto_exchange_etl_spark.lake.replicate import replicate_changes
+
+    out = replicate_changes(ch).withColumn("__bucket__", rep.bucket_expr())
+    (
+        out.write.format("lake_sink").option("path", dst)
+        .option("sinkId", sink_id).option("batchId", 2)
+        .option("bucketColumn", "__bucket__").mode("append").save()
+    )
+    assert rep.current_version() == v  # replay swallowed
+    assert _canon(rep.read()) == _canon(pipe.table.read())
+
+
+def test_lake_sink_batch_writer_requires_batch_id(spark, tmpdir_path):
+    from crypto_exchange_etl_spark.lake.table import LakeTable
+    from crypto_exchange_etl_spark.model import PAGES_SCHEMA
+
+    import pytest
+
+    path = os.path.join(tmpdir_path, "t")
+    LakeTable.create(spark, path, PAGES_SCHEMA, n_buckets=2)
+    df = spark.createDataFrame(
+        [("u1", TS, b"<p>x</p>", "x", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    with pytest.raises(Exception, match="batchId"):
+        df.write.format("lake_sink").option("path", path).mode("append").save()
