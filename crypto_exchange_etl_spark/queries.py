@@ -557,6 +557,62 @@ def q_replica_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived-table surface: an incrementally-maintained grouped
+    aggregate view (count + subtractable integer sum per language) over
+    the lake table's change feed. The source is replayed in TWO commits
+    with a ``refresh()`` after EACH — so the second refresh maintains the
+    stored state from only the second commit's CDF rows (+1 post-images,
+    −1 pre-images, cross-group moves, group drops at zero) rather than
+    rescanning the table. The oracle recomputes the same aggregate from
+    the LWW final state from scratch: incremental maintenance is correct
+    iff the two agree exactly (integer sums — no float drift). Reference
+    analogue: the hourly→daily recompute jobs
+    (/root/reference/fintick/aggregators/base.py:136-149), advanced here
+    as O(changed rows) refreshes with exactly-once cursoring."""
+    from .lake.matview import MaterializedAggregate
+
+    tmp = os.path.join(tempfile.gettempdir(), f"cdc_mv_{uuid.uuid4().hex[:8]}")
+    pipe = CdcPipeline(spark, tmp + "_src", n_buckets=8)
+    ch = _changes_from_events(spark, sf_dir)
+    view = MaterializedAggregate(
+        spark,
+        tmp + "_src",
+        tmp + "_view",
+        group_col="lang",
+        sums={"sum_len": "length(text)"},
+    )
+    pipe.apply_batch(ch.where(F.col("lsn") % 2 == 0), batch_id=0)
+    view.refresh()
+    pipe.apply_batch(ch.where(F.col("lsn") % 2 == 1), batch_id=1)
+    view.refresh()
+    return view.read().select(
+        "lang",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_len").cast("long").alias("sum_len"),
+    )
+
+
+SQL_MATVIEW = f"""
+with ch as (
+  select event_id as lsn, {_OP_EXPR} as op,
+         concat('user:', cast(user_id as varchar)) as url,
+         ts as warc_ts, props, event_type as lang
+  from events),
+w as (
+  select *, row_number() over (partition by url order by warc_ts desc, lsn desc) as rn
+  from ch),
+final as (
+  select lang,
+         trim(regexp_replace(regexp_replace(concat('<p>', props, '</p>'),
+              '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) as text
+  from w where rn = 1 and op <> 'D')
+select lang, cast(count(*) as bigint) as n_rows,
+       cast(sum(length(text)) as bigint) as sum_len
+from final group by lang
+"""
+
+
 #: TTL cutoff for q_ttl_retention — mid-range of the events table's fixed
 #: Jan-2024 span at every SF.
 _TTL_CUTOFF = "2024-01-16 00:00:00"
@@ -2200,7 +2256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "dedup_components": q_dedup_components,
     "multimodal_meta": q_multimodal_meta,
-    "hash_sample": q_hash_sample,
+    "matview_refresh": q_matview_refresh,
     "train_eval_split": q_train_eval_split,
     "corpus_curation": q_corpus_curation,
     "sequence_packing": q_sequence_packing,
@@ -2253,14 +2309,17 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": _near_dup_sql(),
     "dedup_components": _components_sql(),
     "multimodal_meta": SQL_MULTIMODAL,
-    # stratified_sample stays implemented + pytest-covered; its registry
-    # row rotated to the lake operational surface (scd2/cdf/merge), the
-    # hash_sample + train_eval_split rows keep the sampling family green
+    # stratified_sample + hash_sample stay implemented + pytest-covered;
+    # their registry rows rotated to the lake operational surface
+    # (scd2/cdf/merge in round 4; matview_refresh in round 5 — hash_sample
+    # is a strict subset of train_eval_split, which keeps the sampling
+    # family green)
     **{
         k: v
         for k, v in _sampling_sqls().items()
-        if k in ("hash_sample", "train_eval_split")
+        if k in ("train_eval_split",)
     },
+    "matview_refresh": SQL_MATVIEW,
     "corpus_curation": _curation_sql(),
     "sequence_packing": SQL_PACKING,
     "decontamination": _decontamination_sql(),
