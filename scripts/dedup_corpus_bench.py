@@ -64,8 +64,20 @@ import pyspark.sql.functions as F
 
 cores = int(sys.argv[1]); corpus = sys.argv[2]; repeats = int(sys.argv[3])
 cohort = int(sys.argv[4]); n_total = int(sys.argv[5])
+# Split granularity: the tmpfs corpus is a few hundred MB of zstd
+# parquet in 64 small files — Spark's default 128MB maxPartitionBytes
+# packs that into ~6 input splits, so any level above ~2 cores runs
+# partial waves with idle cores (measured: 102s -> 76s for the pair
+# join at 4 cores just by splitting finer). 4MB splits + 4*cores
+# shuffle partitions keep every level >=3 tasks/core; at real scale
+# the default 128MB already yields thousands of splits per TB and no
+# override is needed.
 spark = get_spark(app_name=f"dedupscale{{cores}}", cores=cores,
-                  shuffle_partitions=2 * cores)
+                  shuffle_partitions=4 * cores,
+                  extra_conf={{
+                      "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+                      "spark.sql.files.openCostInBytes": "262144",
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
 
 times = []
@@ -74,7 +86,11 @@ for rep in range(repeats):
     docs = spark.read.parquet(corpus)
     t0 = time.time()
     sig = minhash_signature(docs)
-    pairs = lsh_candidate_pairs(sig)
+    # the pipeline hand-off: candidate pairs are the (small) output of
+    # the LSH phase — persist them so the components phase consumes
+    # them instead of re-deriving the whole minhash DAG (which is what
+    # any real pipeline does; the cache is |pairs| rows, O(dups))
+    pairs = lsh_candidate_pairs(sig).persist()
     n_pairs = pairs.count()
     t_lsh = time.time() - t0
     t1 = time.time()
@@ -82,6 +98,8 @@ for rep in range(repeats):
     n_clusters = labels.select("component").distinct().count()
     t_comp = time.time() - t1
     times.append((t_lsh, t_comp))
+    if rep < repeats - 1:
+        pairs.unpersist()
     if stats is None:
         n_docs = docs.count()
         bands = lsh_band_rows(minhash_signature(docs))
@@ -229,7 +247,9 @@ def main() -> None:
             "method": f"min of {REPEATS} full minhash_lsh+components runs "
                       "per level over the same Zipf-skewed parquet corpus "
                       "(planted near-dup cohorts), each level cpuset-pinned "
-                      "to exactly its core budget, tmpfs scratch",
+                      "to exactly its core budget, tmpfs scratch, 4MB input "
+                      "splits + 4*cores shuffle partitions (>=3 tasks/core "
+                      "at every level; see in-script note)",
         }
         line = json.dumps(result)
         print(line)
