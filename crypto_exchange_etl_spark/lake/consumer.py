@@ -84,13 +84,15 @@ class ChangeFeedConsumer:
         return earliest
 
     def commit(self, version: int) -> None:
-        """Durably advance the cursor (atomic replace; one consumer per
-        checkpoint path, like one streaming query per Spark checkpoint)."""
+        """Durably advance the cursor (atomic overwrite through the
+        source table's :class:`~.commit_backend.CommitBackend`, so the
+        cursor survives the same storage the table does; one consumer
+        per checkpoint path, like one streaming query per Spark
+        checkpoint)."""
         os.makedirs(os.path.dirname(self.checkpoint_path) or ".", exist_ok=True)
-        tmp = f"{self.checkpoint_path}.tmp-{uuid.uuid4()}"
-        with open(tmp, "w") as fh:
-            json.dump({"version": int(version)}, fh)
-        os.replace(tmp, self.checkpoint_path)
+        self.table.backend.put(
+            self.checkpoint_path, json.dumps({"version": int(version)}).encode()
+        )
 
     # -------------------------------------------------------------- poll
 

@@ -324,10 +324,10 @@ class MaterializedLshIndex:
     # ------------------------------------------------------------- commit
 
     def _commit(self, manifest: dict[str, Any]) -> None:
-        tmp = f"{self._manifest_path}.tmp-{uuid.uuid4()}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path)  # atomic state+cursor commit
+        # atomic state+cursor commit through the source table's backend
+        LakeTable(self.spark, self.source_path).backend.put(
+            self._manifest_path, json.dumps(manifest).encode()
+        )
         referenced = {rel.split(os.sep, 1)[0] for rel in manifest["buckets"].values()}
         for d in os.listdir(self.view_path):
             if d.startswith("state-") and d not in referenced:
@@ -509,10 +509,10 @@ class NearDupMonitor:
         }
 
     def _commit(self, cur: int, spans: list[str]) -> None:
-        tmp = f"{self._manifest_path}.tmp-{uuid.uuid4()}"
-        with open(tmp, "w") as fh:
-            json.dump({"source_version": cur, "spans": spans}, fh)
-        os.replace(tmp, self._manifest_path)
+        LakeTable(self.spark, self.source_path).backend.put(
+            self._manifest_path,
+            json.dumps({"source_version": cur, "spans": spans}).encode(),
+        )
         live = set(spans)
         for d in os.listdir(self.view_path):
             if d.startswith("span-") and d not in live:

@@ -195,10 +195,11 @@ class MaterializedAggregate:
         rel = f"state-{cur}-{str(uuid.uuid4())[:8]}"
         merged.coalesce(1).write.parquet(os.path.join(self.view_path, rel))
         old = None if m is None else m["data"]
-        tmp = f"{self._manifest_path}.tmp-{uuid.uuid4()}"
-        with open(tmp, "w") as fh:
-            json.dump({"source_version": cur, "data": rel}, fh)
-        os.replace(tmp, self._manifest_path)  # atomic state+cursor commit
+        # atomic state+cursor commit through the source table's backend
+        src.backend.put(
+            self._manifest_path,
+            json.dumps({"source_version": cur, "data": rel}).encode(),
+        )
         self._sweep_unreferenced(keep=rel)
         return {"refreshed": True, "source_version": cur, "from_version": pos}
 
@@ -229,9 +230,9 @@ class MaterializedAggregate:
         rel = f"state-{cur}-{str(uuid.uuid4())[:8]}"
         full.coalesce(1).write.parquet(os.path.join(self.view_path, rel))
         m = self._manifest()
-        tmp = f"{self._manifest_path}.tmp-{uuid.uuid4()}"
-        with open(tmp, "w") as fh:
-            json.dump({"source_version": cur, "data": rel}, fh)
-        os.replace(tmp, self._manifest_path)
+        src.backend.put(
+            self._manifest_path,
+            json.dumps({"source_version": cur, "data": rel}).encode(),
+        )
         self._sweep_unreferenced(keep=rel)
         return {"rebuilt": True, "source_version": cur}

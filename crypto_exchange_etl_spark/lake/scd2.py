@@ -153,16 +153,17 @@ class Scd2History:
             return int(json.load(fh)["source_version"])
 
     def _write_cursor(self, version: int) -> None:
-        tmp = f"{self._cursor_path}.tmp-{uuid.uuid4()}"
-        with open(tmp, "w") as fh:
-            json.dump(
+        # atomic overwrite through the source table's commit backend, so
+        # the cursor rides the same storage primitive as the lake itself
+        LakeTable(self.spark, self.source_path).backend.put(
+            self._cursor_path,
+            json.dumps(
                 {
                     "source_version": int(version),
                     "hist_id_format": _HIST_ID_FORMAT,
-                },
-                fh,
-            )
-        os.replace(tmp, self._cursor_path)
+                }
+            ).encode(),
+        )
 
     def _check_hist_id_format(self) -> None:
         """Refuse to touch a history written under a different

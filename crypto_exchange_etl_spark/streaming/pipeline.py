@@ -259,10 +259,9 @@ class CdcPipeline:
                 round(out["n_events"] / wall_sec, 2) if wall_sec > 0 else None
             )
             doc["schema_changes"] = len(out.get("schema_changes") or [])
-        tmp = os.path.join(self.metrics_dir, f".tmp-{_uuid.uuid4()}.json")
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-        os.replace(tmp, path)
+        # atomic overwrite through the table's commit backend (replay of
+        # the same batch id rewrites its doc in place)
+        self.table.backend.put(path, json.dumps(doc).encode())
 
     # ---------------------------------------------------------- streaming
 
